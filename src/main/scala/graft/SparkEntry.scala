@@ -1,13 +1,81 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{EmailPipeline, TweetPipeline}
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator claimed done in SURVEY.md §2 has an entry in [[queries]]
+  * (Spark) and, when ANSI-SQL-expressible, a matching entry in [[oracleSql]]
+  * (DuckDB dialect). Column names and row order are made identical on both
+  * sides: every query ends in a total deterministic ORDER BY, aggregates on
+  * doubles go through exact DECIMAL accumulation and a final cast to DOUBLE
+  * so hash-compares are bit-stable regardless of execution order.
+  */
 object SparkEntry {
+
+  /** Injected clock for date_added (reference: datetime.now(), h-isac.py:100)
+    * — pinned so Spark, DuckDB, and golden tests agree (SURVEY.md §7.4). */
+  val DateAdded = "2026-08-12"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("ioc_email_etl")(spark, "/root/testdata/sf0.001")
+
+  // Exact decimal accumulation helper: sum in DECIMAL(12,2)-derived exact
+  // arithmetic, emit DOUBLE — bit-stable under any partitioning / row order.
+  private def dsum(c: Column): Column = sum(c.cast("decimal(12,2)")).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- parity: the reference's two ETL paths end-to-end ----------------
+    "ioc_email_etl" -> ((s, d) =>
+      EmailPipeline(Tables.emails(s, d), DateAdded)
+        .orderBy(col("id"), col("type"), col("ioc"))),
+
+    "ioc_tweet_etl" -> ((s, d) =>
+      TweetPipeline.extract(Tables.tweets(s, d))
+        .orderBy(col("id").cast("long"), col("type"), col("ioc"))),
+
+    // A1: per-type counts (h-isac.py:171-174) — one hash agg, not 4 scans.
+    "ioc_type_counts" -> ((s, d) =>
+      EmailPipeline(Tables.emails(s, d), DateAdded)
+        .groupBy(col("type")).count()
+        .orderBy(col("type"))),
+
+    // ---- relational core over the star schema ----------------------------
+    // TPC-H Q1 shape: single scan, partial+final hash agg, no join.
+    "q1_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ioc_email_etl" -> OracleViews.emailEtlSql(DateAdded),
+    "ioc_tweet_etl" -> OracleViews.tweetEtlSql,
+    "ioc_type_counts" ->
+      (s"WITH base AS (\n${OracleViews.emailEtlSql(DateAdded)}\n)\n" +
+        "SELECT type, count(*) AS count FROM base GROUP BY type ORDER BY type"),
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
 }

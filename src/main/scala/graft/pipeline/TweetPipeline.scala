@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.extract.Iocs
+import graft.model.Schemas
+
+/** Tweet ETL — the Spark re-expression of /root/reference/firehose.py's
+  * listener (SURVEY.md §3.2). One transform core serves both the batch
+  * oracle query (over a pre-flattened tweet table) and Structured Streaming
+  * (raw JSON → [[flatten]] → [[extract]] inside foreachBatch / readStream).
+  *
+  * Asymmetries with the email path, preserved deliberately (SURVEY.md §2.3):
+  * plain-dot IP regex (no defang tolerance, firehose.py:56), NO refang pass
+  * (firehose.py never refangs), date_added taken from the tweet's created_at
+  * (firehose.py:41,112), platform/date_received filled per SURVEY.md §1.1.
+  */
+object TweetPipeline {
+
+  /** Raw tweet JSON → flat columns (projections P2-P4, firehose.py:22-37):
+    * retweet filter, extended-text coalesce with \r-strip/\n→space,
+    * nested user/entities access, ";"-joined hashtags and urls.
+    */
+  def flatten(raw: DataFrame): DataFrame = {
+    val t = from_json(col("value"), Schemas.tweet)
+    raw.select(t.as("t"))
+      .filter(!col("t.retweeted") && !col("t.text").startsWith("RT @")) // P2
+      .select(
+        col("t.id").cast("string").as("id"),
+        regexp_replace(regexp_replace(
+          coalesce(col("t.extended_tweet.full_text"), col("t.text")),
+          "\r", ""), "\n", " ").as("text"), // P3: \r→"" then \n→" ", exactly
+        col("t.user.screen_name").as("user"),
+        concat_ws(";", transform(col("t.entities.hashtags"), h => h("text")))
+          .as("hashtags"), // P4
+        concat_ws(";", transform(col("t.entities.urls"), u => u("expanded_url")))
+          .as("urls"),
+        col("t.created_at").as("created_date"))
+  }
+
+  /** Flat tweet columns → canonical 8-column IOC frame (extraction R3/R4/R6
+    * + per-type unpivot X2, firehose.py:56-62,105-122).
+    */
+  def extract(tweets: DataFrame): DataFrame = {
+    def ext(pat: String): Column = Iocs.extractAll(col("text"), pat)
+    // P2 — already applied by flatten() on the streaming path; the batch
+    // path over a pre-flattened table carries the raw retweeted flag.
+    val live =
+      if (tweets.columns.contains("retweeted"))
+        tweets.filter(!col("retweeted") && !col("text").startsWith("RT @"))
+      else tweets
+    live
+      .withColumn("by_type", array(
+        struct(lit("ip").as("type"), ext(Iocs.IpPlain).as("iocs")),
+        struct(lit("hash").as("type"), ext(Iocs.Hash).as("iocs")),
+        struct(lit("url").as("type"), ext(Iocs.Url).as("iocs"))))
+      .select(col("*"), explode(col("by_type")).as("t"))
+      .select(col("*"), explode(col("t.iocs")).as("ioc_val"))
+      .select(
+        col("id"),
+        col("created_date").as("date_added"), // firehose.py:41,112
+        col("created_date").as("date_received"),
+        col("ioc_val").as("ioc"),
+        lit("Twitter").as("platform"),
+        col("user").as("source"),
+        col("hashtags").as("tag"),
+        col("t.type").as("type"))
+  }
+
+  /** Pastebin enrichment (S6/X5, firehose.py:50-71): pick each tweet's first
+    * pastebin link (P6), left-join the pages lookup (url → array<line>), run
+    * sort_iocs classification (R9) over the fetched lines, and return the
+    * classified lines in the canonical frame, unioned with the tweet-text
+    * extractions. In production the lookup table is produced by a
+    * per-partition HTTP fetch (nondeterministic, kept out of Catalyst); in
+    * tests it is a fixture table (FIXTURES.md §A3).
+    */
+  def withPastebin(tweets: DataFrame, pages: DataFrame): DataFrame = {
+    val linked = tweets
+      .withColumn("pastebin_link",
+        element_at(filter(split(col("urls"), ";"), u => u.contains("pastebin")), 1)) // P6
+      .join(pages.withColumnRenamed("url", "pastebin_link"),
+        Seq("pastebin_link"), "left")
+    val fetched = linked
+      .filter(col("lines").isNotNull)
+      .select(col("id"), col("created_date"), col("user"), col("hashtags"),
+        explode(col("lines")).as("line"))
+      .select(
+        col("id"),
+        col("created_date").as("date_added"),
+        col("created_date").as("date_received"),
+        col("line").as("ioc"),
+        lit("Twitter").as("platform"),
+        col("user").as("source"),
+        col("hashtags").as("tag"),
+        Iocs.classify(col("line")).as("type"))
+      .filter(col("type") =!= "unmatched") // unmatched kept out of the sink, as in dict_to_kv
+    extract(tweets).unionByName(fetched)
+  }
+}

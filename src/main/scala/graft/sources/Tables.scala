@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver testdata tables (TESTDATA.md) plus the synthetic
+  * views the parity queries run on.
+  *
+  * The DuckDB oracle reads the SAME parquet files, so parity queries that
+  * need IOC-bearing text (the testdata has none) synthesize deterministic
+  * email/tweet-shaped rows from testdata columns with pure SQL-expressible
+  * string construction — both engines build identical inputs, no fixture
+  * files needed on the oracle side.
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads via
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in every session
+    * builder here). Convert the raw nanos back to a µs timestamp with
+    * integer division — double division would lose precision at 1.7e18 ns.
+    * DuckDB-side equivalent: CAST(ts AS TIMESTAMP).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Deterministic email table synthesized from `documents` — the stand-in
+    * for the Outlook folder source (SURVEY.md §2.1 S1, FIXTURES.md §A1).
+    *
+    * Layout mirrors an H-ISAC indicator mail: defanged IPs/URLs/emails, an
+    * md5-of-text "hash" IOC, a non-"indicator" subject every 7th row (drives
+    * the P1 filter), a reply-chain tail every 5th row (drives R1 clean_text
+    * — the tail duplicates IOCs that must NOT be extracted), and an
+    * IOC-free body every 11th row (drives the X1 drop-empty semantics).
+    *
+    * Mirrored exactly in SQL by [[graft.OracleViews.emails]].
+    */
+  def emails(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+    val id = col("doc_id")
+    val body = concat(
+      lit("Dear team,\nNew indicators follow.\n"),
+      when(id % 11 === 0, lit("No further details today.\n")).otherwise(concat(
+        lit("ip: 10[.]"), (id % 256).cast("string"), lit("[.]0[.]"), ((id * 7) % 256).cast("string"), lit("\n"),
+        lit("url: hxxps://evil-"), id.cast("string"), lit("[.]example[.]com/payload\n"),
+        lit("hash: "), md5(col("text")), lit("\n"),
+        lit("contact: mailto:analyst"), id.cast("string"), lit("@bad[.]domain[.]com\n"))),
+      when(id % 5 === 0,
+        lit("\nFrom: H-ISAC Amber List\nSent: earlier\nold ip: 99[.]99[.]99[.]99\nold url: hxxp://stale[.]example[.]com/x\n"))
+        .otherwise(lit("Regards,\nAnalyst\n")))
+    doc.select(
+      concat(lit("conv-"), id.cast("string")).as("conversation_id"),
+      concat(lit("sender-"), col("source")).as("sender"),
+      when(id % 7 === 0, concat(lit("FYI digest "), id.cast("string")))
+        .otherwise(concat(lit("Indicator update "), id.cast("string"))).as("subject"),
+      body.as("body"),
+      to_timestamp(concat(lit("2024-01-0"), ((id % 9) + 1).cast("string"), lit(" 12:00:00"))).as("received_time"))
+  }
+
+  /** Deterministic tweet table synthesized from `events` — the stand-in for
+    * the Twitter firehose source (SURVEY.md §2.1 S4, FIXTURES.md §A2).
+    * Flattened to the columns the stream listener projects
+    * (firehose.py:27-37); retweets (dropped by P2) every 6th row; plain-dot
+    * IPs and hashes in text. Mirrored in SQL by [[graft.OracleViews.tweets]].
+    */
+  def tweets(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val id = col("event_id")
+    val text = concat(
+      when(id % 9 === 0, lit("RT @bot: ")).otherwise(lit("")),
+      lit("C2 at 172.16."), (id % 256).cast("string"), lit("."), ((id * 3) % 256).cast("string"),
+      lit(" sample "), md5(col("props")),
+      lit(" via //drop-"), id.cast("string"), lit(".example.org/p"))
+    ev.select(
+      id.cast("string").as("id"),
+      text.as("text"),
+      (id % 6 === 0).as("retweeted"),
+      concat(lit("user-"), col("user_id").cast("string")).as("user"),
+      concat(lit("malware;"), col("event_type")).as("hashtags"),
+      date_format(col("ts"), "yyyy-MM-dd").as("created_date"))
+  }
+}
