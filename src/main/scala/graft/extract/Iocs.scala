@@ -94,8 +94,10 @@ object Iocs {
   def classify(tok: Column): Column = {
     val host = regexp_replace(tok, "^[a-zA-Z]+://", "") // scheme strip
     val bare = regexp_replace(host, "/.*$", "")         // path strip
+    // digit-run test, not a cast: Spark 4 runs ANSI mode where a failed
+    // string→int cast throws; a pure regex check is also engine-portable.
     val octetsAllInt =
-      forall(split(bare, """\."""), s => s.cast("int").isNotNull)
+      forall(split(bare, """\."""), s => s.rlike("^[0-9]+$"))
     when(tok.contains(".") && octetsAllInt, lit("ip"))
       .when(tok.contains("."), lit("url"))
       .when(tok.rlike("^[a-zA-Z0-9]{32,64}"), lit("hash"))

@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents` — the training-data-pipeline
+  * surface (BASELINE.json north star): token counting (whitespace + BPE-ish
+  * regex), quality scoring, language-ID heuristic, and SimHash document
+  * fingerprinting.
+  *
+  * Every operator is per-row Column algebra (higher-order functions over the
+  * token array) — shuffle-free, codegen-friendly, linear in input size. The
+  * SimHash uses a 60-bit md5-derived token hash folded with a single
+  * `aggregate` HOF per document: one pass, no explode, no shuffle — at
+  * 100 TB the cost is exactly one scan. (The DuckDB oracle mirrors it with
+  * an explode+group formulation; same result, different shape.)
+  */
+object TextStats {
+
+  val stopEn: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+  val stopEs: Seq[String] = Seq("el", "la", "de", "y", "en", "que")
+  val stopDe: Seq[String] = Seq("der", "die", "das", "und", "zu", "ist")
+
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** BPE-ish subword segmentation: letter runs, digit runs, single symbols. */
+  private val bpePat = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""
+
+  /** 60-bit token hash as a zero-padded binary string (md5-derived so both
+    * engines agree bit-for-bit). */
+  private def tokenBits(t: Column): Column =
+    lpad(bin(conv(substring(md5(t), 1, 15), 16, 10).cast("long")), 60, "0")
+
+  /** SimHash: per bit position, sum +1/-1 over tokens by that token-hash bit,
+    * emit '1' where the sum is positive — returned as a 60-char bit string.
+    * Single aggregate() fold: Seq[60 counters] carried through the token
+    * array in one pass.
+    */
+  def simhash(toks: Column): Column = {
+    val folded = aggregate(
+      toks,
+      array_repeat(lit(0L), 60),
+      (acc, t) => {
+        val bits = tokenBits(t)
+        zip_with(acc, sequence(lit(1), lit(60)),
+          (a, p) => a + when(bits.substr(p, lit(1)) === "1", 1L).otherwise(-1L))
+      })
+    concat_ws("", transform(folded, v => when(v > 0, "1").otherwise("0")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "text_stats" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      // counts cast to long: DuckDB len()/length() are BIGINT — keep the
+      // output schema type-identical on both sides.
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        (aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+          .cast("double") / size(toks)).as("avg_token_len"),
+        (countIn(toks, stopEn).cast("double") / size(toks)).as("stopword_ratio"),
+        size(regexp_extract_all(col("text"), lit(bpePat), lit(0))).cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("len_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // language-ID: stopword-marker scoring with fixed precedence en>es>de.
+    "text_langid" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val (en, es, de) = (countIn(toks, stopEn), countIn(toks, stopEs), countIn(toks, stopDe))
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        en.cast("long").as("score_en"), es.cast("long").as("score_es"),
+        de.cast("long").as("score_de"),
+        when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
+          .as("predicted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // document fingerprints: exact (md5 of normalized text) + SimHash-60.
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("md5_norm"),
+        simhash(tokens(col("text"))).as("simhash60"))
+        .orderBy(col("doc_id")))
+  )
+
+  private val sqlToks = "string_split(lower(text), ' ')"
+  private def sqlCountIn(words: Seq[String]): String =
+    s"len(list_filter($sqlToks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  len($sqlToks) AS n_tokens,
+         |  len(list_distinct($sqlToks)) AS n_distinct_tokens,
+         |  CAST(list_sum(list_transform($sqlToks, t -> length(t))) AS DOUBLE) / len($sqlToks) AS avg_token_len,
+         |  CAST(${sqlCountIn(stopEn)} AS DOUBLE) / len($sqlToks) AS stopword_ratio,
+         |  len(regexp_extract_all(text, '$bpePat', 0)) AS n_bpe_tokens,
+         |  length(text) AS len_chars
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, lang,
+         |  ${sqlCountIn(stopEn)} AS score_en,
+         |  ${sqlCountIn(stopEs)} AS score_es,
+         |  ${sqlCountIn(stopDe)} AS score_de,
+         |  CASE WHEN ${sqlCountIn(stopEn)} >= ${sqlCountIn(stopEs)} AND ${sqlCountIn(stopEn)} >= ${sqlCountIn(stopDe)} THEN 'en'
+         |       WHEN ${sqlCountIn(stopEs)} >= ${sqlCountIn(stopDe)} THEN 'es'
+         |       ELSE 'de' END AS predicted
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    lpad(bin(CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)), 60, '0') AS b
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, r.p,
+        |    SUM(CASE WHEN substr(b, CAST(r.p AS INTEGER), 1) = '1' THEN 1 ELSE -1 END) AS sgn
+        |  FROM hashed, range(1, 61) r(p) GROUP BY doc_id, r.p),
+        |sh AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN sgn > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash60
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  md5(regexp_replace(lower(d.text), '\s+', ' ', 'g')) AS md5_norm,
+        |  sh.simhash60
+        |FROM documents d JOIN sh ON d.doc_id = sh.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+  )
+}

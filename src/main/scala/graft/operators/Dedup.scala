@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` — exact, n-gram Jaccard, and
+  * MinHash+LSH near-dup (BASELINE.json north star; the core of any
+  * large-scale training-data pipeline).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash aggregation on the content key — the shuffle
+  *    is by key hash, perfectly balanced unless one document dominates;
+  *  - the MinHash path is the scale path: O(docs × K) signature computation
+  *    (per-row HOFs, no shuffle), then a shuffle on (band, bandHash) whose
+  *    fan-in is only near-duplicate clusters — candidate verification runs
+  *    per bucket, never all-pairs;
+  *  - the plain n-gram Jaccard join (shingle inverted index) is kept as the
+  *    exact baseline; its shuffle grows with shared-shingle frequency, which
+  *    is why MinHash banding exists.
+  *
+  * All hashes are md5-derived so the DuckDB oracle reproduces them exactly.
+  */
+object Dedup {
+
+  /** Word 3-gram shingles, distinct, from a token array column. Inclusive
+    * slice: tokens i..i+2 for i in 1..n-2 (Spark slice is 1-based like
+    * DuckDB's). */
+  def shingles(toks: Column): Column =
+    // guard: Spark sequence(1, n) DESCENDS when n < 1 (unlike DuckDB range,
+    // which is empty) — short docs must yield an empty shingle set.
+    when(size(toks) >= 3,
+      array_distinct(
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i, lit(3))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signature: K lexicographic minima of md5(j:shingle). */
+  def minhashSig(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(sh, x => md5(concat(j.cast("string"), lit(":"), x)))))
+
+  val K = 12        // signature length
+  val Rows = 3      // rows per band
+  val Bands = K / Rows
+
+  val JaccardThreshold = 0.4
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup on a normalized content key: groups with >1 member.
+    "dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(substring(col("text"), 1, 40)).as("content_key"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .filter(col("n_dups") > 1)
+        .orderBy(col("content_key"))),
+
+    // exact n-gram Jaccard via shingle inverted index: explode distinct
+    // shingles, self-join on shingle, count intersections, Jaccard filter.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), shingles(TextStats2.tokens(col("text"))).as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+      val a = sh.select(col("doc_id").as("id1"), col("sz").as("sz1"), col("shingle"))
+      val b = sh.select(col("doc_id").as("id2"), col("sz").as("sz2"), col("shingle"))
+      a.join(b, Seq("shingle")).filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2"), col("sz1"), col("sz2"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select(col("id1"), col("id2"), col("jaccard"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // MinHash+LSH: md5 minima signature → band hashes → bucket join →
+    // candidate pairs (deduped across bands).
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val sig = Tables.documents(s, d)
+        .select(col("doc_id"),
+          minhashSig(shingles(TextStats2.tokens(col("text"))), K).as("sig"))
+      val banded = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => md5(concat_ws("|", slice(col("sig"), b * Rows + 1, lit(Rows)))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+      val a = banded.select(col("band"), col("band_hash"), col("doc_id").as("id1"))
+      val b = banded.select(col("band"), col("band_hash"), col("doc_id").as("id2"))
+      a.join(b, Seq("band", "band_hash")).filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2")).distinct()
+        .orderBy(col("id1"), col("id2"))
+    })
+  )
+
+  private val sqlToks = "string_split(lower(text), ' ')"
+  private val sqlShingles =
+    s"list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-2, 0)+1)])"
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(substr(text, 1, 40)) AS content_key,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents
+        |GROUP BY 1 HAVING COUNT(*) > 1
+        |ORDER BY content_key""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, len(s) AS sz, unnest(s) AS shingle
+         |  FROM (SELECT doc_id, $sqlShingles AS s
+         |        FROM (SELECT doc_id, $sqlToks AS t FROM documents))),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS sz1, b.sz AS sz2,
+         |    COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT id1, id2,
+         |  CAST(inter AS DOUBLE) / (sz1 + sz2 - inter) AS jaccard
+         |FROM pairs
+         |WHERE CAST(inter AS DOUBLE) / (sz1 + sz2 - inter) >= $JaccardThreshold
+         |ORDER BY id1, id2""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id,
+         |    [list_aggregate([md5(CAST(j AS VARCHAR) || ':' || x) for x in s], 'min') for j in range(0, $K)] AS sig
+         |  FROM (SELECT doc_id, $sqlShingles AS s
+         |        FROM (SELECT doc_id, $sqlToks AS t FROM documents))),
+         |banded AS (
+         |  SELECT doc_id, b AS band,
+         |    md5(array_to_string(sig[b*$Rows+1:b*$Rows+$Rows], '|')) AS band_hash
+         |  FROM sig, range(0, $Bands) r(b))
+         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |FROM banded a
+         |JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+         |  AND a.doc_id < b.doc_id
+         |ORDER BY id1, id2""".stripMargin
+  )
+}
+
+/** Local alias to avoid a package cycle: tokens() lives with the text ops. */
+private object TextStats2 {
+  def tokens(text: Column): Column = graft.functions.TextStats.tokens(text)
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-time analytics over the `events` table — the batch twins of the
+  * Structured Streaming operators (SURVEY.md §2.9 "extensions only"):
+  * tumbling-window aggregation, gaps-and-islands sessionization (the batch
+  * oracle for `session_window`; the streaming variant is exercised in
+  * StreamingSpec), and JSON projection of the `props` column (S5's
+  * from_json surface on relational data).
+  *
+  * Sessionize = two window passes over one shuffle on user_id (lag + running
+  * count reuse the same partitioning — Catalyst plans a single Exchange), then
+  * a hash agg. At 100 TB this is the canonical one-shuffle sessionization; no
+  * per-user driver loop, no state explosion.
+  */
+object Events {
+
+  private val gapMinutes = 30
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // tumbling 1-hour windows per event type.
+    "events_tumbling" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Relational.dsum(col("value")).as("sum_value"))
+        .orderBy(col("bucket"), col("event_type"))),
+
+    // sessionization with a 30-minute inactivity gap (gaps-and-islands).
+    "events_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          (col("prev_ts").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+              lit(gapMinutes * 60 * 1000000L))).cast("int"))
+        .withColumn("session_id",
+          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          Relational.dsum(col("value")).as("sum_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // JSON field projection + aggregation (from_json/get_json_object, S5).
+    "events_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k").cast("long")).as("sum_k"),
+          count(col("k")).as("n_with_k"))
+        .orderBy(col("event_type")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "events_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket, event_type""".stripMargin,
+    "events_sessionize" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w > INTERVAL $gapMinutes MINUTE
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |  FROM marked)
+         |SELECT user_id, session_id,
+         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+         |  COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         |FROM sessions
+         |GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+    "events_json" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  COUNT(json_extract_string(props, '$.k')) AS n_with_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational core over the star schema (SURVEY.md §2.5-§2.7 extensions):
+  * join strategies, windows, rollup, set ops, unpivot. The reference has no
+  * relational layer (SURVEY.md §2.6) — these are the Catalyst built-ins the
+  * engine exposes once the data is tabular, shaped TPC-H-style.
+  *
+  * Scale notes (100 TB): dimension joins broadcast explicitly
+  * (region/nation/customer/supplier are tiny vs lineitem/orders, which at
+  * scale are fact tables — broadcasting keeps the plan shuffle-free up to
+  * the final aggregation); AQE re-plans the rest at runtime. Window queries
+  * shuffle once on the partition key — the partition key is always the
+  * high-cardinality entity key (suppkey/userkey), never a low-cardinality
+  * column, so 1000 executors stay busy.
+  */
+object Relational {
+
+  /** Exact decimal accumulation → DOUBLE: bit-stable under any row order. */
+  def dsum(c: Column): Column = sum(c.cast("decimal(12,2)")).cast("double")
+
+  /** revenue term: l_extendedprice * (1 - l_discount), exact decimal. */
+  private def revenue: Column =
+    sum(col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(new java.math.BigDecimal("1.00")) - col("l_discount").cast("decimal(12,2)")))
+      .cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q3 shape: selective dim filter → broadcast join into facts →
+    // hash agg → top-k. Broadcasting `customer` avoids shuffling lineitem.
+    "q3_topk" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("2000-06-01"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("2000-06-01"))
+      l.join(broadcast(o.join(broadcast(c), col("c_custkey") === col("o_custkey"))),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: snowflake join with the local-supplier condition.
+    "q5_join" -> ((s, d) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d).join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val c = Tables.customer(s, d).join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1998-01-01") && col("o_orderdate") < lit("2000-01-01"))
+      val su = Tables.supplier(s, d)
+      Tables.lineitem(s, d)
+        .join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // left-semi = EXISTS: customers with at least one big order.
+    "join_semi" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // left-anti = NOT EXISTS: customers with no very large order.
+    "join_anti" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // top-3 line items per supplier — single shuffle on the partition key.
+    "window_topk" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w).cast("long")) // BIGINT like DuckDB
+        .filter(col("rn") <= 3)
+        .orderBy(col("l_suppkey"), col("rn"))
+    }),
+
+    // running per-user total over events (exact decimal running sum).
+    "window_running" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("running_value",
+          sum(col("value").cast("decimal(12,2)")).over(w).cast("double"))
+        .drop("value")
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // rollup with grand total: customers + balance by region/nation.
+    "rollup_agg" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
+
+    // unpivot via stack (X2's relational twin).
+    "unpivot_stack" -> ((s, d) =>
+      Tables.part(s, d)
+        .selectExpr("p_partkey", "stack(2, 'brand', p_brand, 'type', p_type) as (attr, val)")
+        .orderBy(col("p_partkey"), col("attr"))),
+
+    // set ops beyond union: nations present on both sides / only customers.
+    "setop_intersect" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))),
+
+    "setop_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))),
+
+    // grouped stats incl. exact distinct count (partial agg + distinct expand).
+    "agg_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          dsum(col("l_tax")).as("sum_tax"))
+        .orderBy(col("l_returnflag")))
+  )
+
+  private val rev =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)"
+
+  val oracle: Map[String, String] = Map(
+    "q3_topk" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+         |  $rev AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '2000-06-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '2000-06-01 00:00:00'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+    "q5_join" ->
+      s"""SELECT n_name, $rev AS revenue
+         |FROM region
+         |JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "window_topk" ->
+      """SELECT * FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "window_running" ->
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        |FROM events
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "rollup_agg" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "unpivot_stack" ->
+      """SELECT p_partkey, 'brand' AS attr, p_brand AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'type', p_type FROM part
+        |ORDER BY p_partkey, attr""".stripMargin,
+    "setop_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "setop_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  CAST(SUM(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_tax
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors) —
+  * brute-force cosine top-k as the exact baseline, plus an SRP-LSH bucketed
+  * variant as the scale path (BASELINE.json north star).
+  *
+  * Numeric determinism: all arithmetic is IEEE double with a FIXED operand
+  * order — elements are widened float→double (exact), multiplied pairwise,
+  * and summed by a sequential left fold. Spark's `aggregate` HOF and
+  * DuckDB's `list_sum` are both sequential left folds (verified with
+  * order-sensitive probes), so results are bit-identical across engines with
+  * no decimal machinery and full codegen speed.
+  *
+  * Scale design: brute force is O(n²·d) — correct at any n but quadratic;
+  * at 100 TB you bucket first. `sim_lsh_buckets` computes
+  * sign-random-projection buckets (md5-derived hyperplane signs, so the
+  * oracle reproduces them); candidate generation then joins within buckets
+  * only — the same shuffle-on-bucket shape as Dedup's MinHash LSH. Top-k
+  * ranking is a single window over the candidate pairs, shuffled by query id.
+  */
+object Similarity {
+
+  /** Sequential-left-fold dot product in double — bit-stable given a fixed
+    * element order (the array order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def normSq(a: Column): Column = dot(a, a)
+
+  val TopK = 5
+
+  /** Sign-random-projection bucket: for H pseudo-hyperplanes, the sign of
+    * dot(v, h_j) where h_j components are ±1 derived from md5(j:i) parity —
+    * reproducible in SQL, no RNG. */
+  val Hyperplanes = 8
+  def srpBucket(emb: Column): Column =
+    concat_ws("", transform(sequence(lit(0), lit(Hyperplanes - 1)), j => {
+      val s = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (x, i) => when(
+            conv(substring(md5(concat(j.cast("string"), lit(":"), i.cast("string"))), 1, 1), 16, 10)
+              .cast("int") % 2 === 0, x.cast("double")).otherwise(-x.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+      when(s > 0, "1").otherwise("0")
+    }))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // brute-force cosine top-k neighbors for every vector.
+    "sim_cosine_topk" -> ((s, d) => {
+      // norms precomputed ONCE per vector (n, not n², folds) — the cross
+      // join then only pays the dot product per pair.
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+      val a = e.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nsq").as("qn"))
+      val b = e.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("nsq").as("nn"))
+      val pairs = a.crossJoin(b).filter(col("qid") =!= col("nid"))
+        .withColumn("cosine", dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+      pairs.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // scale path: SRP-LSH bucket assignment + bucket population.
+    "sim_lsh_buckets" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), srpBucket(col("embedding")).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+        .orderBy(col("bucket")))
+  )
+
+  private def dotSql(x: String, y: String) =
+    s"list_sum([CAST($x.embedding[i] AS DOUBLE) * CAST($y.embedding[i] AS DOUBLE) for i in range(1, len($x.embedding)+1)])"
+
+  private val nsqSql =
+    "list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, len(embedding)+1)])"
+
+  val oracle: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $nsqSql AS nsq
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    ${dotSql("a", "b")} / sqrt(a.nsq * b.nsq) AS cosine
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM pairs)
+         |SELECT qid, nid, cosine, rank FROM ranked
+         |WHERE rank <= $TopK
+         |ORDER BY qid, rank""".stripMargin,
+    "sim_lsh_buckets" ->
+      s"""WITH signed AS (
+         |  SELECT vec_id,
+         |    [CASE WHEN list_sum([
+         |        CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i-1 AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0
+         |             THEN CAST(embedding[i] AS DOUBLE)
+         |             ELSE -CAST(embedding[i] AS DOUBLE) END
+         |        for i in range(1, len(embedding)+1)]) > 0
+         |      THEN '1' ELSE '0' END
+         |     for j in range(0, $Hyperplanes)] AS bits
+         |  FROM embeddings)
+         |SELECT array_to_string(bits, '') AS bucket,
+         |  COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+         |FROM signed
+         |GROUP BY 1
+         |ORDER BY bucket""".stripMargin
+  )
+}
