@@ -40,7 +40,7 @@ object OracleViews {
       |    CASE WHEN event_id % 9 = 0 THEN 'RT @bot: ' ELSE '' END
       |      || 'C2 at 172.16.' || CAST(event_id % 256 AS VARCHAR) || '.' || CAST((event_id * 3) % 256 AS VARCHAR)
       |      || ' sample ' || md5(props)
-      |      || ' via //drop-' || CAST(event_id AS VARCHAR) || '.example.org/p' AS text,
+      |      || ' via hxxp://drop-' || CAST(event_id AS VARCHAR) || '.example.org/p' AS text,
       |    event_id % 6 = 0 AS retweeted,
       |    'user-' || CAST(user_id AS VARCHAR) AS user,
       |    'malware;' || event_type AS hashtags,

@@ -86,7 +86,7 @@ object Tables {
       when(id % 9 === 0, lit("RT @bot: ")).otherwise(lit("")),
       lit("C2 at 172.16."), (id % 256).cast("string"), lit("."), ((id * 3) % 256).cast("string"),
       lit(" sample "), md5(col("props")),
-      lit(" via //drop-"), id.cast("string"), lit(".example.org/p"))
+      lit(" via hxxp://drop-"), id.cast("string"), lit(".example.org/p"))
     ev.select(
       id.cast("string").as("id"),
       text.as("text"),

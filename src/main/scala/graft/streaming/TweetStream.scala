@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.pipeline.TweetPipeline
+import graft.sinks.{RestBatchSink, Transport}
+
+/** Structured-Streaming tweet ETL — the streaming re-expression of
+  * /root/reference/firehose.py's push-based listener (SURVEY.md §3.2).
+  *
+  * Source: any streaming DataFrame with a string `value` column of raw tweet
+  * JSON (file source / socket / MemoryStream in tests; a custom
+  * MicroBatchStream for a live feed — deferred per SURVEY.md §7.3).
+  * The transform core is EXACTLY the batch one ([[TweetPipeline.flatten]] →
+  * [[TweetPipeline.extract]]): one implementation, two execution modes.
+  *
+  * Semantics upgrades over the reference, by design (SURVEY.md §2.9):
+  *  - at-most-once → exactly-once-per-sink-epoch via checkpoint +
+  *    foreachBatch (the reference keeps no offsets and loses in-flight
+  *    tweets on crash, firehose.py:19-48);
+  *  - 1 HTTP POST per IOC → 1000-record batched posts (S9 vs S8 asymmetry);
+  *  - the `track=` server-side keyword filter becomes an in-engine filter
+  *    (documented semantic shift, SURVEY.md §4).
+  */
+object TweetStream {
+
+  /** Raw JSON stream → canonical IOC frame (streaming DataFrame). */
+  def iocStream(raw: DataFrame): DataFrame =
+    TweetPipeline.extract(TweetPipeline.flatten(raw))
+
+  /** Keep only tweets carrying at least one tracked hashtag — the in-engine
+    * equivalent of the reference's `track=` list (firehose.py:163-164). */
+  def trackFilter(flat: DataFrame, tracked: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    flat.filter(exists(split(col("hashtags"), ";"),
+      t => t.isInCollection(tracked)))
+  }
+
+  /** Start the stream: extraction → batched REST sink per micro-batch.
+    * `checkpointDir` replaces the reference's meta.json `last_run` watermark
+    * (h-isac.py:125-139 → source offsets, SURVEY.md §2.1 S11). */
+  def start(raw: DataFrame, endpoint: String, transport: Transport,
+            checkpointDir: String): StreamingQuery =
+    iocStream(raw).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        RestBatchSink.write(batch, endpoint, transport)
+      }
+      .start()
+
+  /** Streaming exact-dedup of IOCs within an event-time watermark — the
+    * streaming twin of Dedup's exact pass (`dropDuplicatesWithinWatermark`
+    * bounds state; unbounded streams cannot keep all keys forever). */
+  def dedupedStream(iocs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    iocs
+      .withColumn("event_time", to_timestamp(col("date_received"), "yyyy-MM-dd"))
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("ioc", "type")
+  }
+}

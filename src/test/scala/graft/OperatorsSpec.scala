@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.functions.TextStats
+
+/** Sanity specs for the extension operators (the oracle gate covers full
+  * results; these pin structural invariants and edge cases).
+  */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shingles: 3-grams, distinct, empty for short docs") {
+    val df = Seq("w1 w2 w3 w4", "tiny doc", "a b c a b c a b c")
+      .toDF("text")
+      .select(Dedup.shingles(TextStats.tokens(col("text"))).as("s"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("w1 w2 w3", "w2 w3 w4"))
+    assert(rows(1) == Seq.empty)                       // <3 tokens
+    assert(rows(2).sorted == Seq("a b c", "b c a", "c a b")) // distinct
+  }
+
+  test("minhash signature: K entries, stable across row order") {
+    val sig = Seq("x y z w").toDF("text")
+      .select(Dedup.minhashSig(Dedup.shingles(TextStats.tokens(col("text"))), Dedup.K).as("m"))
+      .head().getSeq[String](0)
+    assert(sig.size == Dedup.K && sig.forall(_.length == 32))
+  }
+
+  test("identical docs collide in every MinHash band; disjoint docs in none") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "one two three four")).toDF("doc_id", "text")
+    val sig = docs.select(col("doc_id"),
+      Dedup.minhashSig(Dedup.shingles(TextStats.tokens(col("text"))), Dedup.K).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("simhash: 60-bit string, equal for equal docs, differs for different") {
+    val out = Seq("spark joins data", "spark joins data", "completely other words here")
+      .toDF("text").select(TextStats.simhash(TextStats.tokens(col("text"))).as("s"))
+      .collect().map(_.getString(0))
+    assert(out(0).length == 60 && out(0).forall(c => c == '0' || c == '1'))
+    assert(out(0) == out(1) && out(0) != out(2))
+  }
+
+  test("dot/normSq: exact on known vectors; cosine of parallel vectors = 1") {
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 4.0f, 4.0f))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("d"),
+        Similarity.normSq(col("a")).as("na"), Similarity.normSq(col("b")).as("nb"))
+    val r = df.head()
+    assert(r.getDouble(0) == 18.0 && r.getDouble(1) == 9.0 && r.getDouble(2) == 36.0)
+    assert(r.getDouble(0) / math.sqrt(r.getDouble(1) * r.getDouble(2)) == 1.0)
+  }
+
+  test("srp bucket: fixed width, deterministic, parallel vectors share a bucket") {
+    val df = Seq(Seq.fill(8)(0.5f), Seq.fill(8)(0.25f), Seq.fill(8)(-0.5f))
+      .toDF("embedding").select(Similarity.srpBucket(col("embedding")).as("b"))
+    val b = df.collect().map(_.getString(0))
+    assert(b.forall(_.length == Similarity.Hyperplanes))
+    assert(b(0) == b(1))           // same direction → same signs
+    assert(b(0) != b(2))           // opposite direction → complement
+  }
+
+  test("multimodal decodeMeta: deterministic fake decode via mapPartitions") {
+    val df = Seq((1L, "abc".getBytes), (2L, "longer payload bytes".getBytes))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeMeta(df).collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4))).toMap
+    assert(out(1L)._4 == 3L && out(2L)._4 == 20L)
+    val again = Multimodal.decodeMeta(df).collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4))).toMap
+    assert(out == again) // task-retry safety: pure function of bytes
+  }
+}

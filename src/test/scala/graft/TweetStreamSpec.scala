@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.TweetPipeline
+import graft.sinks.{FileTransport, RestBatchSink}
+import graft.streaming.TweetStream
+
+/** Streaming + sink specs: MemoryStream of raw tweet JSON through the shared
+  * extraction core, checkpointed foreachBatch → batched REST sink with the
+  * file transport (FIXTURES.md §A2 cases).
+  */
+class TweetStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tweet(id: Long, text: String, retweeted: Boolean = false,
+                    extended: Option[String] = None, user: String = "acct",
+                    hashtags: Seq[String] = Seq("malware")): String = {
+    val ext = extended.map(t => s""","extended_tweet":{"full_text":"$t"}""").getOrElse("")
+    val tags = hashtags.map(h => s"""{"text":"$h"}""").mkString(",")
+    s"""{"created_at":"2024-02-02","id":$id,"text":"$text","retweeted":$retweeted$ext,"user":{"screen_name":"$user"},"entities":{"hashtags":[$tags],"urls":[]}}"""
+  }
+
+  test("flatten: retweet filter, extended-text coalesce, hashtag join (P2-P4)") {
+    val raw = Seq(
+      tweet(1, "c2 at 1.2.3.4"),
+      tweet(2, "RT @x: 5.6.7.8"),                       // RT-prefix → dropped
+      tweet(3, "9.9.9.9", retweeted = true),            // flag → dropped
+      tweet(4, "short", extended = Some("long 4.4.4.4 text"),
+        hashtags = Seq("emotet", "malspam"))
+    ).toDF("value")
+    val flat = TweetPipeline.flatten(raw).collect().map(r => r.getString(0) -> r).toMap
+    assert(flat.keySet == Set("1", "4"))
+    assert(flat("4").getString(1) == "long 4.4.4.4 text") // extended wins
+    assert(flat("4").getString(3) == "emotet;malspam")
+  }
+
+  test("streaming end-to-end: MemoryStream → extraction → batched REST sink") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(
+      tweet(10, "c2 172.16.0.9 sample d41d8cd98f00b204e9800998ecf8427e"),
+      tweet(11, "RT @x: ignored 1.1.1.1"),
+      tweet(12, "drop hxxp://cdn.evil.net/x"))
+    val outDir = Files.createTempDirectory("resttest").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val q = TweetStream.start(mem.toDF(), "kv/batch_save", new FileTransport(outDir), ckpt)
+    q.awaitTermination(60000)
+
+    val lines = Files.list(java.nio.file.Paths.get(outDir)).toArray.toSeq
+      .flatMap(p => scala.io.Source.fromFile(p.toString).getLines())
+    // every payload is a JSON array; 3 IOCs total (ip, hash, url), RT dropped
+    assert(lines.nonEmpty && lines.forall(l => l.startsWith("[") && l.endsWith("]")))
+    val all = lines.mkString
+    assert(all.contains("172.16.0.9") && all.contains("d41d8cd98f00b204e9800998ecf8427e")
+      && all.contains("hxxp://cdn.evil.net/x"))
+    assert(!all.contains("1.1.1.1"))
+  }
+
+  test("RestBatchSink chunks at batchSize and flushes the remainder (S8)") {
+    val outDir = Files.createTempDirectory("chunks").toString
+    val df = (1 to 7).toDF("n").coalesce(1)
+    RestBatchSink.write(df, "ep", new FileTransport(outDir), batchSize = 3)
+    val lines = Files.list(java.nio.file.Paths.get(outDir)).toArray.toSeq
+      .flatMap(p => scala.io.Source.fromFile(p.toString).getLines())
+    // 7 rows at batch 3 → 3 posts (3+3+1)
+    assert(lines.size == 3)
+    assert(lines.map(_.count(_ == '{')).sorted == Seq(1, 3, 3))
+  }
+
+  test("streaming dedup within watermark bounds duplicate IOCs") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(
+      tweet(20, "hit 5.5.5.5"), tweet(21, "hit again 5.5.5.5"), tweet(22, "other 6.6.6.6"))
+    val deduped = TweetStream.dedupedStream(TweetStream.iocStream(mem.toDF()))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val iocs = spark.table("dedup_out").select("ioc").collect().map(_.getString(0)).sorted
+    assert(iocs.toSeq == Seq("5.5.5.5", "6.6.6.6"))
+  }
+
+  test("track filter keeps only tracked hashtags (S4 semantics, in-engine)") {
+    val raw = Seq(
+      tweet(30, "a 1.2.3.4", hashtags = Seq("emotet")),
+      tweet(31, "b 5.6.7.8", hashtags = Seq("kittens"))
+    ).toDF("value")
+    val kept = TweetStream.trackFilter(TweetPipeline.flatten(raw), Seq("emotet", "ransomware"))
+      .collect().map(_.getString(0))
+    assert(kept.toSeq == Seq("30"))
+  }
+}
