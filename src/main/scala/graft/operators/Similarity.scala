@@ -25,10 +25,13 @@ import graft.sources.Tables
 object Similarity {
 
   /** Sequential-left-fold dot product in double — bit-stable given a fixed
-    * element order (the array order). */
+    * element order (the array order). Backed by the codegen'd [[
+    * graft.functions.ArrayDot]] expression: identical operand order to the
+    * `aggregate(zip_with(...))` HOF formulation (so oracle results are
+    * unchanged) but compiled to a tight loop — the interpreted HOF was the
+    * whole similarity benchmark cost. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExprs.array_dot(a, b)
 
   def normSq(a: Column): Column = dot(a, a)
 

@@ -65,6 +65,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(b(0) != b(2))           // opposite direction → complement
   }
 
+  test("simhash fast path (explode+agg query) equals the aggregate() fold") {
+    val d = "/root/testdata/sf0.001"
+    val fast = TextStats.queries("text_fingerprint")(spark, d)
+      .select(col("doc_id"), col("simhash60"))
+    val slow = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), TextStats.simhash(TextStats.tokens(col("text"))).as("simhash60"))
+    assert(fast.except(slow).count() == 0 && slow.except(fast).count() == 0)
+  }
+
   test("multimodal decodeMeta: deterministic fake decode via mapPartitions") {
     val df = Seq((1L, "abc".getBytes), (2L, "longer payload bytes".getBytes))
       .toDF("doc_id", "payload")
