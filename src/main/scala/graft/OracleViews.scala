@@ -70,9 +70,20 @@ object OracleViews {
   // stripMargin to a string that embeds already-stripped SQL (a line of the
   // embedded SQL starting with `||` would lose a bar).
 
-  /** The full email-ETL oracle: mirrors [[graft.pipeline.EmailPipeline]]. */
-  def emailEtlSql(dateAdded: String): String =
-    s"WITH $emailsCte,\n" +
+  /** sort_iocs classification CASE (R9) — shared by ioc_classify and the
+    * pastebin-enrichment oracle; mirrors [[graft.extract.Iocs.classify]]. */
+  def classifySql(tok: String): String =
+    s"""CASE WHEN contains($tok, '.') AND len(list_filter(
+       |       string_split(regexp_replace(regexp_replace($tok, '^[a-zA-Z]+://', ''), '/.*$$', ''), '.'),
+       |       x -> NOT regexp_matches(x, '^[0-9]+$$'))) = 0 THEN 'ip'
+       |     WHEN contains($tok, '.') THEN 'url'
+       |     WHEN regexp_matches($tok, '^[a-zA-Z0-9]{32,64}') THEN 'hash'
+       |     ELSE 'unmatched' END""".stripMargin
+
+  /** Email-ETL CTE chain (emails → filtered → typed) + final select, split
+    * so other oracles can compose them (plain concatenation, §above). */
+  def emailEtlCtes(dateAdded: String): String =
+    s"$emailsCte,\n" +
     "filtered AS (\n" +
     s"  SELECT conversation_id, sender, received_time, ${cleanText("body")} AS body\n" +
     "  FROM emails WHERE lower(subject) LIKE '%indicator%'),\n" +
@@ -91,12 +102,17 @@ object OracleViews {
     "  UNION ALL\n" +
     "  SELECT conversation_id, sender, received_time, 'email',\n" +
     s"    unnest(list_transform(regexp_extract_all(body, $emailPat, 1), x -> replace(${refang("x")}, 'mailto:', '')))\n" +
-    "  FROM filtered)\n" +
+    "  FROM filtered)"
+
+  def emailEtlSelect(dateAdded: String): String =
     s"SELECT conversation_id AS id, '$dateAdded' AS date_added,\n" +
     "  strftime(received_time, '%Y-%m-%d') AS date_received,\n" +
     "  ioc, 'H-ISAC' AS platform, sender AS source, 'N/A' AS tag, type\n" +
-    "FROM typed\n" +
-    "ORDER BY id, type, ioc"
+    "FROM typed"
+
+  /** The full email-ETL oracle: mirrors [[graft.pipeline.EmailPipeline]]. */
+  def emailEtlSql(dateAdded: String): String =
+    s"WITH ${emailEtlCtes(dateAdded)}\n${emailEtlSelect(dateAdded)}\nORDER BY id, type, ioc"
 
   /** Tweet-ETL oracle: mirrors TweetPipeline.extract over the tweets view. */
   val tweetEtlSql: String =

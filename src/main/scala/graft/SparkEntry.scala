@@ -58,6 +58,57 @@ object SparkEntry {
         .orderBy(pk)
     }),
 
+    // S11/A1/A2: run ledger — the meta.json counters as a one-row table
+    // (processed message count + per-type IOC counters, h-isac.py:125-139,
+    // 170-179). One pass over the pipeline output + one count of filtered
+    // messages (zero-IOC messages count as processed but emit no rows).
+    "ioc_run_ledger" -> ((s, d) => {
+      val processed = Tables.emails(s, d)
+        .filter(lower(col("subject")).contains("indicator"))
+        .agg(count(lit(1)).as("processed_emails"))
+      val byType = EmailPipeline(Tables.emails(s, d), DateAdded).agg(
+        count(when(col("type") === "ip", true)).as("ips"),
+        count(when(col("type") === "hash", true)).as("hashes"),
+        count(when(col("type") === "url", true)).as("urls"),
+        count(when(col("type") === "email", true)).as("emails"))
+      processed.crossJoin(byType)
+    }),
+
+    // S6/P6/X5: pastebin enrichment — pick each tweet's first pastebin link,
+    // left-join the pages lookup, classify fetched lines, union with the
+    // tweet-text extraction (test mode of the per-partition HTTP fetch).
+    "ioc_pastebin_enrich" -> ((s, d) => {
+      val id = col("event_id")
+      val other = concat(lit("https://other.example/x"), id.cast("string"))
+      val tweets2 = Tables.events(s, d).select(
+        id.cast("string").as("id"),
+        concat(lit("ping 10.1."), (id % 256).cast("string"), lit("."), (id % 7).cast("string")).as("text"),
+        concat(lit("user-"), col("user_id").cast("string")).as("user"),
+        concat(lit("malware;"), col("event_type")).as("hashtags"),
+        date_format(col("ts"), "yyyy-MM-dd").as("created_date"),
+        when(id % 3 === 0,
+          concat(lit("https://pastebin.com/p"), (id % 50).cast("string"), lit(";"), other))
+          .otherwise(other).as("urls"))
+      val pages = s.range(50).select(
+        concat(lit("https://pastebin.com/p"), col("id").cast("string")).as("url"),
+        array(
+          concat(lit("10.0.0."), col("id").cast("string")),
+          concat(lit("host-"), col("id").cast("string"), lit(".evil.com")),
+          md5(concat(lit("page"), col("id").cast("string"))),
+          lit("xx")).as("lines"))
+      TweetPipeline.withPastebin(tweets2, pages)
+        .orderBy(col("id").cast("long"), col("type"), col("ioc"))
+    }),
+
+    // X6: JSON struct encode — the streaming payload shape
+    // (generate_payload's 6 fields, firehose.py:125-128).
+    "ioc_json_encode" -> ((s, d) =>
+      TweetPipeline.extract(Tables.tweets(s, d))
+        .select(col("id"), to_json(struct(
+          col("id"), col("date_added"), col("type"), col("tag"),
+          col("ioc"), col("source"))).as("payload"))
+        .orderBy(col("id").cast("long"), col("payload"))),
+
     // R9: sort_iocs classification over synthesized raw tokens from events.
     "ioc_classify" -> ((s, d) => {
       val id = col("event_id")
@@ -92,7 +143,7 @@ object SparkEntry {
          |FROM t
          |ORDER BY p_partkey""".stripMargin,
     "ioc_classify" ->
-      """WITH toks AS (
+      ("""WITH toks AS (
         |  SELECT event_id, unnest([
         |    '172.16.' || CAST(event_id % 256 AS VARCHAR) || '.' || CAST((event_id * 3) % 256 AS VARCHAR),
         |    md5(props),
@@ -100,14 +151,75 @@ object SparkEntry {
         |    'tok' || CAST(event_id AS VARCHAR)]) AS token
         |  FROM events)
         |SELECT event_id, token,
-        |  CASE WHEN contains(token, '.') AND len(list_filter(
-        |         string_split(regexp_replace(regexp_replace(token, '^[a-zA-Z]+://', ''), '/.*$', ''), '.'),
-        |         x -> NOT regexp_matches(x, '^[0-9]+$'))) = 0 THEN 'ip'
-        |       WHEN contains(token, '.') THEN 'url'
-        |       WHEN regexp_matches(token, '^[a-zA-Z0-9]{32,64}') THEN 'hash'
-        |       ELSE 'unmatched' END AS type
-        |FROM toks
-        |ORDER BY event_id, token""".stripMargin
+        |""".stripMargin +
+        OracleViews.classifySql("token") + " AS type\n" +
+        "FROM toks\nORDER BY event_id, token"),
+    "ioc_run_ledger" ->
+      (s"WITH ${OracleViews.emailEtlCtes(DateAdded)},\n" +
+        s"base AS (\n${OracleViews.emailEtlSelect(DateAdded)}\n),\n" +
+        "p AS (SELECT COUNT(*) AS processed_emails FROM emails WHERE lower(subject) LIKE '%indicator%')\n" +
+        """SELECT p.processed_emails,
+          |  COUNT(CASE WHEN type = 'ip' THEN 1 END) AS ips,
+          |  COUNT(CASE WHEN type = 'hash' THEN 1 END) AS hashes,
+          |  COUNT(CASE WHEN type = 'url' THEN 1 END) AS urls,
+          |  COUNT(CASE WHEN type = 'email' THEN 1 END) AS emails
+          |FROM base, p
+          |GROUP BY p.processed_emails""".stripMargin),
+    "ioc_pastebin_enrich" ->
+      ("""WITH tweets AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS id,
+        |    'ping 10.1.' || CAST(event_id % 256 AS VARCHAR) || '.' || CAST(event_id % 7 AS VARCHAR) AS text,
+        |    'user-' || CAST(user_id AS VARCHAR) AS "user",
+        |    'malware;' || event_type AS hashtags,
+        |    strftime(ts, '%Y-%m-%d') AS created_date,
+        |    CASE WHEN event_id % 3 = 0
+        |         THEN 'https://pastebin.com/p' || CAST(event_id % 50 AS VARCHAR) || ';https://other.example/x' || CAST(event_id AS VARCHAR)
+        |         ELSE 'https://other.example/x' || CAST(event_id AS VARCHAR) END AS urls
+        |  FROM events),
+        |pages AS (
+        |  SELECT 'https://pastebin.com/p' || CAST(i AS VARCHAR) AS url,
+        |    ['10.0.0.' || CAST(i AS VARCHAR),
+        |     'host-' || CAST(i AS VARCHAR) || '.evil.com',
+        |     md5('page' || CAST(i AS VARCHAR)), 'xx'] AS lines
+        |  FROM range(0, 50) r(i)),
+        |""".stripMargin +
+        s"""text_iocs AS (
+           |  SELECT id, created_date, "user", hashtags, 'ip' AS type,
+           |    unnest(regexp_extract_all(text, ${OracleViews.ipPlain}, 1)) AS ioc FROM tweets
+           |  UNION ALL
+           |  SELECT id, created_date, "user", hashtags, 'hash',
+           |    unnest(regexp_extract_all(text, ${OracleViews.hashPat}, 1)) FROM tweets
+           |  UNION ALL
+           |  SELECT id, created_date, "user", hashtags, 'url',
+           |    unnest(regexp_extract_all(text, ${OracleViews.urlPat}, 1)) FROM tweets),
+           |""".stripMargin +
+        """linked AS (
+          |  SELECT t.*, list_filter(string_split(urls, ';'), u -> contains(u, 'pastebin'))[1] AS link
+          |  FROM tweets t),
+          |fetched AS (
+          |  SELECT l.id, l.created_date, l."user", l.hashtags, unnest(p.lines) AS line
+          |  FROM linked l JOIN pages p ON l.link = p.url),
+          |classified AS (
+          |  SELECT id, created_date, "user", hashtags, line AS ioc,
+          |""".stripMargin +
+        OracleViews.classifySql("line") + " AS type\n" +
+        """  FROM fetched),
+          |unioned AS (
+          |  SELECT id, created_date AS date_added, created_date AS date_received, ioc,
+          |    'Twitter' AS platform, "user" AS source, hashtags AS tag, type
+          |  FROM text_iocs
+          |  UNION ALL
+          |  SELECT id, created_date, created_date, ioc, 'Twitter', "user", hashtags, type
+          |  FROM classified WHERE type <> 'unmatched')
+          |SELECT * FROM unioned
+          |ORDER BY CAST(id AS BIGINT), type, ioc""".stripMargin),
+    "ioc_json_encode" ->
+      (s"WITH base AS (\n${OracleViews.tweetEtlSql}\n)\n" +
+        """SELECT id, to_json(struct_pack(
+          |  id := id, date_added := date_added, type := type, tag := tag,
+          |  ioc := ioc, source := source)) AS payload
+          |FROM base
+          |ORDER BY CAST(id AS BIGINT), payload""".stripMargin)
   )
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */

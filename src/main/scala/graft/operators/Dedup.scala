@@ -78,6 +78,23 @@ object Dedup {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // embedding-cosine near-dup: vector pairs above a cosine threshold
+    // (brute-force over the fixed-size embedding table; the SRP-LSH bucket
+    // path in Similarity is the 100 TB candidate generator).
+    "dedup_embedding_cosine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.normSq(col("embedding")).as("nsq"))
+      val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nsq").as("n1"))
+      val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nsq").as("n2"))
+      a.crossJoin(b).filter(col("id1") < col("id2"))
+        .withColumn("cosine",
+          Similarity.dot(col("e1"), col("e2")) / sqrt(col("n1") * col("n2")))
+        .filter(col("cosine") >= 0.3)
+        .select(col("id1"), col("id2"), col("cosine"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // MinHash+LSH: md5 minima signature → band hashes → bucket join →
     // candidate pairs (deduped across bands).
     //
@@ -110,7 +127,19 @@ object Dedup {
   private val sqlShingles =
     s"list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-2, 0)+1)])"
 
+  private val nsqSql =
+    "list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, len(embedding)+1)])"
+
   val oracle: Map[String, String] = Map(
+    "dedup_embedding_cosine" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $nsqSql AS nsq
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |  list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, len(a.embedding)+1)]) / sqrt(a.nsq * b.nsq) AS cosine
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, len(a.embedding)+1)]) / sqrt(a.nsq * b.nsq) >= 0.3
+         |ORDER BY id1, id2""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(substr(text, 1, 40)) AS content_key,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups

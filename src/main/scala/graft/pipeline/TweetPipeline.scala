@@ -77,8 +77,8 @@ object TweetPipeline {
     */
   def withPastebin(tweets: DataFrame, pages: DataFrame): DataFrame = {
     val linked = tweets
-      .withColumn("pastebin_link",
-        element_at(filter(split(col("urls"), ";"), u => u.contains("pastebin")), 1)) // P6
+      .withColumn("pastebin_link", // P6; try_: ANSI mode throws on empty arrays
+        try_element_at(filter(split(col("urls"), ";"), u => u.contains("pastebin")), lit(1)))
       .join(pages.withColumnRenamed("url", "pastebin_link"),
         Seq("pastebin_link"), "left")
     val fetched = linked

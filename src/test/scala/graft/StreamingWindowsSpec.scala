@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming window semantics (SURVEY.md §2.9 extensions): tumbling window
+  * aggregation and session windows with watermarks over a memory stream —
+  * the streaming twins of the batch `events_tumbling` / `events_sessionize`
+  * oracle queries.
+  */
+class StreamingWindowsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("tumbling 10-minute windows with watermark over a stream") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0),
+      (ts(11), "click", 5.0), (ts(12), "buy", 7.0))
+    val agg = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val q = agg.writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("tumbling_out")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"), col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows == Set(
+      ("2024-01-01 10:00:00", "click", 2L, 3.0),
+      ("2024-01-01 10:10:00", "click", 1L, 5.0),
+      ("2024-01-01 10:10:00", "buy", 1L, 7.0)))
+  }
+
+  test("session windows (5-minute gap) split on inactivity") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    // user 1: events at 10:01,10:03 (one session) then 10:20 (new session)
+    mem.addData((ts(1), 1L), (ts(3), 1L), (ts(20), 1L))
+    val agg = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val ns = spark.table("session_out").select("n")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ns == Seq(1L, 2L))
+  }
+}
