@@ -51,6 +51,17 @@ object Events {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // sliding windows: 2-hour windows every hour — each event lands in
+    // exactly two windows (Spark aligns slide starts to the epoch; the
+    // oracle mirrors that with trunc(hour) and trunc(hour)-1h).
+    "events_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Relational.dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("wstart"), col("event_type"))),
+
     // JSON field projection + aggregation (from_json/get_json_object, S5).
     "events_json" -> ((s, d) =>
       Tables.events(s, d)
@@ -88,6 +99,18 @@ object Events {
          |FROM sessions
          |GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+    "events_sliding" ->
+      """WITH expanded AS (
+        |  SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)),
+        |                 date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR]) AS wstart,
+        |    event_type, value
+        |  FROM events)
+        |SELECT wstart, wstart + INTERVAL 2 HOUR AS wend, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM expanded
+        |GROUP BY 1, 2, 3
+        |ORDER BY wstart, event_type""".stripMargin,
     "events_json" ->
       """SELECT event_type,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,

@@ -132,6 +132,71 @@ object Relational {
         .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
         .orderBy(col("nationkey"))),
 
+    // as-of join: latest order (by date) of the matching customer at or
+    // before each event's timestamp. Spark lacks a native ASOF operator —
+    // composed as join + per-event top-1 window (SURVEY.md preference (a):
+    // compose built-ins before custom plans). Orders are pre-deduped to one
+    // row per (custkey, date) so tie-breaks are deterministic on both
+    // engines (DuckDB ASOF's tie behavior is otherwise unspecified).
+    "join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      val or = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_id")).orderBy(col("o_orderdate").desc)
+      ev.join(or, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          to_date(col("o_orderdate")).as("asof_orderdate"), col("o_orderkey").as("asof_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
+    // range join: event pairs of the same user within 10 minutes. Naive is
+    // a quadratic theta-join; the scale formulation buckets time into the
+    // range width and joins on (user, bucket) with the left side exploded
+    // into its three adjacent buckets — each qualifying pair matches in
+    // EXACTLY one bucket, so no dedup pass, and the shuffle key
+    // (user, bucket) is fine-grained.
+    "join_range" -> ((s, d) => {
+      val step = 600L * 1000000L // 10 min in µs
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val a = base.select(col("event_id").as("id1"), col("user_id"), col("us").as("us1"),
+          explode(array(lit(-1L), lit(0L), lit(1L))).as("off"))
+        .withColumn("bucket", floor(col("us1") / step) + col("off"))
+      val b = base.select(col("event_id").as("id2"), col("user_id"), col("us").as("us2"))
+        .withColumn("bucket", floor(col("us2") / step))
+      a.join(b, Seq("user_id", "bucket"))
+        .filter(col("id1") < col("id2") && abs(col("us2") - col("us1")) <= step)
+        .select(col("user_id"), col("id1"), col("id2"),
+          (col("us2") - col("us1")).as("dt_us"))
+        .orderBy(col("user_id"), col("id1"), col("id2"))
+    }),
+
+    // exact percentiles (sort-based within group) — Spark `percentile` and
+    // DuckDB `quantile_cont` share linear interpolation.
+    "agg_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+        .orderBy(col("l_returnflag"))),
+
+    // sketch aggregates (HLL / KLL): engine-specific internals, so no
+    // cross-engine oracle — driver records the rows-only check. At 100 TB
+    // these replace exact distinct/percentile wherever tolerance allows:
+    // constant memory, one pass, no sort.
+    "agg_approx_sketch" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000)).as("approx_p90"))
+        .orderBy(col("l_returnflag"))),
+
     // grouped stats incl. exact distinct count (partial agg + distinct expand).
     "agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -221,6 +286,31 @@ object Relational {
         |EXCEPT
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+    "join_asof" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT ev.event_id, ev.user_id, ev.ts,
+        |  CAST(o.o_orderdate AS DATE) AS asof_orderdate,
+        |  o.o_orderkey AS asof_orderkey
+        |FROM ev ASOF LEFT JOIN o
+        |  ON ev.user_id = o.o_custkey AND ev.ts >= o.o_orderdate
+        |ORDER BY ev.event_id""".stripMargin,
+    "join_range" ->
+      """SELECT a.user_id, a.event_id AS id1, b.event_id AS id2,
+        |  epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS dt_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))) <= 600000000
+        |ORDER BY a.user_id, id1, id2""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
