@@ -28,6 +28,19 @@ object TweetStream {
   def iocStream(raw: DataFrame): DataFrame =
     TweetPipeline.extract(TweetPipeline.flatten(raw))
 
+  /** Attach the reference's meta.json counters (h-isac.py:170-179) as
+    * streaming metrics: per-type IOC counts observed per micro-batch,
+    * surfaced through StreamingQueryProgress / QueryExecutionListener
+    * instead of a driver-side JSON file (SURVEY.md §2.1 S11). */
+  def observed(iocs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    iocs.observe("ioc_counters",
+      count(when(col("type") === "ip", true)).as("ips"),
+      count(when(col("type") === "hash", true)).as("hashes"),
+      count(when(col("type") === "url", true)).as("urls"),
+      count(lit(1)).as("total"))
+  }
+
   /** Keep only tweets carrying at least one tracked hashtag — the in-engine
     * equivalent of the reference's `track=` list (firehose.py:163-164). */
   def trackFilter(flat: DataFrame, tracked: Seq[String]): DataFrame = {

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import graft.extract.Iocs
+
+/** Property-based specs (SURVEY.md §5.2): refang∘defang = identity on valid
+  * IOCs, extraction idempotence on refanged text, explode row-count
+  * preservation, hash-regex greediness. Generators are evaluated driver-side
+  * and batched through ONE Spark job per property for speed.
+  */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val octet = Gen.choose(0, 255)
+  private val ipGen: Gen[String] =
+    for { a <- octet; b <- octet; c <- octet; d <- octet } yield s"$a.$b.$c.$d"
+  private val hostGen: Gen[String] = for {
+    sub <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+    dom <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+    tld <- Gen.oneOf("com", "net", "org", "io")
+  } yield s"$sub.$dom.$tld"
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "https")
+    host <- hostGen
+    path <- Gen.identifier.map(_.take(6))
+  } yield s"$scheme://$host/$path"
+  private val hashGen: Gen[String] = for {
+    n <- Gen.oneOf(32, 40, 64)
+    cs <- Gen.listOfN(n, Gen.oneOf("0123456789abcdef".toSeq))
+  } yield cs.mkString
+
+  /** Analyst defanging, as specified in README.md:33-39. */
+  private def defang(ioc: String): String =
+    ioc.replace("http", "hxxp").replace(".", "[.]").replace("@", "[@]")
+
+  private def refangAll(inputs: Seq[String]): Seq[String] =
+    inputs.toDF("x").select(Iocs.refang(col("x"))).collect().map(_.getString(0)).toSeq
+
+  test("property: refang ∘ defang = identity on IPs and URLs") {
+    val samples = Gen.listOfN(80, Gen.oneOf(ipGen, urlGen)).sample.get
+    assert(refangAll(samples.map(defang)) == samples)
+  }
+
+  test("property: refang is idempotent (already-fanged input unchanged)") {
+    val samples = Gen.listOfN(80, Gen.oneOf(ipGen, urlGen, hashGen)).sample.get
+    assert(refangAll(samples) == samples)
+  }
+
+  test("property: extraction after refang finds the same IPs (idempotence)") {
+    val ips = Gen.listOfN(60, ipGen).sample.get
+    val bodies = ips.map(ip => s"alert: ${defang(ip)} seen")
+    val extracted = bodies.toDF("body")
+      .select(Iocs.refangAll(Iocs.extractAll(col("body"), Iocs.IpDefanged)).as("a"))
+      .collect().map(_.getSeq[String](0))
+    assert(extracted.map(_.toList).toSeq == ips.map(List(_)))
+  }
+
+  test("property: explode preserves sum(arrayLen) == rowCount") {
+    val arrays = Gen.listOfN(50, Gen.listOf(Gen.alphaStr.map(_.take(5)))).sample.get
+    val df = arrays.toDF("a")
+    val exploded = df.select(explode(col("a"))).count()
+    assert(exploded == arrays.map(_.size).sum)
+  }
+
+  test("property: hash regex is greedy — exactly one match per hash token") {
+    val hashes = Gen.listOfN(60, hashGen).sample.get
+    val matches = hashes.map(h => s"sample $h end").toDF("b")
+      .select(Iocs.extractAll(col("b"), Iocs.Hash).as("m"))
+      .collect().map(_.getSeq[String](0))
+    assert(matches.map(_.toList).toSeq == hashes.map(List(_)))
+  }
+}
