@@ -35,6 +35,28 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i, lit(3))))))
       .otherwise(array().cast("array<string>"))
 
+  /** Distinct word-3-gram rows (doc_id, shingle) — the codegen formulation:
+    * posexplode tokens → two window leads → concat → distinct. Equivalent to
+    * `explode(shingles(tokens(text)))` (asserted in OperatorsSpec) but stays
+    * in WholeStageCodegen; the array-HOF version is interpreted and was the
+    * dominant cost of both dedup joins (each self-join branch re-evaluates
+    * its subtree, multiplying the per-row cost). One shuffle on doc_id for
+    * the window, one for the distinct — both on high-cardinality keys.
+    */
+  def shingleRows(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .distinct()
+  }
+
   /** MinHash signature: K lexicographic minima of md5(j:shingle). */
   def minhashSig(sh: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
@@ -59,11 +81,7 @@ object Dedup {
     // exact n-gram Jaccard via shingle inverted index: explode distinct
     // shingles, self-join on shingle, count intersections, Jaccard filter.
     "dedup_ngram_jaccard" -> ((s, d) => {
-      // explode ONCE (the shingle HOF is interpreted — evaluating it for
-      // both size() and explode() doubled the dominant cost); set sizes are
-      // recovered by counting exploded rows (shingles are already distinct).
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), explode(shingles(TextStats2.tokens(col("text")))).as("shingle"))
+      val sh = shingleRows(Tables.documents(s, d))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val withSz = sh.join(sizes, Seq("doc_id"))
       val a = withSz.select(col("doc_id").as("id1"), col("sz").as("sz1"), col("shingle"))
@@ -104,9 +122,7 @@ object Dedup {
     // Exploded md5s are codegen'd; the shuffle key is doc_id — high
     // cardinality, so the agg balances across 1000 executors at scale.
     "dedup_minhash_lsh" -> ((s, d) => {
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(shingles(TextStats2.tokens(col("text")))).as("shingle"))
+      val sh = shingleRows(Tables.documents(s, d))
       val sig = sh.groupBy(col("doc_id")).agg(
         min(md5(concat(lit("0:"), col("shingle")))).as("m0"),
         (1 until K).map(j =>

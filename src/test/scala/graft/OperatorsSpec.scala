@@ -22,6 +22,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(2).sorted == Seq("a b c", "b c a", "c a b")) // distinct
   }
 
+  test("shingleRows (codegen window path) equals explode of the shingle HOF") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fast = Dedup.shingleRows(docs)
+    val slow = docs.select(col("doc_id"),
+      explode(Dedup.shingles(TextStats.tokens(col("text")))).as("shingle"))
+    assert(fast.except(slow).count() == 0 && slow.except(fast).count() == 0)
+  }
+
   test("minhash signature: K entries, stable across row order") {
     val sig = Seq("x y z w").toDF("text")
       .select(Dedup.minhashSig(Dedup.shingles(TextStats.tokens(col("text"))), Dedup.K).as("m"))
