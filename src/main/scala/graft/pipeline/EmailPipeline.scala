@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.extract.Iocs
 
@@ -51,5 +51,14 @@ object EmailPipeline {
         col("sender").as("source"),
         lit("N/A").as("tag"),
         col("t.type").as("type"))
+  }
+
+  /** Typed boundary (SURVEY.md §1.4): the canonical frame as
+    * Dataset[IocRecord] for callers who want compile-time field checks; the
+    * operator pipeline itself stays untyped Column algebra for Catalyst. */
+  def typed(emails: DataFrame, dateAdded: String): Dataset[graft.model.IocRecord] = {
+    val df = apply(emails, dateAdded)
+    import df.sparkSession.implicits._
+    df.as[graft.model.IocRecord]
   }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.EmailPipeline
+
+/** SQL function surface + typed Dataset boundary. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    s
+  }
+  import spark.implicits._
+
+  test("registered SQL functions: refang, classify, clean_text, extract, array_dot") {
+    val r = spark.sql(
+      """SELECT graft_refang('hxxps://www[.]google[.]com') AS refanged,
+        |  graft_classify('1.2.3.4') AS cls,
+        |  graft_clean_text('keep\nFrom: H-ISAC Amber\ndrop') AS cleaned,
+        |  graft_extract_all('a 1.2.3.4 b 5.6.7.8', '((?:^|\\b)(?:\\d{1,3}\\.){3}\\d{1,3}(?:\\b|$))') AS ips,
+        |  array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot""".stripMargin).head()
+    assert(r.getString(0) == "https://www.google.com")
+    assert(r.getString(1) == "ip")
+    assert(r.getString(2) == "keep")
+    assert(r.getSeq[String](3) == Seq("1.2.3.4", "5.6.7.8"))
+    assert(r.getDouble(4) == 11.0)
+  }
+
+  test("graft_simhash over SQL matches the DataFrame API") {
+    val viaSql = spark.sql("SELECT graft_simhash('spark joins data') AS s").head().getString(0)
+    val viaDf = Seq("spark joins data").toDF("t")
+      .select(graft.functions.TextStats.simhash(
+        graft.functions.TextStats.tokens(org.apache.spark.sql.functions.col("t"))))
+      .head().getString(0)
+    assert(viaSql == viaDf && viaSql.length == 60)
+  }
+
+  test("GraftExtensions injects array_dot at session build") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // shared JVM: don't stop the context other suites use
+    assert(s2.sql("SELECT array_dot(array(1.0D, 2.0D), array(2.0D, 3.0D))")
+      .head().getDouble(0) == 8.0)
+  }
+
+  test("typed Dataset[IocRecord] boundary") {
+    val emails = Seq(("c1", "A", "indicator", "ip 1[.]2[.]3[.]4",
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+      .toDF("conversation_id", "sender", "subject", "body", "received_time")
+    val ds: org.apache.spark.sql.Dataset[graft.model.IocRecord] =
+      EmailPipeline.typed(emails, "2026-08-12")
+    val rec = ds.collect().head
+    assert(rec.ioc == "1.2.3.4" && rec.`type` == "ip" && rec.platform == "H-ISAC")
+  }
+}
