@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Key-salting for skewed joins and aggregations — the manual fallback when
+  * AQE's skew-join split isn't enough (e.g. one IOC value or one band hash
+  * dominating a bucket at 100 TB).
+  *
+  * Deterministic salting: the salt is derived by hashing the big side's
+  * OTHER columns (not rand()) so task retries and the DuckDB oracle see the
+  * same assignment. The small side is replicated `factor` times; the big
+  * side's hot key rows spread over `factor` sub-keys, turning one straggler
+  * partition into `factor` even ones at the cost of a `factor`× blow-up of
+  * the (small) replicated side.
+  */
+object Salting {
+
+  /** Equi-join `big ⋈ small` on `keys`, salted `factor` ways. Result equals
+    * `big.join(small, keys)` row-for-row. `saltSource` drives the salt
+    * assignment (pass a unique/high-entropy column of `big`). */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltSource: Column, factor: Int): DataFrame = {
+    val salted = big.withColumn("__salt", pmod(hash(saltSource), lit(factor)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Skew-proof aggregation: two-phase groupBy — partial agg on
+    * (key, salt), final agg on key. Equivalent to `groupBy(key).agg(sum)`
+    * for decomposable aggregates; the first shuffle spreads a hot key over
+    * `factor` reducers. (Spark's partial aggregation already does this
+    * map-side; this helper is for the case where a single reducer key still
+    * overflows — the "hot key" pattern.) */
+  def saltedSum(df: DataFrame, key: String, valueCol: Column,
+                saltSource: Column, factor: Int): DataFrame =
+    df.withColumn("__salt", pmod(hash(saltSource), lit(factor)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(valueCol).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("total"))
+}
