@@ -96,6 +96,21 @@ object Dedup {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // edit-distance near-dup: blocked candidate generation (equal 20-char
+    // prefix key) then Levenshtein verification on a 60-char window — the
+    // classic block-then-verify shape; never all-pairs.
+    "dedup_levenshtein" -> ((s, d) => {
+      val doc = Tables.documents(s, d)
+        .select(col("doc_id"), md5(substring(col("text"), 1, 20)).as("blk"),
+          substring(col("text"), 1, 60).as("head"))
+      val a = doc.select(col("blk"), col("doc_id").as("id1"), col("head").as("h1"))
+      val b = doc.select(col("blk"), col("doc_id").as("id2"), col("head").as("h2"))
+      a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          levenshtein(col("h1"), col("h2")).cast("long").as("edit_dist"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // embedding-cosine near-dup: vector pairs above a cosine threshold
     // (brute-force over the fixed-size embedding table; the SRP-LSH bucket
     // path in Similarity is the 100 TB candidate generator).
@@ -147,6 +162,14 @@ object Dedup {
     "list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, len(embedding)+1)])"
 
   val oracle: Map[String, String] = Map(
+    "dedup_levenshtein" ->
+      """WITH doc AS (
+        |  SELECT doc_id, md5(substr(text, 1, 20)) AS blk, substr(text, 1, 60) AS head
+        |  FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+        |FROM doc a JOIN doc b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |ORDER BY id1, id2""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding, $nsqSql AS nsq

@@ -211,6 +211,42 @@ object Relational {
           percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000)).as("approx_p90"))
         .orderBy(col("l_returnflag"))),
 
+    // pivot: rows → typed columns (the relational twin of the reference's
+    // per-type counters). Explicit value list keeps the plan single-pass.
+    "pivot_type_counts" -> ((s, d) =>
+      graft.pipeline.EmailPipeline(Tables.emails(s, d), graft.SparkEntry.DateAdded)
+        .groupBy(col("source"))
+        .pivot("type", Seq("ip", "hash", "url", "email"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("source"))),
+
+    // navigation window functions: lag/lead/first/last + distribution ranks
+    // over each customer's order history.
+    "window_nav" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // date/time feature extraction (training-data timestamp featurization).
+    "time_features" -> ((s, d) =>
+      Tables.orders(s, d).select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("qtr"),
+          date_format(col("o_orderdate"), "EEEE").as("dayname"),
+          to_date(date_add(col("o_orderdate"), 30)).as("due_date"))
+        .orderBy(col("o_orderkey"))),
+
     // grouped stats incl. exact distinct count (partial agg + distinct expand).
     "agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -335,6 +371,33 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "pivot_type_counts" ->
+      (s"WITH base AS (\n${graft.OracleViews.emailEtlSql(graft.SparkEntry.DateAdded)}\n)\n" +
+        """SELECT source,
+          |  COUNT(CASE WHEN type = 'ip' THEN 1 END) AS ip,
+          |  COUNT(CASE WHEN type = 'hash' THEN 1 END) AS hash,
+          |  COUNT(CASE WHEN type = 'url' THEN 1 END) AS url,
+          |  COUNT(CASE WHEN type = 'email' THEN 1 END) AS email
+          |FROM base GROUP BY source ORDER BY source""".stripMargin),
+    "window_nav" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        |  NTILE(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "time_features" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  dayname(o_orderdate) AS dayname,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
