@@ -36,6 +36,15 @@ object Iocs {
     * /root/reference/h-isac.py:72, firehose.py:58 */
   val Url = """((?:^|\b)(?:h[xX]{2}ps?:|meows?:)?//(?:[A-Za-z0-9_\[\]#&,;=./-]+(?:\[?\.\]?)?)+(?:\b|$))"""
 
+  /** Language-identical linear rewrite of [[Url]], used on the hot path:
+    * the reference's `(?:X+(?:\[?\.\]?)?)+` nests quantifiers whose inner
+    * chars are all members of X's class, so the language is exactly `X+` —
+    * but Java's backtracking engine pays an exponential split-exploration
+    * tax on the nested form (RE2/DuckDB does not, it's linear by
+    * construction). Extraction equality is fuzz-asserted in IocsSpec and by
+    * the oracle gate, which runs the ORIGINAL pattern in DuckDB. */
+  val UrlFast = """((?:^|\b)(?:h[xX]{2}ps?:|meows?:)?//[A-Za-z0-9_\[\]#&,;=./-]+(?:\b|$))"""
+
   /** Email address — only matches *defanged* addresses (requires `[.]` in the
     * domain), by design per README.md:33-41 — /root/reference/h-isac.py:73 */
   val Email = """((?:^|\b)(?:[^\s]+?\@(?:.+?)\[\.\][a-zA-Z]+)(?:$|\b))"""

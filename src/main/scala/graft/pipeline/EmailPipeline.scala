@@ -37,7 +37,7 @@ object EmailPipeline {
         struct(lit("hash").as("type"),
           ext(Iocs.Hash).as("iocs")), // hashes are never refanged (h-isac.py:82-84)
         struct(lit("url").as("type"),
-          Iocs.refangAll(ext(Iocs.Url)).as("iocs")),
+          Iocs.refangAll(ext(Iocs.UrlFast)).as("iocs")),
         struct(lit("email").as("type"),
           transform(Iocs.refangAll(ext(Iocs.Email)), Iocs.stripMailto _).as("iocs"))))
       .select(col("*"), explode(col("by_type")).as("t"))       // X2 stack

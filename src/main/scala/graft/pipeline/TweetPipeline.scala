@@ -53,7 +53,7 @@ object TweetPipeline {
       .withColumn("by_type", array(
         struct(lit("ip").as("type"), ext(Iocs.IpPlain).as("iocs")),
         struct(lit("hash").as("type"), ext(Iocs.Hash).as("iocs")),
-        struct(lit("url").as("type"), ext(Iocs.Url).as("iocs"))))
+        struct(lit("url").as("type"), ext(Iocs.UrlFast).as("iocs"))))
       .select(col("*"), explode(col("by_type")).as("t"))
       .select(col("*"), explode(col("t.iocs")).as("ioc_val"))
       .select(

@@ -67,6 +67,23 @@ class IocsSpec extends AnyFunSuite {
     assert(extract(Iocs.Url, "bare //cdn.example.net/lib.js ok") == Seq.empty)
   }
 
+  test("UrlFast is extraction-identical to the reference Url pattern (fuzz)") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab1_[]#&,;=./-xX hp:s\n\t"
+    val fuzz = Seq.fill(400)((1 to (1 + rnd.nextInt(60)))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val tricky = Seq("//a-", "x//a-", "//a[.]b- ", "hxxps://a[.]b/c- x",
+      "meow://x[.]y", "//", " // ", "//-", "//a..b", "a//b[.]", "hxxp://",
+      "//a[.]b[.]c/d#e&f,g;h=i", "//]][[")
+    val inputs = fuzz ++ tricky
+    val both = inputs.toDF("x").select(
+      Iocs.extractAll(col("x"), Iocs.Url).as("ref"),
+      Iocs.extractAll(col("x"), Iocs.UrlFast).as("fast")).collect()
+    both.zip(inputs).foreach { case (r, in) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"diverged on: ${in.replace("\n","\\n")}")
+    }
+  }
+
   test("email regex matches ONLY defanged addresses (README.md:33-41)") {
     assert(extract(Iocs.Email, "contact a@b[.]com and plain a@b.com") == Seq("a@b[.]com"))
     assert(extract(Iocs.Email, "plain only a@b.com") == Seq.empty)
