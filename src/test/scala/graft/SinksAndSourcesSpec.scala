@@ -22,6 +22,25 @@ class SinksAndSourcesSpec extends AnyFunSuite {
     assert(lines == Seq("id,ioc,type", "c1,1.2.3.4,ip"))
   }
 
+  test("LivePastebin: executor-side fetch, deduped per page, joins into the pipeline") {
+    // deterministic stub fetcher (production supplies an HTTP client)
+    val fetcher = new graft.sources.PageFetcher {
+      def fetch(url: String): Seq[String] =
+        Seq(s"10.0.0.${url.last}", "host.evil.com", "xx")
+    }
+    val tweets = Seq(
+      ("1", "a", "u1", "t", "2024-01-01", "https://pastebin.com/p1;https://x.example/z"),
+      ("2", "b", "u2", "t", "2024-01-01", "https://pastebin.com/p1"), // same page twice
+      ("3", "c", "u3", "t", "2024-01-01", "https://y.example/q"))
+      .toDF("id", "text", "user", "hashtags", "created_date", "urls")
+    val pages = graft.sources.LivePastebin.fetchPages(tweets, fetcher)
+    assert(pages.count() == 1) // p1 deduped; non-pastebin links never fetched
+    val out = graft.pipeline.TweetPipeline.withPastebin(tweets, pages)
+      .filter($"platform" === "Twitter" && $"ioc".startsWith("10.0.0."))
+      .collect()
+    assert(out.map(_.getString(0)).sorted.toSeq == Seq("1", "2")) // both tweets enriched
+  }
+
   test("SplunkResponse: entry/results → DataFrame (splunk2.py:28-31)") {
     val body = """{"entry": [{"name": "a", "n": 1}, {"name": "b", "n": 2}]}"""
     SplunkResponse.parse(spark, body) match {
