@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom DataSource-V2 streaming source: replays a jsonl file as a
+  * rate-bounded micro-batch stream of `value: STRING` rows — the live-feed
+  * stand-in for the reference's Twitter long-poll source (SURVEY.md §2.1 S4;
+  * the custom `MicroBatchStream` deferred in §7.3). A real firehose client
+  * would differ only in where `latestOffset` finds new data.
+  *
+  * Demonstrates the full DSv2 streaming contract: TableProvider →
+  * SupportsRead table → Scan → MicroBatchStream with serialized offsets
+  * (line counts), partition planning that splits each batch across tasks,
+  * and checkpoint-driven replay (offsets are deserialized on restart, so a
+  * killed query resumes exactly where it committed — the delivery-guarantee
+  * upgrade over the reference's at-most-once listener, firehose.py:19-48).
+  *
+  * Usage: spark.readStream.format("graft.streaming.ReplayJsonlSource")
+  *   .option("path", file).option("maxPerBatch", 100).load()
+  */
+class ReplayJsonlSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ReplayJsonlSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ReplayTable(properties.get("path"),
+      Option(properties.get("maxPerBatch")).map(_.toInt).getOrElse(1000))
+}
+
+object ReplayJsonlSource {
+  val schema: StructType = StructType(Seq(StructField("value", StringType)))
+}
+
+private class ReplayTable(path: String, maxPerBatch: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"replay-jsonl($path)"
+  override def schema(): StructType = ReplayJsonlSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = ReplayJsonlSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ReplayMicroBatchStream(path, maxPerBatch)
+      }
+    }
+}
+
+private case class ReplayOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private class ReplayMicroBatchStream(path: String, maxPerBatch: Int)
+    extends MicroBatchStream {
+
+  private lazy val lines: Array[String] = {
+    val src = scala.io.Source.fromFile(path)
+    try src.getLines().toArray finally src.close()
+  }
+  // high-water mark of offsets already handed out; restart resumes from the
+  // checkpointed start offset via planInputPartitions
+  private var planned = 0L
+
+  override def initialOffset(): Offset = ReplayOffset(0)
+  override def deserializeOffset(json: String): Offset = ReplayOffset(json.toLong)
+
+  override def latestOffset(): Offset = {
+    planned = math.min(lines.length.toLong, planned + maxPerBatch)
+    ReplayOffset(planned)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[ReplayOffset].n.toInt,
+      end.asInstanceOf[ReplayOffset].n.toInt)
+    planned = math.max(planned, e)
+    if (e <= s) Array.empty
+    else {
+      // split the batch across 2 tasks to exercise parallel read
+      val mid = s + (e - s) / 2
+      Seq((s, mid), (mid, e)).filter(p => p._2 > p._1)
+        .map(p => ReplayPartition(lines.slice(p._1, p._2)): InputPartition)
+        .toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val rows = partition.asInstanceOf[ReplayPartition].rows
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow =
+            InternalRow(UTF8String.fromString(rows(i)))
+          override def close(): Unit = ()
+        }
+      }
+    }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private case class ReplayPartition(rows: Array[String]) extends InputPartition
