@@ -79,7 +79,65 @@ object Similarity {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
         .orderBy(col("bucket")))
+      ,
+
+    // IVF coarse quantization: deterministic seed centroids (every 64th
+    // vector), each vector assigned to its nearest centroid by exact L2
+    // (nsq_v − 2·dot + nsq_c, all left-fold doubles → bit-stable).
+    // At 100 TB: centroids broadcast, assignment is one narrow pass; the
+    // inverted file is the shuffle key for search.
+    "sim_ivf_cells" -> ((s, d) => {
+      val asg = ivfAssign(s, d)
+      asg.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+        .orderBy(col("cell"))
+    }),
+
+    // IVF probe search: per query (vec_id < 20), scan only the 2 nearest
+    // cells' inverted lists, rank by cosine, top-3. The candidate set is a
+    // cell join, never the full table — the IVF search shape.
+    "sim_ivf_probe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+      val seeds = e.filter(col("vec_id") % 64 === 0)
+        .select(col("vec_id").as("sid"), col("embedding").as("se"), col("nsq").as("snsq"))
+      val dists = e.crossJoin(broadcast(seeds))
+        .withColumn("dist", col("nsq") - lit(2.0) * dot(col("embedding"), col("se")) + col("snsq"))
+      val byVec = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist"), col("sid"))
+      val probes = dists.filter(col("vec_id") < 20)
+        .withColumn("rn", row_number().over(byVec)).filter(col("rn") <= 2)
+        .select(col("vec_id").as("qid"), col("sid").as("cell"))
+      val asg = ivfAssign(s, d)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nsq").as("qn"))
+      val cands = q.join(probes, Seq("qid"))
+        .join(asg, Seq("cell"))
+        .join(e.select(col("vec_id"), col("embedding").as("ne"), col("nsq").as("nn")), Seq("vec_id"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosine", dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")))
+      val byQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      cands.withColumn("rank", row_number().over(byQ).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vec_id").as("nid"), col("cosine"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    })
   )
+
+  /** Nearest-centroid assignment: (vec_id, cell). */
+  private def ivfAssign(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+    val seeds = e.filter(col("vec_id") % 64 === 0)
+      .select(col("vec_id").as("sid"), col("embedding").as("se"), col("nsq").as("snsq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist"), col("sid"))
+    e.crossJoin(broadcast(seeds))
+      .withColumn("dist", col("nsq") - lit(2.0) * dot(col("embedding"), col("se")) + col("snsq"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("sid").as("cell"))
+  }
 
   private def dotSql(x: String, y: String) =
     s"list_sum([CAST($x.embedding[i] AS DOUBLE) * CAST($y.embedding[i] AS DOUBLE) for i in range(1, len($x.embedding)+1)])"
@@ -87,7 +145,47 @@ object Similarity {
   private val nsqSql =
     "list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, len(embedding)+1)])"
 
+  /** Shared IVF CTE chain (e → seeds → dists → assign), DuckDB dialect. */
+  private val ivfCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding, $nsqSql AS nsq
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS sid, embedding, nsq AS snsq FROM e WHERE vec_id % 64 = 0),
+       |dists AS (
+       |  SELECT v.vec_id, s.sid,
+       |    v.nsq - CAST(2.0 AS DOUBLE) * ${dotSql("v", "s")} + s.snsq AS dist
+       |  FROM e v CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id, sid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+       |    FROM dists)
+       |  WHERE rn = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "sim_ivf_cells" ->
+      (s"WITH $ivfCtes\n" +
+        """SELECT cell, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+          |FROM assign GROUP BY cell ORDER BY cell""".stripMargin),
+    "sim_ivf_probe" ->
+      (s"WITH $ivfCtes,\n" +
+        s"""probes AS (
+           |  SELECT vec_id AS qid, sid AS cell FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+           |    FROM dists WHERE vec_id < 20)
+           |  WHERE rn <= 2),
+           |cands AS (
+           |  SELECT q.vec_id AS qid, x.vec_id AS nid,
+           |    ${dotSql("q", "x")} / sqrt(q.nsq * x.nsq) AS cosine
+           |  FROM e q
+           |  JOIN probes p ON p.qid = q.vec_id
+           |  JOIN assign a ON a.cell = p.cell
+           |  JOIN e x ON x.vec_id = a.vec_id AND x.vec_id <> q.vec_id)
+           |SELECT qid, nid, cosine, rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+           |  FROM cands)
+           |WHERE rank <= 3
+           |ORDER BY qid, rank""".stripMargin),
     "sim_cosine_topk" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding, $nsqSql AS nsq
