@@ -86,6 +86,29 @@ object TextStats {
         .orderBy(col("doc_id"))
     }),
 
+    // winnowing fingerprints (MOSS-style): hash every word-3-gram, slide a
+    // 4-window over consecutive hashes, keep each window's minimum — the
+    // classic robust-fingerprint selection; near-identical documents share
+    // most fingerprints. Codegen'd end to end: posexplode + window leads
+    // (shingles with position) + a ROWS-frame min + distinct.
+    "text_winnowing" -> ((s, d) => {
+      val byPos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val shingled = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("t1", lead(col("tok"), 1).over(byPos))
+        .withColumn("t2", lead(col("tok"), 2).over(byPos))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          md5(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("h"))
+      val winMin = shingled
+        .withColumn("fp", min(col("h")).over(byPos.rowsBetween(0, 3)))
+        .withColumn("full", lead(col("h"), 3).over(byPos)) // only full 4-windows
+        .filter(col("full").isNotNull)
+      winMin.select(col("doc_id"), col("fp")).distinct()
+        .orderBy(col("doc_id"), col("fp"))
+    }),
+
     // document fingerprints: exact (md5 of normalized text) + SimHash-60.
     // SimHash computed by explode → 60 codegen'd conditional-sum aggregates
     // (the aggregate()-fold twin [[simhash]] is interpreted and pays 60
@@ -134,6 +157,25 @@ object TextStats {
          |       ELSE 'de' END AS predicted
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+    "text_winnowing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+        |    generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, pos,
+        |    md5(tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w) AS h,
+        |    lead(tok, 2) OVER w AS t2
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |hashed AS (SELECT doc_id, pos, h FROM sh WHERE t2 IS NOT NULL),
+        |wins AS (
+        |  SELECT doc_id,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS fullw
+        |  FROM hashed)
+        |SELECT DISTINCT doc_id, fp FROM wins WHERE fullw IS NOT NULL
+        |ORDER BY doc_id, fp""".stripMargin,
     "text_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
