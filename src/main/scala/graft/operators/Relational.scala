@@ -106,6 +106,26 @@ object Relational {
         .orderBy(col("l_suppkey"), col("rn"))
     }),
 
+    // same result as window_topk via the typed bounded-heap Aggregator
+    // (§2.10 UDAF surface): O(k) state per group with map-side partials
+    // instead of a per-group sort; oracle SQL shared with window_topk.
+    "window_topk_agg" -> ((s, d) => {
+      import s.implicits._
+      val src = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_extendedprice").as("price"),
+          col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"))
+        .as[(Long, Double, Long, Int)]
+      src.groupByKey(_._1)
+        .mapValues(r => graft.functions.LineRef(r._2, r._3, r._4))
+        .agg(graft.functions.TopKAgg.topKLines(3))
+        .toDF("l_suppkey", "top")
+        .select(col("l_suppkey"), posexplode(col("top")))
+        .select(col("l_suppkey"), col("col.okey").as("l_orderkey"),
+          col("col.lnum").as("l_linenumber"), col("col.price").as("l_extendedprice"),
+          (col("pos") + 1).cast("long").as("rn"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    }),
+
     // running per-user total over events (exact decimal running sum).
     "window_running" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -310,6 +330,15 @@ object Relational {
         |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
     "window_topk" ->
+      """SELECT * FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    // the Aggregator formulation must produce the identical result set
+    "window_topk_agg" ->
       """SELECT * FROM (
         |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
         |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
