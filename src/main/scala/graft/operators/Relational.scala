@@ -231,6 +231,36 @@ object Relational {
           percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000)).as("approx_p90"))
         .orderBy(col("l_returnflag"))),
 
+    // TPC-H Q13 shape: left join + two-level aggregation (order-count
+    // histogram over customers, including zero-order customers).
+    "q13_custdist" -> ((s, d) => {
+      val counts = Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count")) // count skips nulls
+      counts.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // argmin join: per part, the supplier with the lowest unit price
+    // (min-price then min-suppkey tie-break) — the correlated-subquery shape
+    // expressed as agg + join-back, shuffle only on the group key.
+    "argmin_join" -> ((s, d) => {
+      // IEEE double division of the raw doubles: bit-identical across
+      // engines (decimal division would round at engine-specific scales).
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      val best = li.groupBy(col("l_partkey"))
+        .agg(min(col("unit_price")).as("min_price"))
+      li.join(best, Seq("l_partkey"))
+        .filter(col("unit_price") === col("min_price"))
+        .groupBy(col("l_partkey"), col("min_price"))
+        .agg(min(col("l_suppkey")).as("best_suppkey"))
+        .orderBy(col("l_partkey"))
+    }),
+
     // pivot: rows → typed columns (the relational twin of the reference's
     // per-type counters). Explicit value list keeps the plan single-pass.
     "pivot_type_counts" -> ((s, d) =>
@@ -375,6 +405,26 @@ object Relational {
         |EXCEPT
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+    "q13_custdist" ->
+      """WITH counts AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM counts
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "argmin_join" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+        |  FROM lineitem),
+        |best AS (
+        |  SELECT l_partkey, MIN(unit_price) AS min_price FROM li GROUP BY l_partkey)
+        |SELECT li.l_partkey, best.min_price, MIN(li.l_suppkey) AS best_suppkey
+        |FROM li JOIN best ON li.l_partkey = best.l_partkey
+        |  AND li.unit_price = best.min_price
+        |GROUP BY li.l_partkey, best.min_price
+        |ORDER BY li.l_partkey""".stripMargin,
     "join_asof" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
