@@ -37,6 +37,27 @@ class StreamingWindowsSpec extends AnyFunSuite {
       ("2024-01-01 10:10:00", "buy", 1L, 7.0)))
   }
 
+  test("sliding 10/5-minute windows assign each event to two windows") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    mem.addData((ts(7), 2.0), (ts(12), 3.0))
+    val agg = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(sum(col("value")).as("v"))
+    val q = agg.writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sliding_out")
+      .select(col("window.start").cast("string"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toSet
+    // 10:07 → windows starting 10:00 and 10:05; 10:12 → 10:05 and 10:10
+    assert(rows == Set(
+      ("2024-01-01 10:00:00", 2.0),
+      ("2024-01-01 10:05:00", 5.0),
+      ("2024-01-01 10:10:00", 3.0)))
+  }
+
   test("session windows (5-minute gap) split on inactivity") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
