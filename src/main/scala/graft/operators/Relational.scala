@@ -168,22 +168,40 @@ object Relational {
 
     // as-of join: latest order (by date) of the matching customer at or
     // before each event's timestamp. Spark lacks a native ASOF operator —
-    // composed as join + per-event top-1 window (SURVEY.md preference (a):
-    // compose built-ins before custom plans). Orders are pre-deduped to one
-    // row per (custkey, date) so tie-breaks are deterministic on both
-    // engines (DuckDB ASOF's tie behavior is otherwise unspecified).
+    // composed as the union/melt single-window plan: orders and events are
+    // melted onto one (user, time) axis, a single window carries the most
+    // recent order forward (`last(…, ignoreNulls)` over an unbounded-
+    // preceding ROWS frame), and event rows read it off. ONE shuffle on the
+    // user key, and the intermediate never exceeds |events| + |orders| —
+    // unlike the join-then-top-1 formulation, whose pre-filter size is
+    // events × order-dates-per-user and explodes on a hot user at 100 TB.
+    // Orders are pre-deduped to one row per (custkey, date) so tie-breaks
+    // are deterministic on both engines (DuckDB ASOF's tie behavior is
+    // otherwise unspecified); within an equal timestamp, order points sort
+    // before event points (kind 0 < 1) to preserve the `<=` inclusivity.
     "join_asof" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
-      val or = Tables.orders(s, d)
+      val ordInfoType = "struct<od:date,ok:bigint>"
+      val orPts = Tables.orders(s, d)
         .groupBy(col("o_custkey"), col("o_orderdate"))
         .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .select(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("timestamp").as("t"), lit(0).as("kind"),
+          lit(null).cast("long").as("event_id"),
+          struct(to_date(col("o_orderdate")).as("od"),
+            col("o_orderkey").cast("long").as("ok")).as("ordinfo"))
+      val evPts = Tables.events(s, d)
+        .select(col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+          col("event_id").cast("long").as("event_id"),
+          lit(null).cast(ordInfoType).as("ordinfo"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_id")).orderBy(col("o_orderdate").desc)
-      ev.join(or, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_id"), col("user_id"), col("ts"),
-          to_date(col("o_orderdate")).as("asof_orderdate"), col("o_orderkey").as("asof_orderkey"))
+        .partitionBy(col("user_id")).orderBy(col("t"), col("kind"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      orPts.unionByName(evPts)
+        .withColumn("asof", last(col("ordinfo"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("t").as("ts"),
+          col("asof.od").as("asof_orderdate"), col("asof.ok").as("asof_orderkey"))
         .orderBy(col("event_id"))
     }),
 
