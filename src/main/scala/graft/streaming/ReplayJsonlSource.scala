@@ -62,9 +62,17 @@ private case class ReplayOffset(n: Long) extends Offset {
 private class ReplayMicroBatchStream(path: String, maxPerBatch: Int)
     extends MicroBatchStream {
 
-  private lazy val lines: Array[String] = {
+  /** Total line count — ONE streaming pass on the driver; the lines
+    * themselves are never materialized driver-side. Partition readers open
+    * the file on their executor and stream their own [start, end) slice, so
+    * driver memory is O(1) in file size (the round-1 version sliced a
+    * driver-resident array — a driver-memory bottleneck on a real feed
+    * dump). A byte-indexed production source would also skip the per-reader
+    * line scan; line-granular offsets are kept because they ARE the
+    * checkpoint contract here. */
+  private lazy val totalLines: Long = {
     val src = scala.io.Source.fromFile(path)
-    try src.getLines().toArray finally src.close()
+    try src.getLines().size.toLong finally src.close()
   }
   // high-water mark of offsets already handed out; restart resumes from the
   // checkpointed start offset via planInputPartitions
@@ -74,20 +82,20 @@ private class ReplayMicroBatchStream(path: String, maxPerBatch: Int)
   override def deserializeOffset(json: String): Offset = ReplayOffset(json.toLong)
 
   override def latestOffset(): Offset = {
-    planned = math.min(lines.length.toLong, planned + maxPerBatch)
+    planned = math.min(totalLines, planned + maxPerBatch)
     ReplayOffset(planned)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (s, e) = (start.asInstanceOf[ReplayOffset].n.toInt,
-      end.asInstanceOf[ReplayOffset].n.toInt)
+    val (s, e) = (start.asInstanceOf[ReplayOffset].n,
+      end.asInstanceOf[ReplayOffset].n)
     planned = math.max(planned, e)
     if (e <= s) Array.empty
     else {
       // split the batch across 2 tasks to exercise parallel read
       val mid = s + (e - s) / 2
       Seq((s, mid), (mid, e)).filter(p => p._2 > p._1)
-        .map(p => ReplayPartition(lines.slice(p._1, p._2)): InputPartition)
+        .map(p => ReplayPartition(path, p._1, p._2): InputPartition)
         .toArray
     }
   }
@@ -95,13 +103,18 @@ private class ReplayMicroBatchStream(path: String, maxPerBatch: Int)
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        val rows = partition.asInstanceOf[ReplayPartition].rows
+        val p = partition.asInstanceOf[ReplayPartition]
         new PartitionReader[InternalRow] {
-          private var i = -1
-          override def next(): Boolean = { i += 1; i < rows.length }
+          private val src = scala.io.Source.fromFile(p.path)
+          private val it = src.getLines().drop(p.start.toInt)
+          private var remaining = p.end - p.start
+          private var cur: String = null
+          override def next(): Boolean =
+            if (remaining > 0 && it.hasNext) { cur = it.next(); remaining -= 1; true }
+            else false
           override def get(): InternalRow =
-            InternalRow(UTF8String.fromString(rows(i)))
-          override def close(): Unit = ()
+            InternalRow(UTF8String.fromString(cur))
+          override def close(): Unit = src.close()
         }
       }
     }
@@ -110,4 +123,5 @@ private class ReplayMicroBatchStream(path: String, maxPerBatch: Int)
   override def stop(): Unit = ()
 }
 
-private case class ReplayPartition(rows: Array[String]) extends InputPartition
+private case class ReplayPartition(path: String, start: Long, end: Long)
+    extends InputPartition

@@ -67,4 +67,95 @@ class SinksAndSourcesSpec extends AnyFunSuite {
     assert(SplunkResponse.parse(spark, "not json at all") == EmptyResult)
     assert(SplunkResponse.parse(spark, """{"unknown": true}""") == EmptyResult)
   }
+
+  /** Start a one-handler local HTTP server; returns (baseUrl, stop). */
+  private def withServer(record: java.util.concurrent.ConcurrentLinkedQueue[(String, String, String, String)],
+                         respond: String => String)(body: String => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val reqBody = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      record.add((ex.getRequestMethod, ex.getRequestURI.toString,
+        Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""), reqBody))
+      val out = respond(ex.getRequestURI.toString).getBytes("UTF-8")
+      ex.sendResponseHeaders(200, out.length)
+      ex.getResponseBody.write(out); ex.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("HttpRestClient: verb dispatch, slash join, Basic auth, auth required (splunk2.py:49-71)") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String, String)]()
+    withServer(seen, _ => """{"sid": "job7"}""") { base =>
+      val bare = new graft.sinks.HttpRestClient(base)
+      intercept[IllegalStateException] { bare.get("x") } // no credentials yet
+
+      val api = new graft.sinks.HttpRestClient(base + "/").authenticate("admin", "pw")
+      val body = api.get("//services/search/jobs") // duplicate slashes collapse
+      assert(SplunkResponse.parse(spark, body) == ScalarResult("job7"))
+      api.request("POST", "servicesNS/kv", body = Some("""{"a":1}"""))
+      api.delete("servicesNS/kv/k1")
+
+      val reqs = seen.toArray(Array.empty[(String, String, String, String)]).toSeq
+      assert(reqs.map(_._1) == Seq("GET", "POST", "DELETE"))
+      assert(reqs.head._2 == "/services/search/jobs") // lstrip('/') + single join slash
+      val cred = java.util.Base64.getEncoder.encodeToString("admin:pw".getBytes("UTF-8"))
+      assert(reqs.forall(_._3 == s"Basic $cred"))
+      assert(reqs(1)._4 == """{"a":1}""")
+    }
+  }
+
+  test("RestBatchSink over HttpRestClient: executor-side POSTs against a live endpoint") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String, String)]()
+    withServer(seen, _ => """{"_key": "ok"}""") { base =>
+      val df = (1 to 5).map(i => (s"id$i", s"10.0.0.$i", "ip")).toDF("id", "ioc", "type")
+        .coalesce(1)
+      graft.sinks.RestBatchSink.write(df,
+        "/servicesNS/nobody/search/storage/collections/data/iocs/batch_save",
+        new graft.sinks.HttpRestClient(base).authenticate("svc", "s3cret"),
+        batchSize = 2)
+      val reqs = seen.toArray(Array.empty[(String, String, String, String)]).toSeq
+      assert(reqs.size == 3 && reqs.forall(_._1 == "POST")) // 2+2+1 flush
+      assert(reqs.forall(_._2.endsWith("/batch_save")))
+      val all = reqs.map(_._4).mkString
+      assert((1 to 5).forall(i => all.contains(s"10.0.0.$i")))
+    }
+  }
+
+  test("PastebinHtml: #code_frame2 ol > li > div selection (firehose.py:74-80)") {
+    val html =
+      """<html><body>
+        |<div id="other"><ol><li><div>decoy</div></li></ol></div>
+        |<div class="frame" id="code_frame2"><ol class="code">
+        |  <li class="li1"><div class="de1">10.9.9.1</div></li>
+        |  <li><div>bad<span>.host</span>.com</div></li>
+        |  <li><div> a &amp; b &lt;tag&gt; </div></li>
+        |</ol></div>
+        |<ol><li><div>after</div></li></ol>
+        |</body></html>""".stripMargin
+    assert(graft.sources.PastebinHtml.lines(html) ==
+      Seq("10.9.9.1", "bad.host.com", "a & b <tag>"))
+    assert(graft.sources.PastebinHtml.lines("<html>no frame</html>") == Seq.empty)
+  }
+
+  test("HttpPageFetcher end-to-end: executor fetch + parse through the enrichment join") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String, String)]()
+    val page = (uri: String) =>
+      s"""<div id="code_frame2"><ol>
+         |<li><div>10.7.7.${uri.last}</div></li><li><div>xx</div></li>
+         |</ol></div>""".stripMargin
+    withServer(seen, page) { base =>
+      val tweets = Seq(
+        ("1", "t", "u1", "h", "2024-01-01", s"$base/pastebin/raw/1"),
+        ("2", "t", "u2", "h", "2024-01-01", s"$base/pastebin/raw/2;$base/other/x"))
+        .toDF("id", "text", "user", "hashtags", "created_date", "urls")
+      val pages = graft.sources.LivePastebin.fetchPages(
+        tweets, new graft.sources.HttpPageFetcher)
+      val got = pages.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      assert(got(s"$base/pastebin/raw/1") == Seq("10.7.7.1", "xx"))
+      assert(got(s"$base/pastebin/raw/2") == Seq("10.7.7.2", "xx"))
+    }
+  }
 }

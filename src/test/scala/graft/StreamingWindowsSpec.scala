@@ -58,6 +58,43 @@ class StreamingWindowsSpec extends AnyFunSuite {
       ("2024-01-01 10:10:00", 3.0)))
   }
 
+  test("sliding windows, append mode: watermark finalizes windows and drops late data") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(sum(col("value")).as("v"), count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sliding_late_out")
+      .outputMode("append").start()
+
+    // batch 1: on-time events at 10:07 and 10:12
+    mem.addData((ts(7), 2.0), (ts(12), 3.0)); q.processAllAvailable()
+    // batch 2: 10:40 advances the watermark to 10:30 — every window ending
+    // at or before 10:30 is finalized and emitted (append semantics)
+    mem.addData((ts(40), 1.0)); q.processAllAvailable()
+    // batch 3: 10:02 is 28 minutes behind the watermark — its windows
+    // ([09:55,10:05) and [10:00,10:10)) are already final; it must be
+    // DROPPED, not re-opened and not re-emitted
+    mem.addData((ts(2), 100.0)); q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sliding_late_out")
+      .select(col("window.start").cast("string"), col("v"), col("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    // finalized windows only, with NO contribution from the late 100.0:
+    // 10:07 → [10:00,10:10) and [10:05,10:15); 10:12 → [10:05,10:15) and
+    // [10:10,10:20). The 10:40 windows are still open → not emitted.
+    assert(rows == Set(
+      ("2024-01-01 10:00:00", 2.0, 1L),
+      ("2024-01-01 10:05:00", 5.0, 2L),
+      ("2024-01-01 10:10:00", 3.0, 1L)))
+    // the late row was dropped by the watermark, not merely unfinalized
+    val dropped = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsDroppedByWatermark).sum
+    assert(dropped >= 1)
+  }
+
   test("session windows (5-minute gap) split on inactivity") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
