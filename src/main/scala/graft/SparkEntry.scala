@@ -26,17 +26,21 @@ object SparkEntry {
     queries("ioc_email_etl")(spark, "/root/testdata/sf0.001")
 
   private def dsum(c: Column): Column = operators.Relational.dsum(c)
+  /** See [[operators.Relational.sortedOnce]]: total order for the oracle
+    * WITHOUT the range sampler re-running a narrow regex pipeline. */
+  private def sortedOnce(df: DataFrame, keys: Column*): DataFrame =
+    operators.Relational.sortedOnce(df, keys: _*)
 
   /** Parity queries over the reference's own surface (SURVEY.md §2.1-§2.4). */
   private val parity: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "ioc_email_etl" -> ((s, d) =>
-      EmailPipeline(Tables.emails(s, d), DateAdded)
-        .orderBy(col("id"), col("type"), col("ioc"))),
+      sortedOnce(EmailPipeline(Tables.emails(s, d), DateAdded),
+        col("id"), col("type"), col("ioc"))),
 
     "ioc_tweet_etl" -> ((s, d) =>
-      TweetPipeline.extract(Tables.tweets(s, d))
-        .orderBy(col("id").cast("long"), col("type"), col("ioc"))),
+      sortedOnce(TweetPipeline.extract(Tables.tweets(s, d)),
+        col("id").cast("long"), col("type"), col("ioc"))),
 
     // A1: per-type counts (h-isac.py:171-174) — one hash agg, not 4 scans.
     "ioc_type_counts" -> ((s, d) =>
@@ -96,18 +100,18 @@ object SparkEntry {
           concat(lit("host-"), col("id").cast("string"), lit(".evil.com")),
           md5(concat(lit("page"), col("id").cast("string"))),
           lit("xx")).as("lines"))
-      TweetPipeline.withPastebin(tweets2, pages)
-        .orderBy(col("id").cast("long"), col("type"), col("ioc"))
+      sortedOnce(TweetPipeline.withPastebin(tweets2, pages),
+        col("id").cast("long"), col("type"), col("ioc"))
     }),
 
     // X6: JSON struct encode — the streaming payload shape
     // (generate_payload's 6 fields, firehose.py:125-128).
     "ioc_json_encode" -> ((s, d) =>
-      TweetPipeline.extract(Tables.tweets(s, d))
+      sortedOnce(TweetPipeline.extract(Tables.tweets(s, d))
         .select(col("id"), to_json(struct(
           col("id"), col("date_added"), col("type"), col("tag"),
-          col("ioc"), col("source"))).as("payload"))
-        .orderBy(col("id").cast("long"), col("payload"))),
+          col("ioc"), col("source"))).as("payload")),
+        col("id").cast("long"), col("payload"))),
 
     // R9: sort_iocs classification over synthesized raw tokens from events.
     "ioc_classify" -> ((s, d) => {
@@ -117,10 +121,10 @@ object SparkEntry {
         md5(col("props")),
         concat(lit("host-"), id.cast("string"), lit(".example.com/path")),
         concat(lit("tok"), id.cast("string")))
-      Tables.events(s, d)
+      sortedOnce(Tables.events(s, d)
         .select(id, explode(toks).as("token"))
-        .select(id.as("event_id"), col("token"), Iocs.classify(col("token")).as("type"))
-        .orderBy(col("event_id"), col("token"))
+        .select(id.as("event_id"), col("token"), Iocs.classify(col("token")).as("type")),
+        col("event_id"), col("token"))
     })
   )
 

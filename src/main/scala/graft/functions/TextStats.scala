@@ -110,19 +110,26 @@ object TextStats {
     }),
 
     // document fingerprints: exact (md5 of normalized text) + SimHash-60.
-    // SimHash computed by explode → 60 codegen'd conditional-sum aggregates
-    // (the aggregate()-fold twin [[simhash]] is interpreted and pays 60
-    // interpreted substrs per token; results are identical — asserted in
-    // OperatorsSpec). Shuffle key is doc_id: high cardinality, balanced.
+    // SimHash computed by explode → 60 codegen'd aggregates over the RAW
+    // 60-bit token hash as a long: bit p of the bit-string view is
+    // (hash >> (60-p)) & 1, so each per-bit "+1/-1 sum" is
+    // 2·popcount_p − n_tokens — pure integer shift/mask/sum, no per-token
+    // string materialization (the substring formulation paid 60 string ops
+    // per token; the aggregate()-fold twin [[simhash]] is the interpreted
+    // reference, equality asserted in OperatorsSpec). Shuffle key is
+    // doc_id: high cardinality, balanced.
     "text_fingerprint" -> ((s, d) => {
+      val hash60 = (t: Column) =>
+        conv(substring(md5(t), 1, 15), 16, 10).cast("long")
       val bits = Tables.documents(s, d)
-        .select(col("doc_id"), explode(transform(tokens(col("text")), tokenBits _)).as("b"))
+        .select(col("doc_id"), explode(transform(tokens(col("text")), hash60)).as("b"))
       val sums = bits.groupBy(col("doc_id")).agg(
-        sum(when(substring(col("b"), 1, 1) === "1", 1L).otherwise(-1L)).as("s1"),
-        (2 to 60).map(p =>
-          sum(when(substring(col("b"), p, 1) === "1", 1L).otherwise(-1L)).as(s"s$p")): _*)
+        count(lit(1)).as("n"),
+        (1 to 60).map(p =>
+          sum(shiftright(col("b"), 60 - p).bitwiseAND(lit(1L))).as(s"c$p")): _*)
       val sh = sums.select(col("doc_id"),
-        concat((1 to 60).map(p => when(col(s"s$p") > 0, "1").otherwise("0")): _*).as("simhash60"))
+        concat((1 to 60).map(p =>
+          when(col(s"c$p") * 2 > col("n"), "1").otherwise("0")): _*).as("simhash60"))
       Tables.documents(s, d)
         .select(col("doc_id"),
           md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("md5_norm"))

@@ -140,10 +140,11 @@ object Dedup {
           substring(col("text"), 1, 60).as("head"))
       val a = doc.select(col("blk"), col("doc_id").as("id1"), col("head").as("h1"))
       val b = doc.select(col("blk"), col("doc_id").as("id2"), col("head").as("h2"))
-      a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"),
-          levenshtein(col("h1"), col("h2")).cast("long").as("edit_dist"))
-        .orderBy(col("id1"), col("id2"))
+      Relational.sortedOnce(
+        a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"),
+            levenshtein(col("h1"), col("h2")).cast("long").as("edit_dist")),
+        col("id1"), col("id2"))
     }),
 
     // embedding-cosine near-dup, IVF-bucketed: assign every vector to its

@@ -65,13 +65,13 @@ object Multimodal {
     // binary-column metadata over documents-as-payloads: the SQL-expressible
     // half of the multimodal surface (encode → binary, length, sha2 digest).
     "binary_meta" -> ((s, d) =>
-      graft.sources.Tables.documents(s, d)
+      Relational.sortedOnce(graft.sources.Tables.documents(s, d)
         .select(
           col("doc_id"),
           octet_length(to_binary(col("text"), lit("utf-8"))).cast("long").as("n_bytes"),
           sha2(col("text").cast("binary"), 256).as("sha256"),
-          substring(hex(col("text").cast("binary")), 1, 8).as("magic"))
-        .orderBy(col("doc_id")))
+          substring(hex(col("text").cast("binary")), 1, 8).as("magic")),
+        col("doc_id")))
   )
 
   val oracle: Map[String, String] = Map(

@@ -22,6 +22,19 @@ object Relational {
   /** Exact decimal accumulation → DOUBLE: bit-stable under any row order. */
   def dsum(c: Column): Column = sum(c.cast("decimal(12,2)")).cast("double")
 
+  /** Total-order a result whose lineage is a NARROW pipeline (no shuffle
+    * below the sort). A bare global sort range-samples its child to pick
+    * partition bounds, and when nothing below has materialized, the sample
+    * job runs the ENTIRE pipeline a second time — measured ~2× on the
+    * regex-heavy ETL queries. A round-robin exchange first writes the
+    * pipeline's output to shuffle files ONCE; the range sampler and the
+    * sort both re-read those files instead of recomputing. Queries whose
+    * plan already ends in an aggregation/shuffle don't need this — their
+    * sampler re-reads the last shuffle for free. */
+  def sortedOnce(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .orderBy(keys: _*)
+
   /** revenue term: l_extendedprice * (1 - l_discount), exact decimal. */
   private def revenue: Column =
     sum(col("l_extendedprice").cast("decimal(12,2)") *
@@ -132,12 +145,12 @@ object Relational {
         .partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      Tables.events(s, d)
+      sortedOnce(Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
         .withColumn("running_value",
           sum(col("value").cast("decimal(12,2)")).over(w).cast("double"))
-        .drop("value")
-        .orderBy(col("user_id"), col("ts"), col("event_id"))
+        .drop("value"),
+        col("user_id"), col("ts"), col("event_id"))
     }),
 
     // rollup with grand total: customers + balance by region/nation.
@@ -151,9 +164,9 @@ object Relational {
 
     // unpivot via stack (X2's relational twin).
     "unpivot_stack" -> ((s, d) =>
-      Tables.part(s, d)
-        .selectExpr("p_partkey", "stack(2, 'brand', p_brand, 'type', p_type) as (attr, val)")
-        .orderBy(col("p_partkey"), col("attr"))),
+      sortedOnce(Tables.part(s, d)
+        .selectExpr("p_partkey", "stack(2, 'brand', p_brand, 'type', p_type) as (attr, val)"),
+        col("p_partkey"), col("attr"))),
 
     // set ops beyond union: nations present on both sides / only customers.
     "setop_intersect" -> ((s, d) =>
@@ -294,26 +307,26 @@ object Relational {
     "window_nav" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
-      Tables.orders(s, d).select(
+      sortedOnce(Tables.orders(s, d).select(
           col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           lag(col("o_totalprice"), 1).over(w).as("prev_price"),
           lead(col("o_totalprice"), 1).over(w).as("next_price"),
           first(col("o_totalprice")).over(w).as("first_price"),
-          ntile(4).over(w).cast("long").as("quartile"))
-        .orderBy(col("o_custkey"), col("o_orderkey"))
+          ntile(4).over(w).cast("long").as("quartile")),
+        col("o_custkey"), col("o_orderkey"))
     }),
 
     // date/time feature extraction (training-data timestamp featurization).
     "time_features" -> ((s, d) =>
-      Tables.orders(s, d).select(
+      sortedOnce(Tables.orders(s, d).select(
           col("o_orderkey"),
           year(col("o_orderdate")).as("yr"),
           month(col("o_orderdate")).as("mo"),
           dayofmonth(col("o_orderdate")).as("dom"),
           quarter(col("o_orderdate")).as("qtr"),
           date_format(col("o_orderdate"), "EEEE").as("dayname"),
-          to_date(date_add(col("o_orderdate"), 30)).as("due_date"))
-        .orderBy(col("o_orderkey"))),
+          to_date(date_add(col("o_orderdate"), 30)).as("due_date")),
+        col("o_orderkey"))),
 
     // grouped stats incl. exact distinct count (partial agg + distinct expand).
     "agg_stats" -> ((s, d) =>

@@ -29,24 +29,27 @@ object EmailPipeline {
     val cleaned = Iocs.cleanText(col("body"))
     def ext(pat: String): Column = Iocs.extractAll(cleaned, pat)
 
+    // Each Generate keeps ONLY the surviving columns (body and the by_type
+    // array are dropped at the first explode — carrying them would copy the
+    // body and every extracted array across the 4 fan-out rows).
     emails
       .filter(since && lower(col("subject")).contains("indicator")) // P1
-      .withColumn("by_type", array(
-        struct(lit("ip").as("type"),
-          Iocs.refangAll(ext(Iocs.IpDefanged)).as("iocs")),
-        struct(lit("hash").as("type"),
-          ext(Iocs.Hash).as("iocs")), // hashes are never refanged (h-isac.py:82-84)
-        struct(lit("url").as("type"),
-          Iocs.refangAll(ext(Iocs.UrlFast)).as("iocs")),
-        struct(lit("email").as("type"),
-          transform(Iocs.refangAll(ext(Iocs.Email)), Iocs.stripMailto _).as("iocs"))))
-      .select(col("*"), explode(col("by_type")).as("t"))       // X2 stack
-      .select(col("*"), explode(col("t.iocs")).as("ioc_val"))  // X1; drops empty types
-      .select(
+      .select(col("conversation_id"), col("sender"), col("received_time"),
+        explode(array( // X2 stack
+          struct(lit("ip").as("type"),
+            Iocs.refangAll(ext(Iocs.IpDefanged)).as("iocs")),
+          struct(lit("hash").as("type"),
+            ext(Iocs.Hash).as("iocs")), // hashes are never refanged (h-isac.py:82-84)
+          struct(lit("url").as("type"),
+            Iocs.refangAll(ext(Iocs.UrlFast)).as("iocs")),
+          struct(lit("email").as("type"),
+            transform(Iocs.refangAll(ext(Iocs.Email)), Iocs.stripMailto _).as("iocs"))))
+          .as("t"))
+      .select( // X1: plain explode drops empty types (h-isac.py:103)
         col("conversation_id").as("id"),
         lit(dateAdded).as("date_added"),
         date_format(col("received_time"), "yyyy-MM-dd").as("date_received"),
-        col("ioc_val").as("ioc"),
+        explode(col("t.iocs")).as("ioc"),
         lit("H-ISAC").as("platform"),
         col("sender").as("source"),
         lit("N/A").as("tag"),

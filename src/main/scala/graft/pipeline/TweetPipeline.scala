@@ -49,18 +49,22 @@ object TweetPipeline {
       if (tweets.columns.contains("retweeted"))
         tweets.filter(!col("retweeted") && !col("text").startsWith("RT @"))
       else tweets
+    // Each Generate carries ONLY the surviving columns: the first explode
+    // drops the raw text and the by_type array immediately (keeping them
+    // would duplicate the text and ALL extracted arrays across the 3
+    // fan-out rows), the second drops the struct. Both stay in one
+    // WholeStageCodegen span with the regex extraction.
     live
-      .withColumn("by_type", array(
-        struct(lit("ip").as("type"), ext(Iocs.IpPlain).as("iocs")),
-        struct(lit("hash").as("type"), ext(Iocs.Hash).as("iocs")),
-        struct(lit("url").as("type"), ext(Iocs.UrlFast).as("iocs"))))
-      .select(col("*"), explode(col("by_type")).as("t"))
-      .select(col("*"), explode(col("t.iocs")).as("ioc_val"))
+      .select(col("id"), col("created_date"), col("user"), col("hashtags"),
+        explode(array(
+          struct(lit("ip").as("type"), ext(Iocs.IpPlain).as("iocs")),
+          struct(lit("hash").as("type"), ext(Iocs.Hash).as("iocs")),
+          struct(lit("url").as("type"), ext(Iocs.UrlFast).as("iocs")))).as("t"))
       .select(
         col("id"),
         col("created_date").as("date_added"), // firehose.py:41,112
         col("created_date").as("date_received"),
-        col("ioc_val").as("ioc"),
+        explode(col("t.iocs")).as("ioc"),
         lit("Twitter").as("platform"),
         col("user").as("source"),
         col("hashtags").as("tag"),
