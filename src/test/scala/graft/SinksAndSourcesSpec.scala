@@ -140,6 +140,28 @@ class SinksAndSourcesSpec extends AnyFunSuite {
     assert(graft.sources.PastebinHtml.lines("<html>no frame</html>") == Seq.empty)
   }
 
+  test("SplunkConfig: load, key set-difference validation, endpoint build (h-isac.py:11-28)") {
+    val good = Files.createTempFile("cfg", ".json")
+    Files.writeString(good,
+      """{"username": "svc", "password": "pw", "app": "search", "kv_store": "iocs", "extra": 1}""")
+    val cfg = graft.sinks.SplunkConfig.load(good.toString)
+    assert(cfg == graft.sinks.SplunkConfig("svc", "pw", "search", "iocs"))
+    assert(cfg.endpoint ==
+      "servicesNS/nobody/search/storage/collections/data/iocs/batch_save")
+
+    val missing = Files.createTempFile("cfg", ".json")
+    Files.writeString(missing, """{"username": "svc", "app": "search"}""")
+    val e = intercept[NoSuchElementException] {
+      graft.sinks.SplunkConfig.load(missing.toString)
+    }
+    assert(e.getMessage.contains("Required keys missing"))
+
+    val gone = intercept[IllegalArgumentException] {
+      graft.sinks.SplunkConfig.load("/tmp/definitely-not-a-config.json")
+    }
+    assert(gone.getMessage.contains("does not exist"))
+  }
+
   test("HttpPageFetcher end-to-end: executor fetch + parse through the enrichment join") {
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String, String)]()
     val page = (uri: String) =>
