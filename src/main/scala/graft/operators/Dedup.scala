@@ -100,20 +100,28 @@ object Dedup {
     // distinct shingles, drop shingles above [[MaxShingleDf]], gather each
     // surviving shingle's posting list with ONE aggregation, and generate
     // doc pairs inside the posting-list array (fan-out per shingle bounded
-    // by MaxShingleDf²/2 — the whole point of the cap). Set sizes ride
-    // along as a doc_id window over the same single subtree, so the plan
-    // evaluates the shingle pipeline ONCE — the join formulation evaluated
-    // it four times (each self-join branch + each sizes join re-plans its
-    // lineage independently).
+    // by MaxShingleDf²/2 — the whole point of the cap). The plan evaluates
+    // the shingle pipeline ONCE — the join formulation evaluated it four
+    // times — and every step rides an existing partitioning: the distinct
+    // and the TRUE set-size window reuse the lead-window's doc_id exchange,
+    // and the posting-list aggregation reuses the DF-window's shingle
+    // exchange, so the whole query is 2 data exchanges + the pair agg.
+    //
+    // Semantics: denominators are the TRUE distinct-shingle set sizes;
+    // only the intersection is counted over the capped index. Dropping
+    // index entries can only UNDERcount intersections, so the reported
+    // Jaccard is a lower bound of the exact one — every emitted pair is a
+    // guaranteed true near-dup (no false positives), and at the tested SFs
+    // (max DF 25 < cap) the output equals the exact join's.
     "dedup_ngram_jaccard" -> ((s, d) => {
       val dfw = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
       val szw = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       val sh = shingleRows(Tables.documents(s, d))
+        .withColumn("sz", count(lit(1)).over(szw)) // TRUE size; doc_id partitioning reused
         .withColumn("df", count(lit(1)).over(dfw))
         .filter(col("df") <= MaxShingleDf)
         .drop("df")
-        .withColumn("sz", count(lit(1)).over(szw)) // size over the CAPPED set
-      val postings = sh.groupBy(col("shingle"))
+      val postings = sh.groupBy(col("shingle"))     // shingle partitioning reused
         .agg(array_sort(collect_list(struct(col("doc_id"), col("sz")))).as("ms"))
         .filter(size(col("ms")) > 1)
       postings.select(explode(flatten(transform(col("ms"), (x, i) =>
@@ -258,7 +266,7 @@ object Dedup {
          |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
          |    FROM sh0)
          |  WHERE df <= $MaxShingleDf),
-         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh0 GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

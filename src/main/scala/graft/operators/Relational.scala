@@ -328,6 +328,64 @@ object Relational {
           to_date(date_add(col("o_orderdate"), 30)).as("due_date")),
         col("o_orderkey"))),
 
+    // TPC-H Q4 shape: EXISTS → LEFT SEMI join with a non-equi residual
+    // (orders with any late-shipped lineitem), then a priority histogram.
+    // The semi join shuffles on the order key and short-circuits per match —
+    // no fact×fact fan-out ever materializes.
+    "q4_exists" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+          col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))),
+
+    // TPC-H Q16 shape: anti-join out flagged suppliers (NOT EXISTS), then a
+    // distinct-count per brand. The anti side is tiny → broadcast; part is
+    // a dimension → broadcast; lineitem never shuffles before the agg.
+    "q16_suppcnt" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(Tables.supplier(s, d)
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(Tables.part(s, d).filter(!col("p_type").startsWith("PROMO"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"))),
+
+    // TPC-H Q18 shape: HAVING over a fact aggregation, join the survivors
+    // back to orders/customer. The heavy agg groups on the high-cardinality
+    // order key; only qualifying orders (a tiny set) reach the joins.
+    "q18_bigorders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q10 shape: returned-items revenue per customer — fact⋈fact on
+    // the order key plus broadcast dimensions, exact-decimal revenue, top-k.
+    "q10_returns" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)),
+
     // grouped stats incl. exact distinct count (partial agg + distinct expand).
     "agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -380,6 +438,45 @@ object Relational {
          |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q4_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q16_suppcnt" ->
+      """SELECT p_brand, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_type NOT LIKE 'PROMO%'
+        |  AND NOT EXISTS (SELECT 1 FROM supplier
+        |    WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+        |GROUP BY p_brand
+        |ORDER BY supplier_cnt DESC, p_brand""".stripMargin,
+    "q18_bigorders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 250)
+        |SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q10_returns" ->
+      (s"""SELECT c_custkey, c_name, n_name, $rev AS revenue
+         |FROM orders
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |JOIN nation ON n_nationkey = c_nationkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin),
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

@@ -16,4 +16,19 @@ object ParquetSink {
       .partitionBy("date_added", "type")
       .mode("append")
       .parquet(path)
+
+  /** Bucketed system-of-record table: rows are hash-bucketed (and sorted)
+    * on the join key at WRITE time, so every later equi-join or aggregation
+    * on that key between same-bucketed tables runs with ZERO exchanges —
+    * the single highest-leverage layout decision for a 100 TB fact table
+    * that is joined every day (pay the shuffle once at ingest, never
+    * again). Asserted shuffle-free in ScaleOpsSpec. */
+  def writeBucketed(df: DataFrame, table: String,
+                    numBuckets: Int, key: String): Unit =
+    df.write
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -38,6 +38,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted.count() == plain.count())
   }
 
+  test("bucketed tables: co-located equi-join plans with zero shuffle exchanges") {
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    // the in-memory catalog is per-session but the warehouse dir persists:
+    // drop both layers so reruns don't hit LOCATION_ALREADY_EXISTS
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(loc))
+        org.apache.commons.io.FileUtils.deleteDirectory(loc.toFile)
+    }
+    graft.sinks.ParquetSink.writeBucketed(a, "bkt_a", 8, "k")
+    graft.sinks.ParquetSink.writeBucketed(b, "bkt_b", 8, "k")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      assert(j.count() == 1000)
+      val plan = j.queryExecution.executedPlan.toString
+      // both sides were hash-bucketed on k at write time → the join reuses
+      // the on-disk layout: no ShuffleExchange anywhere in the plan
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in bucketed join plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("flatMapGroupsWithState running totals accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]

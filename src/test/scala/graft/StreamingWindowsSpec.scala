@@ -95,6 +95,30 @@ class StreamingWindowsSpec extends AnyFunSuite {
     assert(dropped >= 1)
   }
 
+  test("stream-stream interval join: watermarked, time-bounded, state-bounded") {
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val v = views.toDF().toDF("view_ts", "ad")
+      .withWatermark("view_ts", "10 minutes")
+    val c = clicks.toDF().toDF("click_ts", "click_ad")
+      .withWatermark("click_ts", "10 minutes")
+    // attribution join: a click matches a view of the same ad within the
+    // following 5 minutes — the time bound is what lets Spark EVICT state
+    // once the watermark passes, so state never grows unboundedly
+    val joined = v.join(c, expr(
+      "ad = click_ad AND click_ts >= view_ts AND click_ts <= view_ts + INTERVAL 5 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    views.addData((ts(0), 1L), (ts(10), 2L))
+    clicks.addData((ts(3), 1L), (ts(20), 2L)) // ad 2's click is 10 min late → no match
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssjoin_out")
+      .select(col("ad"), col("view_ts").cast("string"), col("click_ts").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1L, "2024-01-01 10:00:00", "2024-01-01 10:03:00")))
+  }
+
   test("session windows (5-minute gap) split on inactivity") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
