@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the scale properties the engine claims —
+  * no cartesian products in the ANN/dedup paths, a join-free as-of plan,
+  * broadcast dimension joins, bounded exchange counts — asserted against
+  * the actual physical plans so a refactor that silently reintroduces a
+  * scale-killer fails CI, not a 100 TB run.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+
+  // executedPlan (not sparkPlan): exchanges are only inserted by the
+  // EnsureRequirements preparation pass, and they're half of what we assert.
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("ANN / embedding-dedup plans contain no cartesian product") {
+    for (q <- Seq("sim_cosine_topk", "sim_ivf_probe", "sim_ivf_cells",
+                  "dedup_embedding_cosine")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan has a cartesian product:\n$p")
+      // the only nested-loop join allowed is the broadcast centroid pass
+      assert(!p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastExchange"), s"$q nested-loop without broadcast:\n$p")
+    }
+  }
+
+  test("text-dedup plans: no cartesian, bounded exchange count") {
+    for ((q, maxExchanges) <- Seq("dedup_minhash_lsh" -> 4, "dedup_ngram_jaccard" -> 4)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      val n = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(n <= maxExchanges,
+        s"$q has $n hash exchanges (max $maxExchanges) — a shared partitioning was lost:\n$p")
+    }
+  }
+
+  test("join_asof is the union/melt single-window plan - no join operator at all") {
+    val p = plan("join_asof")
+    assert(!p.contains("Join"), s"asof reintroduced a join:\n$p")
+    assert(p.contains("Union") && p.contains("Window"))
+  }
+
+  test("dimension joins broadcast (q3/q5/q10/pastebin lookup)") {
+    for (q <- Seq("q3_topk", "q5_join", "q10_returns", "ioc_pastebin_enrich")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast join:\n$p")
+    }
+  }
+
+  test("ETL scans prune columns: email pipeline reads only the used fields") {
+    val p = plan("ioc_email_etl")
+    // the documents scan feeding the synthesized email table must not drag
+    // unused columns (lang, embedding seed columns etc.) through the regex
+    // pipeline
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!readSchema.contains("lang"), s"unpruned scan: $readSchema")
+  }
+}
