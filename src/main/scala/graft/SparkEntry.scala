@@ -234,6 +234,7 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
+      operators.Salting.queries ++
       functions.TextStats.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -245,5 +246,6 @@ object SparkEntry {
       operators.Dedup.oracle ++
       operators.Similarity.oracle ++
       operators.Multimodal.oracle ++
+      operators.Salting.oracle ++
       functions.TextStats.oracle
 }

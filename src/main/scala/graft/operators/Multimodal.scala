@@ -71,6 +71,18 @@ object Multimodal {
           octet_length(to_binary(col("text"), lit("utf-8"))).cast("long").as("n_bytes"),
           sha2(col("text").cast("binary"), 256).as("sha256"),
           substring(hex(col("text").cast("binary")), 1, 8).as("magic")),
+        col("doc_id"))),
+
+    // the mapPartitions decode path as a first-class oracle query: payloads
+    // synthesized from text bytes, decoded partition-locally by the
+    // deterministic [[FakeDecoder]]; the oracle reproduces the decoder's
+    // byte-length arithmetic in SQL. Proves the executor-side plumbing
+    // (schema, encoder, batching) — swap the decoder for a codec and the
+    // query is a real image-metadata extractor.
+    "binary_decode" -> ((s, d) =>
+      Relational.sortedOnce(
+        decodeMeta(graft.sources.Tables.documents(s, d)
+          .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))),
         col("doc_id")))
   )
 
@@ -81,6 +93,15 @@ object Multimodal {
         |  sha256(text) AS sha256,
         |  upper(substr(hex(encode(text)), 1, 8)) AS magic
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "binary_decode" ->
+      """SELECT doc_id,
+        |  CAST(64 + n % 577 AS INTEGER) AS width,
+        |  CAST(64 + (n * 31) % 433 AS INTEGER) AS height,
+        |  CASE WHEN n % 3 = 0 THEN 'png' WHEN n % 3 = 1 THEN 'jpeg'
+        |       ELSE 'webp' END AS format,
+        |  CAST(n AS BIGINT) AS n_bytes
+        |FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
         |ORDER BY doc_id""".stripMargin
   )
 }

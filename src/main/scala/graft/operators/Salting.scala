@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.Tables
 
 /** Key-salting for skewed joins and aggregations — the manual fallback when
   * AQE's skew-join split isn't enough (e.g. one IOC value or one band hash
@@ -40,4 +41,27 @@ object Salting {
       .agg(sum(valueCol).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("total"))
+
+  /** Oracle-checked skew-proof aggregation: event values summed per
+    * event_type (LOW-cardinality key — exactly the shape where one reducer
+    * key melts at 100 TB) through the two-phase salted agg. The salt is
+    * engine-internal (Murmur3) and washes out in the final phase, so the
+    * oracle is the plain GROUP BY; decimal accumulation makes the result
+    * independent of how rows landed in salt groups. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_salted" -> ((s, d) =>
+      saltedSum(Tables.events(s, d), "event_type",
+          col("value").cast("decimal(12,2)"), col("event_id"), 8)
+        .select(col("event_type"), col("total").cast("double").as("total_value"))
+        .orderBy(col("event_type")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_salted" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+  )
 }
