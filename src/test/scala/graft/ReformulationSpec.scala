@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Engine-internal equivalence guards: every scale reformulation
+  * (melt-based as-of, in-array bucket pairs, postings-list Jaccard) is
+  * checked row-for-row against its naive Spark twin on real testdata —
+  * independent of the DuckDB oracle, so a dialect quirk can't mask a
+  * reformulation bug and vice versa.
+  */
+class ReformulationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def assertSameRows(fast: DataFrame, naive: DataFrame): Unit = {
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+      s"fast\\naive: ${fast.exceptAll(naive).count()}, naive\\fast: ${naive.exceptAll(fast).count()}")
+  }
+
+  test("melt as-of equals join + per-event top-1 window") {
+    val melt = SparkEntry.queries("join_asof")(spark, d)
+    val ev = Tables.events(spark, d).select(col("event_id"), col("user_id"), col("ts"))
+    val or = Tables.orders(spark, d)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id")).orderBy(col("o_orderdate").desc)
+    val naive = ev
+      .join(or, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        to_date(col("o_orderdate")).as("asof_orderdate"),
+        col("o_orderkey").as("asof_orderkey"))
+    assertSameRows(melt, naive)
+  }
+
+  test("minhash in-array bucket pairs equal the banded self-join") {
+    val fast = Dedup.queries("dedup_minhash_lsh")(spark, d)
+    val sh = Dedup.shingleRows(Tables.documents(spark, d))
+    val sig = sh.groupBy(col("doc_id")).agg(
+      min(md5(concat(lit("0:"), col("shingle")))).as("m0"),
+      (1 until Dedup.K).map(j =>
+        min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"m$j")): _*)
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until Dedup.Bands).map(b =>
+        md5(concat_ws("|", (0 until Dedup.Rows).map(r => col(s"m${b * Dedup.Rows + r}")): _*))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val a = banded.select(col("band"), col("band_hash"), col("doc_id").as("id1"))
+    val b = banded.select(col("band"), col("band_hash"), col("doc_id").as("id2"))
+    val naive = a.join(b, Seq("band", "band_hash")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    assertSameRows(fast, naive)
+  }
+
+  test("postings-list Jaccard equals the inverted-index self-join") {
+    val fast = Dedup.queries("dedup_ngram_jaccard")(spark, d)
+    val dfw = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val all = Dedup.shingleRows(Tables.documents(spark, d))
+    val sizes = all.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val capped = all.withColumn("df", count(lit(1)).over(dfw))
+      .filter(col("df") <= Dedup.MaxShingleDf).drop("df")
+    val withSz = capped.join(sizes, Seq("doc_id"))
+    val a = withSz.select(col("doc_id").as("id1"), col("sz").as("sz1"), col("shingle"))
+    val b = withSz.select(col("doc_id").as("id2"), col("sz").as("sz2"), col("shingle"))
+    val naive = a.join(b, Seq("shingle")).filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"), col("sz1"), col("sz2"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= Dedup.JaccardThreshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+    assertSameRows(fast, naive)
+  }
+
+  test("IVF-bucketed embedding dedup is a subset of brute-force pairs, with exact cosines") {
+    val fast = Dedup.queries("dedup_embedding_cosine")(spark, d)
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"), Similarity.normSq(col("embedding")).as("nsq"))
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nsq").as("n1"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nsq").as("n2"))
+    val brute = a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("cosine", Similarity.dot(col("e1"), col("e2")) / sqrt(col("n1") * col("n2")))
+      .filter(col("cosine") >= 0.3)
+      .select(col("id1"), col("id2"), col("cosine"))
+    // every emitted pair is a TRUE near-dup pair with the exact cosine
+    assert(fast.exceptAll(brute).isEmpty)
+    // and the cell restriction retains a usable share of the exact result
+    val (nFast, nBrute) = (fast.count(), brute.count())
+    assert(nFast > 0 && nFast * 10 >= nBrute,
+      s"IVF recall collapsed: $nFast of $nBrute brute-force pairs")
+  }
+}
