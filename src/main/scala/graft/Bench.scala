@@ -30,7 +30,10 @@ object Bench {
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
     // dev convenience: `runMain graft.Bench q1 q2` times only those queries;
-    // the driver's no-arg invocation is unchanged.
+    // the driver's no-arg invocation is unchanged. Unknown names fail fast —
+    // a typo silently matching nothing would read as a green run.
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap

@@ -159,11 +159,13 @@ object Dedup {
     // nearest coarse centroid (broadcast centroids, one narrow pass), then
     // generate candidate pairs ONLY within a cell and exact-verify the
     // cosine threshold. No cartesian product anywhere in the plan: the pair
-    // join shuffles on `cell`, whose fan-in is bounded by cell population
-    // (~64 vectors per cell with the %64 seeding), so the candidate volume
-    // is n·cellsize, not n². Recall is approximate (a near-dup pair split
-    // across cells is missed) — the documented ANN trade; the oracle mirrors
-    // the same cell restriction, so both engines agree exactly.
+    // join shuffles on `cell`, and candidate volume is n·cellsize where
+    // cellsize ≈ n / Similarity.MaxCentroids — bounded ONLY as long as the
+    // list count is sized to the corpus (see the MaxCentroids scaladoc: it
+    // is the IVF deployment knob, raised with n). Recall is approximate (a
+    // near-dup pair split across cells is missed) — the documented ANN
+    // trade; the oracle mirrors the same cell restriction, so both engines
+    // agree exactly.
     "dedup_embedding_cosine" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),

@@ -29,12 +29,15 @@ object Multimodal {
     def decode(bytes: Array[Byte]): MediaMeta
   }
 
-  /** Deterministic stand-in: derives metadata purely from the bytes. */
+  /** Deterministic stand-in: derives metadata purely from the bytes.
+    * Arithmetic is done in Long: `n * 31` overflows Int for payloads
+    * ≥ ~69 MB, which would yield a negative height and diverge from the
+    * BIGINT-computed oracle. */
   object FakeDecoder extends BinaryDecoder {
     def decode(bytes: Array[Byte]): MediaMeta = {
       val n = bytes.length
       val w = 64 + (n % 577)
-      val h = 64 + ((n * 31) % 433)
+      val h = 64 + ((n.toLong * 31) % 433).toInt
       val fmt = if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp"
       MediaMeta(w, h, fmt, n.toLong)
     }

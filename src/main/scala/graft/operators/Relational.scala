@@ -22,15 +22,17 @@ object Relational {
   /** Exact decimal accumulation → DOUBLE: bit-stable under any row order. */
   def dsum(c: Column): Column = sum(c.cast("decimal(12,2)")).cast("double")
 
-  /** Total-order a result whose lineage is a NARROW pipeline (no shuffle
-    * below the sort). A bare global sort range-samples its child to pick
-    * partition bounds, and when nothing below has materialized, the sample
-    * job runs the ENTIRE pipeline a second time — measured ~2× on the
-    * regex-heavy ETL queries. A round-robin exchange first writes the
-    * pipeline's output to shuffle files ONCE; the range sampler and the
-    * sort both re-read those files instead of recomputing. Queries whose
-    * plan already ends in an aggregation/shuffle don't need this — their
-    * sampler re-reads the last shuffle for free. */
+  /** Total-order a result whose expensive work would otherwise run twice:
+    * a bare global sort range-samples its child to pick partition bounds,
+    * and everything between the last MATERIALIZED exchange and the sort is
+    * re-executed by the sample job. That is the whole pipeline for narrow
+    * lineage (measured ~2× on the regex ETLs), and the window-function
+    * evaluation for window queries (a Window's output is never
+    * materialized — measured ~2× on window_nav/window_running too). A
+    * round-robin exchange first writes the finished output to shuffle
+    * files ONCE; the range sampler and the sort both re-read those files.
+    * Queries whose plan ends in an AGGREGATION don't need this — the agg
+    * result is small and its exchange sits directly under the sort. */
   def sortedOnce(df: DataFrame, keys: Column*): DataFrame =
     df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       .orderBy(keys: _*)

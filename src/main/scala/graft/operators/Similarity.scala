@@ -126,13 +126,17 @@ object Similarity {
     })
   )
 
-  /** Coarse-centroid cap: seeds are every 64th vector, BOUNDED to the first
-    * [[MaxCentroids]] — so centroid count stops growing with n and the
-    * assignment pass stays O(n · MaxCentroids), never O(n²/64). (A
-    * production IVF trains k-means centroids; deterministic seed-sampling
-    * keeps the oracle reproducible.) At the tested SFs max vec_id < 16384,
-    * so the cap is invisible to correctness. */
-  val MaxCentroids = 256
+  /** IVF list count (`nlist`): seeds are every 64th vector, BOUNDED to the
+    * first [[MaxCentroids]] — the assignment pass is O(n · MaxCentroids)
+    * and average cell population is n / MaxCentroids. nlist is the
+    * DEPLOYMENT KNOB of every IVF index: it must scale with corpus size
+    * (keep n/nlist ≈ the cell size you can afford to pair-join or probe —
+    * at 4096 lists a billion vectors still means ~250k-vector cells, so a
+    * 100 TB deployment raises it further / trains k-means offline;
+    * deterministic seed-sampling here keeps the oracle reproducible). At
+    * the tested SFs max vec_id < MaxCentroids·64, so the cap is invisible
+    * to correctness. */
+  val MaxCentroids = 4096
   private def seedsOf(e: DataFrame): DataFrame =
     e.filter(col("vec_id") % 64 === 0 && col("vec_id") < MaxCentroids * 64)
       .select(col("vec_id").as("sid"), col("embedding").as("se"), col("nsq").as("snsq"))

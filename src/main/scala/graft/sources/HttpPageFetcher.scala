@@ -16,22 +16,40 @@ object PastebinHtml {
 
   private val Item = """(?s)<li[^>]*>\s*<div[^>]*>(.*?)</div>""".r
   private val Tag = "<[^>]+>".r
+  private val IdAttr = """id\s*=\s*["']code_frame2["']""".r
+  private val OlTag = """(?i)<(/?)ol[\s>]""".r
 
-  /** `#code_frame2 ol > li > div` as a scoped scan: cut the document down
-    * to the span between the element carrying id="code_frame2" and its
-    * list's closing `</ol>`, then take each `<li><div>…</div>` item's text
-    * with inner tags stripped and basic entities unescaped (BeautifulSoup's
-    * `.text` behavior on this markup). */
+  /** `#code_frame2 ol > li > div` as a scoped scan: anchor on the actual
+    * id ATTRIBUTE (not any textual "code_frame2" — an `href="#code_frame2"`
+    * anchor or comment earlier in the page must not hijack the scope), take
+    * the first `<ol>` after it, and close the span at its MATCHING `</ol>`
+    * (nesting-aware, so a sub-list inside an item doesn't truncate the
+    * scan). Each `<li><div>…</div>` item's text is emitted with inner tags
+    * stripped and basic entities unescaped (BeautifulSoup's `.text`
+    * behavior on this markup). */
   def lines(html: String): Seq[String] = {
-    val at = html.indexOf("code_frame2")
-    if (at < 0) Seq.empty
-    else {
-      val tail = html.substring(at)
-      val end = tail.indexOf("</ol>")
-      val scoped = if (end >= 0) tail.substring(0, end) else tail
-      Item.findAllMatchIn(scoped)
-        .map(m => unescape(Tag.replaceAllIn(m.group(1), "")).trim)
-        .toList
+    IdAttr.findFirstMatchIn(html) match {
+      case None => Seq.empty
+      case Some(id) =>
+        val tail = html.substring(id.end)
+        val it = OlTag.findAllMatchIn(tail)
+        var depth = 0
+        var start = -1
+        var stop = -1
+        while (it.hasNext && stop < 0) {
+          val m = it.next()
+          if (m.group(1).isEmpty) { // <ol ...>
+            if (depth == 0) start = m.end
+            depth += 1
+          } else if (depth > 0) {   // </ol>
+            depth -= 1
+            if (depth == 0) stop = m.start
+          }
+        }
+        if (start < 0) Seq.empty
+        else Item.findAllMatchIn(tail.substring(start, if (stop >= 0) stop else tail.length))
+          .map(m => unescape(Tag.replaceAllIn(m.group(1), "")).trim)
+          .toList
     }
   }
 
@@ -57,5 +75,11 @@ final class HttpPageFetcher extends PageFetcher {
       val req = HttpRequest.newBuilder(URI.create(url))
         .timeout(Duration.ofSeconds(60)).GET().build()
       PastebinHtml.lines(client.send(req, BodyHandlers.ofString()).body())
-    } catch { case _: java.io.IOException => Seq.empty }
+    } catch {
+      // NonFatal, not just IOException: scraped URLs are routinely malformed
+      // (scheme-less, illegal chars) and URI.create/newBuilder throw
+      // IllegalArgumentException — a bad link must drop its page, not kill
+      // the task (deterministic input would fail every retry).
+      case scala.util.control.NonFatal(_) => Seq.empty
+    }
 }

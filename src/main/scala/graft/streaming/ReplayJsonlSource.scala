@@ -106,7 +106,15 @@ private class ReplayMicroBatchStream(path: String, maxPerBatch: Int)
         val p = partition.asInstanceOf[ReplayPartition]
         new PartitionReader[InternalRow] {
           private val src = scala.io.Source.fromFile(p.path)
-          private val it = src.getLines().drop(p.start.toInt)
+          // Long-safe skip: Iterator.drop takes an Int, and drop(negative)
+          // after truncation would silently re-read lines [0, n) — wrong
+          // data, no error — on a dump past 2^31 lines.
+          private val it = {
+            val lines = src.getLines()
+            var i = 0L
+            while (i < p.start && lines.hasNext) { lines.next(); i += 1 }
+            lines
+          }
           private var remaining = p.end - p.start
           private var cur: String = null
           override def next(): Boolean =

@@ -17,8 +17,12 @@ class ReformulationSpec extends AnyFunSuite {
   private val d = "/root/testdata/sf0.001"
 
   private def assertSameRows(fast: DataFrame, naive: DataFrame): Unit = {
-    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
-      s"fast\\naive: ${fast.exceptAll(naive).count()}, naive\\fast: ${naive.exceptAll(fast).count()}")
+    // counts only computed on failure — an eager assert clue would run two
+    // extra full exceptAll jobs on every passing call
+    val fn = fast.exceptAll(naive).count()
+    val nf = if (fn == 0) naive.exceptAll(fast).count() else -1L
+    if (fn != 0 || nf != 0)
+      fail(s"row mismatch: fast-minus-naive=$fn, naive-minus-fast=$nf")
   }
 
   test("melt as-of equals join + per-event top-1 window") {

@@ -127,6 +127,7 @@ class SinksAndSourcesSpec extends AnyFunSuite {
   test("PastebinHtml: #code_frame2 ol > li > div selection (firehose.py:74-80)") {
     val html =
       """<html><body>
+        |<a href="#code_frame2">jump</a><!-- code_frame2 decoy text -->
         |<div id="other"><ol><li><div>decoy</div></li></ol></div>
         |<div class="frame" id="code_frame2"><ol class="code">
         |  <li class="li1"><div class="de1">10.9.9.1</div></li>
@@ -135,9 +136,19 @@ class SinksAndSourcesSpec extends AnyFunSuite {
         |</ol></div>
         |<ol><li><div>after</div></li></ol>
         |</body></html>""".stripMargin
+    // the href/comment decoys BEFORE the real element must not hijack the
+    // scope: selection keys on the id ATTRIBUTE, not any textual occurrence
     assert(graft.sources.PastebinHtml.lines(html) ==
       Seq("10.9.9.1", "bad.host.com", "a & b <tag>"))
     assert(graft.sources.PastebinHtml.lines("<html>no frame</html>") == Seq.empty)
+    // a nested sub-list inside the frame must not truncate the outer scan
+    val nested =
+      """<div id="code_frame2"><ol>
+        |  <li><div>first</div></li>
+        |  <li><ol><li><div>inner</div></li></ol></li>
+        |  <li><div>last</div></li>
+        |</ol></div>""".stripMargin
+    assert(graft.sources.PastebinHtml.lines(nested).contains("last"))
   }
 
   test("SplunkConfig: load, key set-difference validation, endpoint build (h-isac.py:11-28)") {
