@@ -51,6 +51,36 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("new TPC-H shapes keep their intended join strategies") {
+    assert(plan("q4_exists").contains("LeftSemi"), "q4 lost its semi join")
+    assert(plan("q16_suppcnt").contains("LeftAnti"), "q16 lost its anti join")
+    // q18: the lineitem aggregation must sit BELOW the joins (only
+    // qualifying orders reach them), and customer must broadcast
+    val p18 = plan("q18_bigorders")
+    assert(p18.contains("BroadcastHashJoin"), "q18 lost its broadcast join")
+    assert(p18.indexOf("HashAggregate") > p18.indexOf("BroadcastHashJoin"),
+      "q18 agg no longer below the joins")
+  }
+
+  test("S2 incremental watermark predicate pushes down to the parquet scan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("emails_pq").toString
+    spark.range(100).select(
+      concat(lit("conv-"), col("id")).as("conversation_id"),
+      lit("s").as("sender"),
+      lit("Indicator update").as("subject"),
+      lit("ip: 10[.]0[.]0[.]1\n").as("body"),
+      to_timestamp(lit("2024-01-05 12:00:00")).as("received_time"))
+      .write.mode("overwrite").parquet(dir)
+    val q = pipeline.EmailPipeline(spark.read.parquet(dir), "2026-08-12",
+      sinceWatermark = Some("2024-01-01 00:00:00"))
+    val p = q.queryExecution.executedPlan.toString
+    // the reference's Items.Restrict (h-isac.py:152-153) must become a
+    // parquet-level pushed filter, not a post-scan one
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(received_time".r
+      .findFirstIn(p).isDefined, s"watermark not pushed to scan:\n$p")
+  }
+
   test("ETL scans prune columns: email pipeline reads only the used fields") {
     val p = plan("ioc_email_etl")
     // the documents scan feeding the synthesized email table must not drag
