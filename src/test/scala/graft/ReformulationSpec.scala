@@ -80,6 +80,28 @@ class ReformulationSpec extends AnyFunSuite {
     assertSameRows(fast, naive)
   }
 
+  test("IVF 2-probe top-k: exact cosines and a quantified recall floor vs brute force") {
+    val ann = Similarity.queries("sim_cosine_topk")(spark, d)
+      .select(col("qid"), col("nid"))
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"), Similarity.normSq(col("embedding")).as("nsq"))
+    val a = e.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nsq").as("qn"))
+    val b = e.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("nsq").as("nn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    val bruteTop = a.crossJoin(b).filter(col("qid") =!= col("nid"))
+      .withColumn("cosine", Similarity.dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= Similarity.TopK)
+      .select(col("qid"), col("nid"))
+    val nTrue = bruteTop.count()
+    val hit = ann.intersect(bruteTop).count()
+    val recall = hit.toDouble / nTrue
+    // 2 probes of ~8 cells scan ~25% of the corpus; on these random-ish
+    // embeddings that bounds expected recall — the floor documents the
+    // ANN trade quantitatively rather than hand-waving it
+    assert(recall >= 0.15, s"IVF top-k recall collapsed: $recall ($hit/$nTrue)")
+  }
+
   test("IVF-bucketed embedding dedup is a subset of brute-force pairs, with exact cosines") {
     val fast = Dedup.queries("dedup_embedding_cosine")(spark, d)
     val e = Tables.embeddings(spark, d)
