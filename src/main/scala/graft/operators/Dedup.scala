@@ -197,34 +197,126 @@ object Dedup {
     // (doc_id, shingle) is pure waste here — and the signature groupBy
     // reuses the doc_id partitioning the shingle window already produced,
     // so the whole signature computation runs in ONE shuffle.
-    "dedup_minhash_lsh" -> ((s, d) => {
-      val sh = shingleOccurrences(Tables.documents(s, d))
-      val sig = sh.groupBy(col("doc_id")).agg(
-        min(md5(concat(lit("0:"), col("shingle")))).as("m0"),
-        (1 until K).map(j =>
-          min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"m$j")): _*)
-      val banded = sig.select(col("doc_id"),
-        posexplode(array((0 until Bands).map(b =>
-          md5(concat_ws("|", (0 until Rows).map(r => col(s"m${b * Rows + r}")): _*))): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-      // Bucket members are gathered with ONE aggregation on (band, hash) and
-      // pairs are generated inside each bucket array — not via a banded⋈banded
-      // self-join, which would re-run the whole shingle+signature subtree for
-      // the second branch (Spark plans each self-join branch independently;
-      // this was half the query's round-1 cost). Buckets are near-dup
-      // clusters, so the arrays are tiny and the interpreted pair-HOF is
-      // negligible; a pathological giant bucket means near-identical docs,
-      // which dedup wants to surface anyway.
-      val buckets = banded.groupBy(col("band"), col("band_hash"))
-        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-      buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
-          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-            y => struct(x.as("id1"), y.as("id2")))))).as("p"))
-        .select(col("p.id1").as("id1"), col("p.id2").as("id2")).distinct()
+    "dedup_minhash_lsh" -> ((s, d) =>
+      minhashPairs(s, d).orderBy(col("id1"), col("id2"))),
+
+    // SimHash near-dup: 60-bit fingerprints banded into 4 × 15-bit chunks.
+    // By pigeonhole, any pair within Hamming distance 3 has at least one
+    // UNTOUCHED chunk, so the banded bucket join has PERFECT recall at this
+    // threshold (unlike MinHash banding, which is probabilistic) — the
+    // standard multi-index Hamming search. Candidate pairs are generated
+    // inside (band, chunk) buckets — never all-pairs — and verified with a
+    // single integer xor + popcount. Two shuffles total: the doc_id
+    // signature agg (same integer bit-sum shape as text_fingerprint) and
+    // the (band, chunk) bucket agg.
+    "dedup_simhash" -> ((s, d) => {
+      val hash60 = (t: Column) => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+      val bits = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(transform(graft.functions.TextStats.tokens(col("text")), hash60)).as("b"))
+      val sums = bits.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n"),
+        (1 to 60).map(p =>
+          sum(shiftright(col("b"), 60 - p).bitwiseAND(lit(1L))).as(s"c$p")): _*)
+      val fp = sums.select(col("doc_id"),
+        (1 to 60).map(p =>
+          when(col(s"c$p") * 2 > col("n"), lit(1L << (60 - p))).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
+      val banded = fp.select(col("doc_id"), col("sh"),
+        posexplode(array((0 until SimhashBands).map(b =>
+          shiftright(col("sh"), b * SimhashBandBits).bitwiseAND(lit(0x7FFFL))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+      val buckets = banded.groupBy(col("band"), col("chunk"))
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("sh")))).as("ms"))
+        .filter(size(col("ms")) > 1)
+      buckets.select(explode(flatten(transform(col("ms"), (x, i) =>
+          transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+            y => struct(x("doc_id").as("id1"), x("sh").as("sh1"),
+              y("doc_id").as("id2"), y("sh").as("sh2")))))).as("p"))
+        .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+          bit_count(col("p.sh1").bitwiseXOR(col("p.sh2"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= MaxHamming)
+        .distinct()
         .orderBy(col("id1"), col("id2"))
+    }),
+
+    // Near-dup CLUSTERING: connected components over the MinHash candidate
+    // graph, labeling every clustered document with its component's min
+    // doc_id (the canonical survivor a dedup pass keeps). Distributed
+    // min-label propagation with path shortcutting: each round takes the
+    // min over neighbor labels ∪ self, then composes the label map with
+    // itself (label(v) ← label(label(v))), which squares the propagation
+    // radius — R rounds cover components of diameter 2^R, so 5 rounds
+    // reach any plausible near-dup cluster. Every round is a node-keyed
+    // join + min agg: no driver-side union-find, no collect — the shape
+    // that runs on 1000 executors. Iterative lineage is CUT each round
+    // with localCheckpoint (every iterative Spark graph algorithm must:
+    // the label map is referenced 3× per round, so an uncut plan tree
+    // grows 3^R copies of the whole MinHash subtree — unoptimizable long
+    // before it's unexecutable); on a cluster this is executor-local
+    // storage, no driver collect.
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = minhashPairs(s, d).localCheckpoint()
+      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      var lbl = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to ClusterRounds) {
+        val prop = edges.join(lbl.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), col("lbl"))
+        val m = prop.unionByName(lbl).groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        // shortcut: follow each node's label to THAT node's label (labels
+        // are always members of the node set, so the inner join is total).
+        lbl = m.join(m.select(col("node").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
+          .select(col("node"), col("lbl2").as("lbl"))
+          .localCheckpoint()
+      }
+      lbl.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** SimHash banding: 4 bands × 15 bits over the 60-bit fingerprint; the
+    * Hamming radius 3 < number of bands, so banded candidate generation is
+    * exact by pigeonhole, not probabilistic. */
+  val SimhashBands = 4
+  val SimhashBandBits = 15
+  val MaxHamming = 3
+
+  /** Label-propagation rounds for `dedup_clusters` — with the shortcut step
+    * each round doubles reach: 2^5 = 32-hop component diameter bound. */
+  val ClusterRounds = 5
+
+  /** MinHash+LSH candidate pairs (id1 < id2, distinct) — the body of
+    * `dedup_minhash_lsh` sans final sort, shared with `dedup_clusters`.
+    *
+    * Bucket members are gathered with ONE aggregation on (band, hash) and
+    * pairs are generated inside each bucket array — not via a banded⋈banded
+    * self-join, which would re-run the whole shingle+signature subtree for
+    * the second branch (Spark plans each self-join branch independently;
+    * this was half the query's round-1 cost). Buckets are near-dup
+    * clusters, so the arrays are tiny and the interpreted pair-HOF is
+    * negligible; a pathological giant bucket means near-identical docs,
+    * which dedup wants to surface anyway.
+    */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleOccurrences(Tables.documents(s, d))
+    val sig = sh.groupBy(col("doc_id")).agg(
+      min(md5(concat(lit("0:"), col("shingle")))).as("m0"),
+      (1 until K).map(j =>
+        min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"m$j")): _*)
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b =>
+        md5(concat_ws("|", (0 until Rows).map(r => col(s"m${b * Rows + r}")): _*))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val buckets = banded.groupBy(col("band"), col("band_hash"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2")).distinct()
+  }
 
   private val sqlToks = "string_split(lower(text), ' ')"
   private val sqlShingles =
@@ -279,19 +371,62 @@ object Dedup {
          |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= $JaccardThreshold
          |ORDER BY id1, id2""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""WITH sig AS (
+      s"""WITH $minhashPairCtes
+         |SELECT id1, id2 FROM mh_pairs
+         |ORDER BY id1, id2""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+         |hashed AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+         |  FROM toks),
+         |bits AS (
+         |  SELECT doc_id, r.p,
+         |    SUM(CASE WHEN (h >> CAST(60 - r.p AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+         |  FROM hashed, range(1, 61) r(p) GROUP BY doc_id, r.p),
+         |shs AS (
          |  SELECT doc_id,
-         |    [list_aggregate([md5(CAST(j AS VARCHAR) || ':' || x) for x in s], 'min') for j in range(0, $K)] AS sig
-         |  FROM (SELECT doc_id, $sqlShingles AS s
-         |        FROM (SELECT doc_id, $sqlToks AS t FROM documents))),
+         |    CAST(SUM(CASE WHEN sgn > 0 THEN CAST(1 AS BIGINT) << CAST(60 - p AS INTEGER) ELSE 0 END) AS BIGINT) AS sh
+         |  FROM bits GROUP BY doc_id),
          |banded AS (
-         |  SELECT doc_id, b AS band,
-         |    md5(array_to_string(sig[b*$Rows+1:b*$Rows+$Rows], '|')) AS band_hash
-         |  FROM sig, range(0, $Bands) r(b))
-         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |FROM banded a
-         |JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
-         |  AND a.doc_id < b.doc_id
-         |ORDER BY id1, id2""".stripMargin
+         |  SELECT doc_id, sh, b, (sh >> CAST(b * $SimhashBandBits AS INTEGER)) & ${(1 << SimhashBandBits) - 1} AS chunk
+         |  FROM shs, range(0, $SimhashBands) r(b))
+         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= $MaxHamming
+         |ORDER BY id1, id2""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM mh_pairs
+         |  UNION ALL
+         |  SELECT id2, id1 FROM mh_pairs),
+         |reach(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst)
+         |SELECT node AS doc_id, MIN(lbl) AS cluster_id
+         |FROM reach GROUP BY node
+         |ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared DuckDB CTE chain ending in `mh_pairs(id1, id2)` — the MinHash
+    * banded candidate pairs, mirrored by [[minhashPairs]]. */
+  private def minhashPairCtes: String =
+    s"""sig AS (
+       |  SELECT doc_id,
+       |    [list_aggregate([md5(CAST(j AS VARCHAR) || ':' || x) for x in s], 'min') for j in range(0, $K)] AS sig
+       |  FROM (SELECT doc_id, $sqlShingles AS s
+       |        FROM (SELECT doc_id, $sqlToks AS t FROM documents))),
+       |mh_banded AS (
+       |  SELECT doc_id, b AS band,
+       |    md5(array_to_string(sig[b*$Rows+1:b*$Rows+$Rows], '|')) AS band_hash
+       |  FROM sig, range(0, $Bands) r(b)),
+       |mh_pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM mh_banded a
+       |  JOIN mh_banded b ON a.band = b.band AND a.band_hash = b.band_hash
+       |    AND a.doc_id < b.doc_id)""".stripMargin
 }

@@ -396,6 +396,106 @@ object Relational {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)),
 
+    // TPC-H Q6 shape: pure scan-filter-agg — the pushdown showcase. All
+    // four predicates reach the parquet scan (PushedFilters), the read
+    // schema is 4 columns, and the agg is one partial+final sum: no data
+    // shuffle at all, just a one-row exchange. At 100 TB this query's cost
+    // is bounded by I/O alone — with date-partitioned storage the scan
+    // prunes to one year of files before a single task launches.
+    "q6_forecast" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01") && col("l_shipdate") < lit("1999-01-01")
+          && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") * col("l_discount").cast("decimal(12,2)"))
+          .cast("double").as("revenue"))),
+
+    // TPC-H Q14 shape: one-month fact slice ⋈ broadcast dimension, then a
+    // conditional-aggregate ratio (promo revenue share). The date filter
+    // pushes to the scan, part broadcasts, and both sums come out of one
+    // hash agg — a single pass over the month.
+    "q14_promo" -> ((s, d) => {
+      val disc = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(new java.math.BigDecimal("1.00")) - col("l_discount").cast("decimal(12,2)"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-09-01") && col("l_shipdate") < lit("1998-10-01"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type").startsWith("PROMO"), disc)
+            .otherwise(lit(new java.math.BigDecimal("0.00")))).cast("double") /
+          sum(disc).cast("double")).as("promo_revenue"))
+    }),
+
+    // TPC-H Q15 shape: revenue-per-supplier over a quarter, keep the
+    // argmax. The global max is a zero-partition window over the (tiny,
+    // |suppliers|-row) aggregate — one extra single-partition exchange of
+    // that aggregate instead of re-running it for a scalar-subquery branch.
+    "q15_topsupp" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01") && col("l_shipdate") < lit("1998-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(revenue.as("total_revenue"))
+      rev
+        .withColumn("max_revenue",
+          max(col("total_revenue")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q17 shape: "below 20% of the part's average quantity". The
+    // brand filter semi-join-prunes lineitem FIRST (broadcast of the
+    // filtered part keys), so the per-part average aggregates only the
+    // brand's rows — the naive plan averages ALL parts and throws 96% of
+    // the agg away. Both consumers share the pruned slice; the only wide op
+    // is the partkey agg + join-back, keyed on the high-cardinality part key.
+    "q17_smallqty" -> ((s, d) => {
+      val pk = Tables.part(s, d).filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val avgq = li.groupBy(col("l_partkey"))
+        .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      li.join(avgq, Seq("l_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // TPC-H Q19 shape: disjunctive (OR-of-ANDs) join residual over
+    // part attributes × lineitem quantity bands. The dimension broadcasts;
+    // the disjunction stays a single codegen'd residual predicate — no
+    // union-of-three-joins rewrite, which would scan the fact three times.
+    "q19_disjoint" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30)))
+        .agg(revenue.as("revenue"))),
+
+    // TPC-H Q22 shape: scalar-average subquery + anti join. The average is
+    // a one-row broadcast (never a shuffle of customers against it); the
+    // anti join discards customers with any big order before the final
+    // per-nation rollup (the filter sits on the anti side's scan, so the
+    // build input is the small qualifying-orders slice). AVG is computed as
+    // exact-decimal SUM / COUNT so both engines agree bit-for-bit (a double
+    // AVG is accumulation-order-dependent).
+    "q22_idle" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000).select(col("o_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // grouped stats incl. exact distinct count (partial agg + distinct expand).
     "agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -621,6 +721,66 @@ object Relational {
         |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+    "q6_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q14_promo" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(12,2)))
+        |    ELSE 0.00 END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |  AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-10-01 00:00:00'""".stripMargin,
+    "q15_topsupp" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, $rev AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q17_smallqty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')),
+        |a AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  FROM li GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM li JOIN a USING (l_partkey)
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q19_disjoint" ->
+      s"""SELECT $rev AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_idle" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        |ab AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+        |  FROM cust WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM cust, ab
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,

@@ -60,6 +60,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p18.contains("BroadcastHashJoin"), "q18 lost its broadcast join")
     assert(p18.indexOf("HashAggregate") > p18.indexOf("BroadcastHashJoin"),
       "q18 agg no longer below the joins")
+    // q6: all four predicates must reach the parquet scan
+    val p6 = plan("q6_forecast")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*l_shipdate".r.findFirstIn(p6).isDefined
+      && p6.contains("l_quantity"), s"q6 predicates not pushed:\n$p6")
+    // q14/q19: part is a broadcast dimension; no cartesian anywhere
+    for (q <- Seq("q14_promo", "q19_disjoint", "q17_smallqty")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast dim join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+    // q17: the brand semi-prune must sit below the per-part average agg
+    val p17 = plan("q17_smallqty")
+    assert(p17.contains("LeftSemi"), "q17 lost its semi-prune")
+    // q22: the scalar average is a one-row broadcast, not a shuffle
+    val p22 = plan("q22_idle")
+    assert(p22.contains("BroadcastNestedLoopJoin") && p22.contains("BroadcastExchange"),
+      s"q22 scalar subquery no longer broadcasts:\n$p22")
+    assert(p22.contains("LeftAnti"), "q22 lost its anti join")
+  }
+
+  test("simhash dedup: no cartesian, bounded exchanges, integer banding") {
+    val p = plan("dedup_simhash")
+    assert(!p.contains("CartesianProduct"), s"dedup_simhash has a cartesian product")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 3, s"dedup_simhash has $n hash exchanges (max 3):\n$p")
   }
 
   test("S2 incremental watermark predicate pushes down to the parquet scan") {

@@ -102,6 +102,44 @@ class ReformulationSpec extends AnyFunSuite {
     assert(recall >= 0.15, s"IVF top-k recall collapsed: $recall ($hit/$nTrue)")
   }
 
+  test("simhash banded pairs equal brute-force Hamming pairs (pigeonhole exactness)") {
+    val fast = Dedup.queries("dedup_simhash")(spark, d)
+    // independent fingerprint: the interpreted aggregate()-fold bit-string
+    // simhash, converted to the integer form — cross-checks the 60-aggregate
+    // integer formulation AND the banding in one shot
+    val fp = Tables.documents(spark, d).select(col("doc_id"),
+      conv(graft.functions.TextStats.simhash(
+        graft.functions.TextStats.tokens(col("text"))), 2, 10).cast("long").as("sh"))
+    val a = fp.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val b = fp.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    val naive = a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("hamming",
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long"))
+      .filter(col("hamming") <= Dedup.MaxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+    // banding at radius MaxHamming < SimhashBands is EXACT, so equality,
+    // not subset
+    assertSameRows(fast, naive)
+  }
+
+  test("dedup_clusters labels match a driver-side union-find over the same pairs") {
+    val fast = Dedup.queries("dedup_clusters")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.minhashPairs(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    val expected = parent.keys.toSeq.map(n => n -> find(n)).toMap
+    assert(fast == expected, s"cluster labels diverge from union-find")
+  }
+
   test("IVF-bucketed embedding dedup is a subset of brute-force pairs, with exact cosines") {
     val fast = Dedup.queries("dedup_embedding_cosine")(spark, d)
     val e = Tables.embeddings(spark, d)
