@@ -64,6 +64,35 @@ object Multimodal {
       }(enc)
   }
 
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_ts_ms", LongType),
+    StructField("frame_sig", LongType)))
+
+  val MaxFrames = 8
+
+  /** Frame sampling: (id, payload) → one row per sampled frame, generated
+    * partition-locally (a real implementation seeks container keyframes;
+    * the deterministic fake derives frame count and per-frame signature
+    * from the byte length — Long arithmetic throughout, mirroring the
+    * BIGINT oracle). The flatMap-over-partitions shape is the executor-side
+    * generator a video pipeline needs: frames never round-trip through the
+    * driver, and the payload is read once per task. */
+  def sampleFrames(df: DataFrame, maxFrames: Int = MaxFrames): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameSchema)
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val n = r.getAs[Array[Byte]]("payload").length.toLong
+          val k = (1 + n % maxFrames).toInt
+          (0 until k).iterator.map { i =>
+            Row(r.getLong(0), i, i * 40L, (n * 1000003L + i * 7919L) % 1000000007L)
+          }
+        }
+      }(enc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary-column metadata over documents-as-payloads: the SQL-expressible
     // half of the multimodal surface (encode → binary, length, sha2 digest).
@@ -86,6 +115,31 @@ object Multimodal {
       Relational.sortedOnce(
         decodeMeta(graft.sources.Tables.documents(s, d)
           .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))),
+        col("doc_id"))),
+
+    // frame sampling as a first-class oracle query: one row per sampled
+    // frame, generated executor-side (mapPartitions flatMap — the
+    // generator shape). The oracle reproduces the fake sampler's BIGINT
+    // arithmetic with a bounded range join.
+    "binary_frames" -> ((s, d) =>
+      Relational.sortedOnce(
+        sampleFrames(graft.sources.Tables.documents(s, d)
+          .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))),
+        col("doc_id"), col("frame_idx"))),
+
+    // aspect-fit resize planning over decoded metadata: target box 224×224,
+    // integer arithmetic only (floats would round differently per engine).
+    // The decode runs partition-local; the resize math is a pure projection
+    // on the narrow typed columns — bytes never move.
+    "binary_resize" -> ((s, d) =>
+      Relational.sortedOnce(
+        decodeMeta(graft.sources.Tables.documents(s, d)
+          .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload")))
+          .withColumn("fit_w",
+            greatest(lit(1L), expr("(width * 224) div greatest(width, height)")))
+          .withColumn("fit_h",
+            greatest(lit(1L), expr("(height * 224) div greatest(width, height)")))
+          .select(col("doc_id"), col("width"), col("height"), col("fit_w"), col("fit_h")),
         col("doc_id")))
   )
 
@@ -105,6 +159,25 @@ object Multimodal {
         |       ELSE 'webp' END AS format,
         |  CAST(n AS BIGINT) AS n_bytes
         |FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "binary_frames" ->
+      s"""SELECT doc_id, CAST(r.i AS INTEGER) AS frame_idx,
+         |  CAST(r.i * 40 AS BIGINT) AS frame_ts_ms,
+         |  CAST((n * 1000003 + r.i * 7919) % 1000000007 AS BIGINT) AS frame_sig
+         |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+         |      FROM documents), range(0, $MaxFrames) r(i)
+         |WHERE r.i < 1 + n % $MaxFrames
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "binary_resize" ->
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |    CAST(64 + n % 577 AS INTEGER) AS width,
+        |    CAST(64 + (n * 31) % 433 AS INTEGER) AS height
+        |  FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents))
+        |SELECT doc_id, width, height,
+        |  greatest(1, CAST((width * 224) // greatest(width, height) AS BIGINT)) AS fit_w,
+        |  greatest(1, CAST((height * 224) // greatest(width, height) AS BIGINT)) AS fit_h
+        |FROM meta
         |ORDER BY doc_id""".stripMargin
   )
 }

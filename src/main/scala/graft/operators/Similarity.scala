@@ -102,6 +102,70 @@ object Similarity {
         .orderBy(col("cell"))
     }),
 
+    // Scalar int8 quantization of the embedding store — the 4× memory/IO
+    // reduction a 100 TB embedding corpus applies before anything else.
+    // Per-dimension [lo, hi] ranges come from ONE dim-keyed aggregation
+    // (64 rows → broadcast back); codes and reconstruction error are
+    // computed per (vector, dim) and reassembled with a vec-keyed agg whose
+    // error sum folds over the DIM-SORTED array — the same sequential-fold
+    // determinism contract as the dot product, so DuckDB's ordered
+    // list_sum reproduces it bit-for-bit.
+    "sim_sq_int8" -> ((s, d) => {
+      val dims = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .withColumn("x", col("xf").cast("double")).drop("xf")
+      val stats = dims.groupBy(col("dim"))
+        .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      val coded = dims.join(broadcast(stats), Seq("dim"))
+        .withColumn("code",
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 255), lit(255L))))
+        .withColumn("e",
+          col("x") - (col("lo") + (col("code").cast("double") + 0.5) * (col("hi") - col("lo")) / 256))
+      coded.groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("code"), col("e")))).as("vs"))
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("vs"), v => v("code").cast("string"))).as("codes"),
+          aggregate(transform(col("vs"), v => v("e") * v("e")), lit(0.0), (a, e) => a + e)
+            .as("sq_err"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Product-quantization ADC search through the IVF probes — the full
+    // 100 TB ANN stack (IVF-PQ): 8 subspaces × 8 dims, codebooks from the
+    // deterministic seed vectors, every vector encoded to 8 centroid ids
+    // (argmin per subspace), and each query scored against candidates from
+    // its 2 probed IVF cells by Asymmetric Distance Computation — the
+    // query⋈centroid distance table IS the lookup table, so scoring a
+    // candidate is 8 LUT fetches + a fold, never a full-dimension scan.
+    // The codes relation is 8 small ints per vector (the 32× compressed
+    // store PQ exists for); the LUT side is |queries|·8·K rows → broadcast.
+    // ADC sums fold over the SUBSPACE-SORTED array for cross-engine
+    // determinism.
+    "sim_pq_adc" -> ((s, d) => {
+      val dists = pqSubDists(s, d)
+      val codes = pqCodes(s, d)
+      val lut = dists.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("m"), col("sid"), col("dist"))
+      val cand = ivfProbes(s, d).filter(col("qid") < 20)
+        .join(ivfAssign(s, d), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"))
+      val adc = cand.join(codes, Seq("vec_id"))
+        .join(broadcast(lut), Seq("qid", "m", "sid"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("m"), col("dist")))).as("ds"))
+        .select(col("qid"), col("vec_id"),
+          aggregate(transform(col("ds"), x => x("dist")), lit(0.0), (a, v) => a + v)
+            .as("adc_dist"))
+      val byQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("adc_dist"), col("vec_id"))
+      adc.withColumn("rank", row_number().over(byQ).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vec_id").as("nid"), col("adc_dist"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // IVF probe search, narrowed to a demo query set (vec_id < 20): the
     // same machinery as sim_cosine_topk but top-3 — kept as the
     // cell-inspection query. The qid filter sits above the probe window on
@@ -137,6 +201,51 @@ object Similarity {
     * the tested SFs max vec_id < MaxCentroids·64, so the cap is invisible
     * to correctness. */
   val MaxCentroids = 4096
+
+  /** PQ geometry: [[PqM]] subspaces × [[PqSub]] dims (= the 64-dim
+    * embedding), codebook of ≤ [[PqK]] centroids per subspace taken from
+    * the deterministic seed vectors. K scales with corpus size like
+    * [[MaxCentroids]]; at 64 dims, 8×4-bit codes store a vector in 8
+    * bytes — 32× under float32. */
+  val PqM = 8
+  val PqSub = 8
+  val PqK = 16
+
+  /** Subvector slice m (0-based) of a full embedding. */
+  private[graft] def pqSlice(v: Column, m: Column): Column =
+    slice(v, m * PqSub + 1, lit(PqSub))
+
+  private def pqL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val dd = x.cast("double") - y.cast("double"); dd * dd
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** PQ codebook: the deterministic seed vectors, one row per seed. */
+  private[graft] def pqSeeds(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") % 64 === 0 && col("vec_id") < PqK * 64)
+      .select(col("vec_id").as("sid"), col("embedding").as("se"))
+
+  /** (vector, subspace) × broadcast codebook squared distances — one
+    * narrow pass; doubles as the encode input and the query LUT. */
+  private[graft] def pqSubDists(s: SparkSession, d: String): DataFrame = {
+    val vsub = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+      .select(col("vec_id"), col("m"), pqSlice(col("embedding"), col("m")).as("vs"))
+    vsub.crossJoin(broadcast(pqSeeds(s, d)))
+      .select(col("vec_id"), col("m"), col("sid"),
+        pqL2(col("vs"), pqSlice(col("se"), col("m"))).as("dist"))
+  }
+
+  /** PQ encoding: each vector's nearest centroid id per subspace. */
+  private[graft] def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val wmin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("m")).orderBy(col("dist"), col("sid"))
+    pqSubDists(s, d)
+      .withColumn("rn", row_number().over(wmin)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("sid"))
+  }
+
   private def seedsOf(e: DataFrame): DataFrame =
     e.filter(col("vec_id") % 64 === 0 && col("vec_id") < MaxCentroids * 64)
       .select(col("vec_id").as("sid"), col("embedding").as("se"), col("nsq").as("snsq"))
@@ -236,6 +345,70 @@ object Similarity {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
            |  FROM cands)
            |WHERE rank <= $TopK
+           |ORDER BY qid, rank""".stripMargin),
+    "sim_sq_int8" ->
+      """WITH dims AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |stats AS (
+        |  SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM dims GROUP BY dim),
+        |coded AS (
+        |  SELECT vec_id, d.dim, x, lo, hi,
+        |    CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+        |         ELSE least(CAST(floor((x - lo) / (hi - lo) * 255) AS BIGINT), 255) END AS code
+        |  FROM dims d JOIN stats s ON d.dim = s.dim),
+        |errs AS (
+        |  SELECT vec_id, dim, code,
+        |    x - (lo + (CAST(code AS DOUBLE) + 0.5) * (hi - lo) / 256) AS e
+        |  FROM coded)
+        |SELECT vec_id,
+        |  array_to_string(list(code ORDER BY dim), ',') AS codes,
+        |  list_sum(list(e * e ORDER BY dim)) AS sq_err
+        |FROM errs
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
+    "sim_pq_adc" ->
+      (s"WITH $ivfCtes,\n" +
+        s"""seeds_pq AS (
+           |  SELECT vec_id AS sid, embedding AS se FROM embeddings
+           |  WHERE vec_id % 64 = 0 AND vec_id < ${PqK * 64}),
+           |vsub AS (
+           |  SELECT vec_id, CAST(r.m AS INTEGER) AS m, embedding
+           |  FROM embeddings, range(0, $PqM) r(m)),
+           |dists_pq AS (
+           |  SELECT v.vec_id, v.m, s.sid,
+           |    list_sum([(CAST(v.embedding[v.m*$PqSub+i] AS DOUBLE) - CAST(s.se[v.m*$PqSub+i] AS DOUBLE))
+           |              * (CAST(v.embedding[v.m*$PqSub+i] AS DOUBLE) - CAST(s.se[v.m*$PqSub+i] AS DOUBLE))
+           |              for i in range(1, $PqSub + 1)]) AS dist
+           |  FROM vsub v CROSS JOIN seeds_pq s),
+           |codes AS (
+           |  SELECT vec_id, m, sid FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, sid) AS rn
+           |    FROM dists_pq)
+           |  WHERE rn = 1),
+           |lut AS (
+           |  SELECT vec_id AS qid, m, sid, dist FROM dists_pq WHERE vec_id < 20),
+           |probes_pq AS (
+           |  SELECT vec_id AS qid, sid AS cell FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+           |    FROM dists WHERE vec_id < 20)
+           |  WHERE rn <= 2),
+           |cand AS (
+           |  SELECT p.qid, a.vec_id
+           |  FROM probes_pq p JOIN assign a ON a.cell = p.cell
+           |  WHERE a.vec_id <> p.qid),
+           |adc AS (
+           |  SELECT c.qid, c.vec_id,
+           |    list_sum(list(l.dist ORDER BY l.m)) AS adc_dist
+           |  FROM cand c
+           |  JOIN codes k ON k.vec_id = c.vec_id
+           |  JOIN lut l ON l.qid = c.qid AND l.m = k.m AND l.sid = k.sid
+           |  GROUP BY c.qid, c.vec_id)
+           |SELECT qid, vec_id AS nid, adc_dist, rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
+           |  FROM adc)
+           |WHERE rank <= 3
            |ORDER BY qid, rank""".stripMargin),
     "sim_lsh_buckets" ->
       s"""WITH signed AS (

@@ -80,6 +80,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p22.contains("LeftAnti"), "q22 lost its anti join")
   }
 
+  test("quantization plans: codebook broadcasts, no cartesian product") {
+    for (q <- Seq("sim_pq_adc", "sim_sq_int8")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(p.contains("BroadcastExchange"),
+        s"$q lost its broadcast (codebook / dim-stats):\n$p")
+    }
+  }
+
   test("simhash dedup: no cartesian, bounded exchanges, integer banding") {
     val p = plan("dedup_simhash")
     assert(!p.contains("CartesianProduct"), s"dedup_simhash has a cartesian product")

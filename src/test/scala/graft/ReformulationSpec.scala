@@ -140,6 +140,40 @@ class ReformulationSpec extends AnyFunSuite {
     assert(fast == expected, s"cluster labels diverge from union-find")
   }
 
+  test("PQ ADC distance equals the exact distance to the code-reconstructed vector") {
+    val d01 = "/root/testdata/sf0.01" // sf0.001 has a single seed → degenerate codebook
+    val adc = Similarity.queries("sim_pq_adc")(spark, d01)
+      .select(col("qid"), col("nid"), col("adc_dist"))
+    // independent path: decode each vector's codes back to centroid
+    // subvectors, concatenate them in subspace order, and take the FULL
+    // 64-dim squared distance query→reconstruction — definitionally what
+    // ADC's per-subspace LUT sum computes
+    val seeds = Similarity.pqSeeds(spark, d01)
+    val recon = Similarity.pqCodes(spark, d01).join(seeds, Seq("sid"))
+      .select(col("vec_id"), col("m"), Similarity.pqSlice(col("se"), col("m")).as("cs"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(array_sort(collect_list(struct(col("m"), col("cs")))),
+        x => x("cs"))).as("rv"))
+    val q = Tables.embeddings(spark, d01)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val expect = adc.select(col("qid"), col("nid"))
+      .join(q, Seq("qid"))
+      .join(recon.withColumnRenamed("vec_id", "nid"), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        aggregate(zip_with(col("qe"), col("rv"), (x, y) => {
+          val dd = x.cast("double") - y.cast("double"); dd * dd
+        }), lit(0.0), (a, v) => a + v).as("full_dist"))
+    val joined = adc.join(expect, Seq("qid", "nid")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (a, f) = (r.getAs[Double]("adc_dist"), r.getAs[Double]("full_dist"))
+      // per-subspace partial sums vs one flat fold: same value up to
+      // re-association rounding
+      assert(math.abs(a - f) <= 1e-9 * math.max(1.0, math.abs(f)),
+        s"ADC ${a} != reconstruction distance ${f} for (${r.get(0)}, ${r.get(1)})")
+    }
+  }
+
   test("IVF-bucketed embedding dedup is a subset of brute-force pairs, with exact cosines") {
     val fast = Dedup.queries("dedup_embedding_cosine")(spark, d)
     val e = Tables.embeddings(spark, d)
