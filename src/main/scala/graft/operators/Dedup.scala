@@ -255,26 +255,44 @@ object Dedup {
     // grows 3^R copies of the whole MinHash subtree — unoptimizable long
     // before it's unexecutable); on a cluster this is executor-local
     // storage, no driver collect.
-    "dedup_clusters" -> ((s, d) => {
-      val pairs = minhashPairs(s, d).localCheckpoint()
-      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-        .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      var lbl = edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl"))
-      for (_ <- 1 to ClusterRounds) {
-        val prop = edges.join(lbl.withColumnRenamed("node", "src"), Seq("src"))
-          .select(col("dst").as("node"), col("lbl"))
-        val m = prop.unionByName(lbl).groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        // shortcut: follow each node's label to THAT node's label (labels
-        // are always members of the node set, so the inner join is total).
-        lbl = m.join(m.select(col("node").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
-          .select(col("node"), col("lbl2").as("lbl"))
-          .localCheckpoint()
-      }
-      lbl.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
-        .orderBy(col("doc_id"))
-    })
+    "dedup_clusters" -> ((s, d) =>
+      clusterLabels(s, d).orderBy(col("doc_id"))),
+
+    // The dedup APPLICATION: which documents survive near-dup removal —
+    // every unclustered document plus each cluster's canonical (min
+    // doc_id) member — reported as per-language total/kept counts. The
+    // left join is doc-keyed; the label side is only the clustered docs
+    // (small), so at scale it broadcasts and the scan stays narrow.
+    "dedup_keep" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(clusterLabels(s, d), Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("cluster_id").isNull || col("cluster_id") === col("doc_id"), true))
+            .as("n_kept"))
+        .orderBy(col("lang")))
   )
+
+  /** Connected-component labels (doc_id → min doc_id of its component)
+    * over [[minhashPairs]] — the body of `dedup_clusters` sans sort. */
+  def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairs(s, d).localCheckpoint()
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    var lbl = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to ClusterRounds) {
+      val prop = edges.join(lbl.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("lbl"))
+      val m = prop.unionByName(lbl).groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      // shortcut: follow each node's label to THAT node's label (labels
+      // are always members of the node set, so the inner join is total).
+      lbl = m.join(m.select(col("node").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
+        .select(col("node"), col("lbl2").as("lbl"))
+        .localCheckpoint()
+    }
+    lbl.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
 
   /** SimHash banding: 4 bands × 15 bits over the 60-bit fingerprint; the
     * Hamming radius 3 < number of bands, so banded candidate generation is
@@ -398,19 +416,33 @@ object Dedup {
          |WHERE bit_count(xor(a.sh, b.sh)) <= $MaxHamming
          |ORDER BY id1, id2""".stripMargin,
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashPairCtes,
-         |edges AS (
-         |  SELECT id1 AS src, id2 AS dst FROM mh_pairs
-         |  UNION ALL
-         |  SELECT id2, id1 FROM mh_pairs),
-         |reach(node, lbl) AS (
-         |  SELECT DISTINCT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst)
-         |SELECT node AS doc_id, MIN(lbl) AS cluster_id
-         |FROM reach GROUP BY node
-         |ORDER BY doc_id""".stripMargin
+      (s"WITH RECURSIVE $minhashPairCtes,\n$clusterCtes\n" +
+        """SELECT doc_id, cluster_id FROM labels
+          |ORDER BY doc_id""".stripMargin),
+    "dedup_keep" ->
+      (s"WITH RECURSIVE $minhashPairCtes,\n$clusterCtes\n" +
+        """SELECT lang, COUNT(*) AS n_total,
+          |  COUNT(CASE WHEN l.cluster_id IS NULL OR l.cluster_id = d.doc_id
+          |             THEN 1 END) AS n_kept
+          |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+          |GROUP BY lang
+          |ORDER BY lang""".stripMargin)
   )
+
+  /** Recursive-CTE connected components over `mh_pairs` → `labels(doc_id,
+    * cluster_id)`, mirroring [[clusterLabels]]. */
+  private def clusterCtes: String =
+    """edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM mh_pairs
+      |  UNION ALL
+      |  SELECT id2, id1 FROM mh_pairs),
+      |reach(node, lbl) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+      |labels AS (
+      |  SELECT node AS doc_id, MIN(lbl) AS cluster_id
+      |  FROM reach GROUP BY node)""".stripMargin
 
   /** Shared DuckDB CTE chain ending in `mh_pairs(id1, id2)` — the MinHash
     * banded candidate pairs, mirrored by [[minhashPairs]]. */

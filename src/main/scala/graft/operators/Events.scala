@@ -62,6 +62,29 @@ object Events {
           col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("wstart"), col("event_type"))),
 
+    // Sequential-pattern funnel (MATCH_RECOGNIZE-lite): per user, the
+    // earliest view, the earliest click AFTER that view, and the earliest
+    // purchase AFTER that click — the canonical 3-step conversion funnel.
+    // Three user-keyed aggregations, each a single shuffle on the
+    // high-cardinality user key with the step filter pushed to the scan;
+    // left joins keep users who stall mid-funnel (stage counts them).
+    "events_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+            + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("stage"))
+        .orderBy(col("user_id"))
+    }),
+
     // JSON field projection + aggregation (from_json/get_json_object, S5).
     "events_json" -> ((s, d) =>
       Tables.events(s, d)
@@ -111,6 +134,28 @@ object Events {
         |FROM expanded
         |GROUP BY 1, 2, 3
         |ORDER BY wstart, event_type""".stripMargin,
+    "events_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT ev.user_id, MIN(ts) AS t_click
+        |  FROM ev JOIN v ON v.user_id = ev.user_id
+        |  WHERE event_type = 'click' AND ts > t_view
+        |  GROUP BY ev.user_id),
+        |p AS (
+        |  SELECT ev.user_id, MIN(ts) AS t_purchase
+        |  FROM ev JOIN c ON c.user_id = ev.user_id
+        |  WHERE event_type = 'purchase' AND ts > t_click
+        |  GROUP BY ev.user_id)
+        |SELECT v.user_id, t_view, t_click, t_purchase,
+        |  CAST(1 + CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin,
     "events_json" ->
       """SELECT event_type,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
