@@ -53,7 +53,23 @@ object Salting {
       saltedSum(Tables.events(s, d), "event_type",
           col("value").cast("decimal(12,2)"), col("event_id"), 8)
         .select(col("event_type"), col("total").cast("double").as("total_value"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // Z-order key computation over (user, hour) — the multi-dimensional
+    // layout key [[graft.sinks.ParquetSink.writeZOrdered]] clusters 100 TB
+    // event logs by. Pure integer shift/mask algebra → bit-identical in
+    // both engines; the row-group pruning win the key exists for is
+    // asserted against real parquet footers in ScaleOpsSpec.
+    "zorder_key" -> ((s, d) => {
+      // integer µs→hour arithmetic (a double division would round, and
+      // DuckDB's epoch() is DOUBLE — epoch_us // is the exact twin)
+      val hb = expr("((unix_micros(ts) div 1000000) div 3600) % 65536")
+      Relational.sortedOnce(Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          hb.as("hour_bucket"),
+          graft.sinks.ParquetSink.zvalue(col("user_id").cast("long"), hb).as("zval")),
+        col("zval"), col("event_id"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -62,6 +78,18 @@ object Salting {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+    "zorder_key" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id,
+        |    ((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 3600) % 65536 AS hour_bucket
+        |  FROM events)
+        |SELECT event_id, user_id, hour_bucket,
+        |  CAST(list_sum([
+        |    ((CAST(user_id AS BIGINT) >> i) & 1) * (CAST(1 AS BIGINT) << (2*i)) +
+        |    ((hour_bucket >> i) & 1) * (CAST(1 AS BIGINT) << (2*i+1))
+        |    for i in range(0, 16)]) AS BIGINT) AS zval
+        |FROM base
+        |ORDER BY zval, event_id""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Columnar IOC store — what replaces the reference's CSV/KV stores as the
   * system of record at scale. Hive-partitioned by `date_added` and `type`
@@ -31,4 +32,28 @@ object ParquetSink {
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+
+  /** Morton (Z-order) interleave of the low 16 bits of two Long columns —
+    * pure integer Column algebra (32 shift/mask terms, fully codegen'd,
+    * no UDF). Sorting a write by this key clusters BOTH dimensions at
+    * once, so parquet row-group min/max stats prune two-dimensional box
+    * predicates — the layout lever for a 100 TB event log queried by
+    * (user, time): a time-sorted file prunes only time, a Z-sorted file
+    * prunes the product. Pruning win asserted against real parquet
+    * footers in ScaleOpsSpec. */
+  def zvalue(a: Column, b: Column): Column =
+    (0 until 16).map(i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      .reduce(_ + _)
+
+  /** Z-sorted parquet write: range-partition on [[zvalue]] then sort within
+    * partitions — the distributed global sort (no single-task bottleneck);
+    * each output file covers a contiguous Z range. */
+  def writeZOrdered(df: DataFrame, path: String, a: String, b: String): Unit =
+    df.withColumn("__z", zvalue(col(a), col(b)))
+      .repartitionByRange(col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 }

@@ -89,6 +89,13 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("events_funnel: user-keyed aggregations only, no cartesian") {
+    val p = plan("events_funnel")
+    assert(!p.contains("CartesianProduct"), s"funnel has a cartesian product:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 6, s"funnel has $n hash exchanges (max 6) — user partitioning lost:\n$p")
+  }
+
   test("simhash dedup: no cartesian, bounded exchanges, integer banding") {
     val p = plan("dedup_simhash")
     assert(!p.contains("CartesianProduct"), s"dedup_simhash has a cartesian product")

@@ -174,6 +174,24 @@ class ReformulationSpec extends AnyFunSuite {
     }
   }
 
+  test("scalar quantization: codes in [0,255], per-vector error within the analytic bound") {
+    val rows = Similarity.queries("sim_sq_int8")(spark, d).collect()
+    assert(rows.nonEmpty)
+    // worst per-dim |error| for this (floor-on-255, dequant-on-256) grid is
+    // (k+128.5)/65280·range at k=255 ≈ range/170; use range/128 headroom
+    val stats = Tables.embeddings(spark, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg((max(col("x")) - min(col("x"))).as("range"))
+      .collect().map(r => math.pow(r.getAs[Float]("range") / 128.0, 2)).sum
+    rows.foreach { r =>
+      val codes = r.getAs[String]("codes").split(",").map(_.toInt)
+      assert(codes.length == 64 && codes.forall(c => c >= 0 && c <= 255))
+      val err = r.getAs[Double]("sq_err")
+      assert(err >= 0 && err <= stats,
+        s"vec ${r.get(0)}: sq_err $err exceeds analytic bound $stats")
+    }
+  }
+
   test("IVF-bucketed embedding dedup is a subset of brute-force pairs, with exact cosines") {
     val fast = Dedup.queries("dedup_embedding_cosine")(spark, d)
     val e = Tables.embeddings(spark, d)

@@ -21,6 +21,58 @@ class ScaleOpsSpec extends AnyFunSuite {
   private lazy val dim = Seq(("hot", "H"), ("key1", "A"), ("key3", "B"))
     .toDF("k", "label")
 
+  test("Z-ordered layout prunes 2-dim box predicates better than time-sorted") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+
+    // 40k rows over a 256-user × 256-hour grid
+    val ev = spark.range(40000).select(
+      col("id").as("event_id"),
+      (col("id") * 7919 % 256).as("user_id"),
+      (col("id") * 104729 % 256).as("hour_bucket"))
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    def writeSmallGroups(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+      df.coalesce(1).write
+        .option("parquet.block.size", 16 * 1024)
+        .option("parquet.page.size", 4 * 1024)
+        .mode("overwrite").parquet(path)
+    writeSmallGroups(
+      ev.withColumn("__z", graft.sinks.ParquetSink.zvalue(col("user_id"), col("hour_bucket")))
+        .sort(col("__z")).drop("__z"), s"$base/zsorted")
+    writeSmallGroups(ev.sort(col("hour_bucket")), s"$base/timesorted")
+
+    // count row groups whose (user_id, hour_bucket) min/max stats overlap
+    // the box — exactly the footer-stats test a parquet reader applies
+    def overlapping(dir: String, uLo: Long, uHi: Long, hLo: Long, hHi: Long): (Int, Int) = {
+      val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet"))
+      val blocks = files.toList.flatMap { f =>
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f.getPath), new Configuration()))
+        try r.getFooter.getBlocks.asScala.toList finally r.close()
+      }
+      def hits(b: org.apache.parquet.hadoop.metadata.BlockMetaData): Boolean = {
+        val stats = b.getColumns.asScala.map(c => c.getPath.toDotString -> c.getStatistics).toMap
+        def within(name: String, lo: Long, hi: Long): Boolean = {
+          val st = stats(name)
+          val mn = st.genericGetMin.asInstanceOf[Number].longValue
+          val mx = st.genericGetMax.asInstanceOf[Number].longValue
+          mx >= lo && mn <= hi
+        }
+        within("user_id", uLo, uHi) && within("hour_bucket", hLo, hHi)
+      }
+      (blocks.count(hits), blocks.size)
+    }
+    val (zHit, zTotal) = overlapping(s"$base/zsorted", 32, 63, 32, 63)
+    val (tHit, tTotal) = overlapping(s"$base/timesorted", 32, 63, 32, 63)
+    assert(zTotal >= 8 && tTotal >= 8, s"too few row groups to test pruning ($zTotal/$tTotal)")
+    // a 1/8 × 1/8 box: time-sorted prunes one dimension, Z-sorted both
+    assert(zHit.toDouble / zTotal < tHit.toDouble / tTotal,
+      s"Z-order did not prune better: z=$zHit/$zTotal time=$tHit/$tTotal")
+  }
+
   test("saltedJoin equals the plain join on skewed data") {
     val plain = skewed.join(dim, Seq("k")).select("k", "uid", "label")
     val salted = Salting.saltedJoin(skewed, dim, Seq("k"), col("uid"), factor = 8)
