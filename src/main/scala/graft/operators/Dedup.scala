@@ -274,22 +274,36 @@ object Dedup {
   )
 
   /** Connected-component labels (doc_id → min doc_id of its component)
-    * over [[minhashPairs]] — the body of `dedup_clusters` sans sort. */
+    * over [[minhashPairs]] — the body of `dedup_clusters` sans sort.
+    *
+    * Runs to CONVERGENCE (no label changed), not a fixed round count: with
+    * the shortcut step radius doubles per round, so rounds ≈ log2(largest
+    * component diameter) — 2-3 on real near-dup graphs. The change count
+    * rides the round's localCheckpoint materialization (labels are tiny
+    * relative to the corpus), and [[ClusterRounds]]·4 bounds the loop
+    * against a pathological chain. */
   def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashPairs(s, d).localCheckpoint()
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
     var lbl = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to ClusterRounds) {
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < ClusterRounds * 4) {
       val prop = edges.join(lbl.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("lbl"))
       val m = prop.unionByName(lbl).groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
       // shortcut: follow each node's label to THAT node's label (labels
       // are always members of the node set, so the inner join is total).
-      lbl = m.join(m.select(col("node").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
+      val next = m.join(m.select(col("node").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
         .select(col("node"), col("lbl2").as("lbl"))
         .localCheckpoint()
+      changed = next.join(lbl.withColumnRenamed("lbl", "prev"), Seq("node"))
+        .filter(col("lbl") =!= col("prev")).count()
+      lbl = next
+      rounds += 1
     }
     lbl.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
@@ -301,8 +315,9 @@ object Dedup {
   val SimhashBandBits = 15
   val MaxHamming = 3
 
-  /** Label-propagation rounds for `dedup_clusters` — with the shortcut step
-    * each round doubles reach: 2^5 = 32-hop component diameter bound. */
+  /** Base round budget for `dedup_clusters` convergence: the loop stops
+    * when no label changes, hard-capped at 4× this (2^20-hop diameter —
+    * unreachable for any real near-dup graph). */
   val ClusterRounds = 5
 
   /** MinHash+LSH candidate pairs (id1 < id2, distinct) — the body of
