@@ -235,6 +235,7 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       operators.Salting.queries ++
+      operators.Sampling.queries ++
       functions.TextStats.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -247,5 +248,6 @@ object SparkEntry {
       operators.Similarity.oracle ++
       operators.Multimodal.oracle ++
       operators.Salting.oracle ++
+      operators.Sampling.oracle ++
       functions.TextStats.oracle
 }
