@@ -447,8 +447,11 @@ object Relational {
     // brand filter semi-join-prunes lineitem FIRST (broadcast of the
     // filtered part keys), so the per-part average aggregates only the
     // brand's rows — the naive plan averages ALL parts and throws 96% of
-    // the agg away. Both consumers share the pruned slice; the only wide op
-    // is the partkey agg + join-back, keyed on the high-cardinality part key.
+    // the agg away. Spark plans the two `li` consumers independently, so
+    // the pruned scan+semi-join executes twice — the scale-correct trade
+    // (each pass reads only the brand's ~4% slice; materializing it would
+    // cost executor storage at 100 TB). The only wide op is the partkey
+    // agg + join-back, keyed on the high-cardinality part key.
     "q17_smallqty" -> ((s, d) => {
       val pk = Tables.part(s, d).filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
       val li = Tables.lineitem(s, d)
@@ -465,6 +468,8 @@ object Relational {
     // part attributes × lineitem quantity bands. The dimension broadcasts;
     // the disjunction stays a single codegen'd residual predicate — no
     // union-of-three-joins rewrite, which would scan the fact three times.
+    // (Brand literals follow THIS testdata's domain, Brand#1..Brand#25 —
+    // all three arms match rows; real TPC-H uses two-digit Brand#MN.)
     "q19_disjoint" -> ((s, d) =>
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))

@@ -223,7 +223,7 @@ object Similarity {
   /** PQ codebook: the deterministic seed vectors, one row per seed. */
   private[graft] def pqSeeds(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .filter(col("vec_id") % 64 === 0 && col("vec_id") < PqK * 64)
+      .filter(isSeed(PqK))
       .select(col("vec_id").as("sid"), col("embedding").as("se"))
 
   /** (vector, subspace) × broadcast codebook squared distances — one
@@ -246,8 +246,14 @@ object Similarity {
       .select(col("vec_id"), col("m"), col("sid"))
   }
 
+  /** The one seed-selection convention (every-64th vector, capped) shared
+    * by the IVF centroid set and the PQ codebook — a single definition so
+    * the two can never silently drift apart. */
+  private def isSeed(cap: Int): Column =
+    col("vec_id") % 64 === 0 && col("vec_id") < cap * 64
+
   private def seedsOf(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") % 64 === 0 && col("vec_id") < MaxCentroids * 64)
+    e.filter(isSeed(MaxCentroids))
       .select(col("vec_id").as("sid"), col("embedding").as("se"), col("nsq").as("snsq"))
 
   /** Exact L2 distance of every vector to every (broadcast) centroid —

@@ -49,11 +49,13 @@ object ParquetSink {
 
   /** Z-sorted parquet write: range-partition on [[zvalue]] then sort within
     * partitions — the distributed global sort (no single-task bottleneck);
-    * each output file covers a contiguous Z range. */
-  def writeZOrdered(df: DataFrame, path: String, a: String, b: String): Unit =
+    * each output file covers a contiguous Z range. `writerOptions` passes
+    * parquet knobs (block/page size) straight to the writer. */
+  def writeZOrdered(df: DataFrame, path: String, a: String, b: String,
+                    writerOptions: Map[String, String] = Map.empty): Unit =
     df.withColumn("__z", zvalue(col(a), col(b)))
       .repartitionByRange(col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
+      .write.options(writerOptions).mode("overwrite").parquet(path)
 }

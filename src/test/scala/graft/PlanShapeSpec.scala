@@ -60,10 +60,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p18.contains("BroadcastHashJoin"), "q18 lost its broadcast join")
     assert(p18.indexOf("HashAggregate") > p18.indexOf("BroadcastHashJoin"),
       "q18 agg no longer below the joins")
-    // q6: all four predicates must reach the parquet scan
+    // q6: all four predicates must reach the parquet scan — each column
+    // asserted INSIDE the PushedFilters line, not anywhere in the plan
+    // (no closing-bracket anchor: Spark truncates long plan strings)
     val p6 = plan("q6_forecast")
-    assert("PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*l_shipdate".r.findFirstIn(p6).isDefined
-      && p6.contains("l_quantity"), s"q6 predicates not pushed:\n$p6")
+    val pushed6 = "PushedFilters: \\[[^\\n]*".r.findFirstIn(p6).getOrElse("")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed6.contains(c), s"q6 $c not pushed to scan: $pushed6")
     // q14/q19: part is a broadcast dimension; no cartesian anywhere
     for (q <- Seq("q14_promo", "q19_disjoint", "q17_smallqty")) {
       val p = plan(q)

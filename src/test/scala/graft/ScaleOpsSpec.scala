@@ -34,15 +34,14 @@ class ScaleOpsSpec extends AnyFunSuite {
       (col("id") * 7919 % 256).as("user_id"),
       (col("id") * 104729 % 256).as("hour_bucket"))
     val base = java.nio.file.Files.createTempDirectory("zorder").toString
-    def writeSmallGroups(df: org.apache.spark.sql.DataFrame, path: String): Unit =
-      df.coalesce(1).write
-        .option("parquet.block.size", 16 * 1024)
-        .option("parquet.page.size", 4 * 1024)
-        .mode("overwrite").parquet(path)
-    writeSmallGroups(
-      ev.withColumn("__z", graft.sinks.ParquetSink.zvalue(col("user_id"), col("hour_bucket")))
-        .sort(col("__z")).drop("__z"), s"$base/zsorted")
-    writeSmallGroups(ev.sort(col("hour_bucket")), s"$base/timesorted")
+    val smallGroups = Map(
+      "parquet.block.size" -> (16 * 1024).toString,
+      "parquet.page.size" -> (4 * 1024).toString)
+    // the PRODUCTION write path, not a hand-rolled twin
+    graft.sinks.ParquetSink.writeZOrdered(ev, s"$base/zsorted",
+      "user_id", "hour_bucket", smallGroups)
+    ev.sort(col("hour_bucket")).write.options(smallGroups)
+      .mode("overwrite").parquet(s"$base/timesorted")
 
     // count row groups whose (user_id, hour_bucket) min/max stats overlap
     // the box — exactly the footer-stats test a parquet reader applies
