@@ -326,6 +326,24 @@ object Relational {
         col("o_custkey"), col("o_orderkey"))
     }),
 
+    // ranking-function family over each customer's order history — rank
+    // semantics under ties, plus the distribution functions. percent_rank
+    // = (rank−1)/(n−1) and cume_dist = rows≤current/n are exact ratios of
+    // small integers, so the doubles agree bit-for-bit across engines.
+    // Same single-shuffle shape as window_nav: one exchange on the
+    // high-cardinality customer key.
+    "window_ranks" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      sortedOnce(Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist")),
+        col("o_custkey"), col("o_orderkey"))
+    }),
+
     // date/time feature extraction (training-data timestamp featurization).
     "time_features" -> ((s, d) =>
       sortedOnce(Tables.orders(s, d).select(
@@ -715,6 +733,15 @@ object Relational {
         |  NTILE(4) OVER w AS quartile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_ranks" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        |  PERCENT_RANK() OVER w AS prnk,
+        |  CUME_DIST() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "time_features" ->
       """SELECT o_orderkey,
