@@ -60,13 +60,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p18.contains("BroadcastHashJoin"), "q18 lost its broadcast join")
     assert(p18.indexOf("HashAggregate") > p18.indexOf("BroadcastHashJoin"),
       "q18 agg no longer below the joins")
-    // q6: all four predicates must reach the parquet scan — each column
-    // asserted INSIDE the PushedFilters line, not anywhere in the plan
-    // (no closing-bracket anchor: Spark truncates long plan strings)
+    // q6: all four RANGE predicates must reach the parquet scan — asserted
+    // as the actual pushed-filter tokens inside the PushedFilters bracket
+    // (TestSpark raises maxMetadataStringLength so the list isn't
+    // truncated; a bare column-name check would match ReadSchema and pass
+    // even with pushdown disabled)
     val p6 = plan("q6_forecast")
-    val pushed6 = "PushedFilters: \\[[^\\n]*".r.findFirstIn(p6).getOrElse("")
-    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
-      assert(pushed6.contains(c), s"q6 $c not pushed to scan: $pushed6")
+    val pushed6 = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(p6).getOrElse("")
+    for (tok <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                    "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+                    "LessThan(l_quantity"))
+      assert(pushed6.contains(tok), s"q6 predicate $tok not pushed to scan: $pushed6")
     // q14/q19: part is a broadcast dimension; no cartesian anywhere
     for (q <- Seq("q14_promo", "q19_disjoint", "q17_smallqty")) {
       val p = plan(q)

@@ -11,6 +11,9 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // default 100-char metadata truncation hides most of a scan's
+    // PushedFilters list — PlanShapeSpec asserts on its full contents
+    .config("spark.sql.maxMetadataStringLength", "2000")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
