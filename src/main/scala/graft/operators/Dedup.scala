@@ -242,7 +242,10 @@ object Dedup {
 
     // Near-dup CLUSTERING: connected components over the MinHash candidate
     // graph, labeling every clustered document with its component's min
-    // doc_id (the canonical survivor a dedup pass keeps). Distributed
+    // doc_id (the canonical survivor a dedup pass keeps). NOTE: unlike
+    // every other queries entry, this builder EXECUTES jobs eagerly (the
+    // convergence loop + checkpoints cannot be expressed as one lazy
+    // plan) — the returned DataFrame is the final labels. Distributed
     // min-label propagation with path shortcutting: each round takes the
     // min over neighbor labels ∪ self, then composes the label map with
     // itself (label(v) ← label(label(v))), which squares the propagation
@@ -294,7 +297,11 @@ object Dedup {
     while (changed > 0 && rounds < ClusterRounds * 4) {
       val prop = edges.join(lbl.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("lbl"))
+      // checkpoint m BEFORE the self-join below: both branches reference
+      // it, and Spark replans self-join branches independently — uncut,
+      // the prop-join + min agg would execute twice per round
       val m = prop.unionByName(lbl).groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
       // shortcut: follow each node's label to THAT node's label (labels
       // are always members of the node set, so the inner join is total).
       val next = m.join(m.select(col("node").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
@@ -305,6 +312,9 @@ object Dedup {
       lbl = next
       rounds += 1
     }
+    // superseded label maps stay in block storage until session end —
+    // acceptable: they are per-round copies of the PAIR-GRAPH labels
+    // (KBs..MBs at any corpus size), not corpus-sized data
     lbl.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
