@@ -45,10 +45,19 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the LAST ~2000 chars of output and JSON-parses
+    // the result line from that tail; full-precision doubles over ~70 queries
+    // made the line ~2800 chars in round 2 and it was truncated (parsed:null).
+    // 2-decimal values keep the line ~1600 chars. If the inventory ever grows
+    // past the budget, drop to 1 decimal rather than overflow the tail.
+    def fmtLine(prec: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + s"%.${prec}f".format(v) }
+        .mkString("{", ",", "}")
+      val total = "%.2f".format(results.map(_._2).sum)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val line = { val l2 = fmtLine(2); if (l2.length <= 1800) l2 else fmtLine(1) }
+    println(line)
     spark.stop()
   }
 }
