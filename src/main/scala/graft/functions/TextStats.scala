@@ -86,6 +86,80 @@ object TextStats {
         .orderBy(col("doc_id"))
     }),
 
+    // composite quality score (Gopher-style heuristic filters): character-
+    // class ratios + stopword density + a length component, combined into
+    // one bounded score with a keep/drop verdict. Per-row Column algebra —
+    // shuffle-free, one scan at any corpus size. All ratios are IEEE
+    // divisions of exact integer counts and the combination is written in
+    // the same association order on both engines, so the doubles (and the
+    // keep cut) are bit-stable cross-engine.
+    "text_quality" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nToks = size(toks)
+      val stopR = countIn(toks, stopEn).cast("double") / nToks
+      val punctR = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("double") / length(col("text"))
+      val digitR = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+        .cast("double") / length(col("text"))
+      val score =
+        lit(0.4) * least(stopR * lit(5.0), lit(1.0)) +
+        lit(0.3) * greatest(lit(0.0), lit(1.0) - punctR * lit(5.0)) +
+        lit(0.3) * least(nToks.cast("double") / lit(100.0), lit(1.0))
+      graft.operators.Relational.sortedOnce(
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          nToks.cast("long").as("n_tokens"),
+          stopR.as("stop_ratio"),
+          punctR.as("punct_ratio"),
+          digitR.as("digit_ratio"),
+          score.as("quality"),
+          (score >= 0.5 && nToks >= 10).as("keep")),
+        col("doc_id"))
+    }),
+
+    // corpus vocabulary / heavy hitters: global token frequencies with
+    // document frequency, top 50. Two-stage hash agg (map-side partials
+    // absorb the Zipf head before the shuffle — the "the" key arrives at
+    // its reducer as ONE partial row per task, not a row per occurrence),
+    // so the skewed key never concentrates data movement.
+    "text_vocab" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occur"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occur").desc, col("token"))
+        .limit(50)),
+
+    // TF-IDF top terms per document. Doc length rides the explode (no
+    // second pass over text); term frequency is one (doc,token) agg; the
+    // document-frequency table is vocabulary-sized (one more agg + join on
+    // token — Zipf-skewed on the probe side, where AQE skew-split applies);
+    // a per-doc window takes the top 5. The weight is the RATIONAL idf
+    // variant (tf/len)·(N/df) — products of exactly-rounded IEEE divisions
+    // of integers, so Spark and DuckDB agree bit-for-bit (ln-idf is a
+    // drop-in at deployment, traded away here only for cross-engine
+    // hash-stability of the oracle gate).
+    "text_tfidf" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).as("doc_len"),
+          explode(tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("doc_len"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+      tf.join(df, Seq("token")).crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          (col("tf").cast("double") / col("doc_len")) *
+          (col("n_docs").cast("double") / col("df")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("score"), col("rn"))
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
     // winnowing fingerprints (MOSS-style): hash every word-3-gram, slide a
     // 4-window over consecutive hashes, keep each window's minimum — the
     // classic robust-fingerprint selection; near-identical documents share
@@ -164,6 +238,50 @@ object TextStats {
          |       ELSE 'de' END AS predicted
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    len($sqlToks) AS n_tokens,
+         |    CAST(${sqlCountIn(stopEn)} AS DOUBLE) / len($sqlToks) AS stop_ratio,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)) AS DOUBLE) / length(text) AS punct_ratio,
+         |    CAST(len(regexp_extract_all(text, '[0-9]', 0)) AS DOUBLE) / length(text) AS digit_ratio
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, stop_ratio, punct_ratio, digit_ratio,
+         |  0.4 * least(stop_ratio * 5.0, 1.0)
+         |    + 0.3 * greatest(0.0, 1.0 - punct_ratio * 5.0)
+         |    + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS quality,
+         |  (0.4 * least(stop_ratio * 5.0, 1.0)
+         |    + 0.3 * greatest(0.0, 1.0 - punct_ratio * 5.0)
+         |    + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)) >= 0.5
+         |    AND n_tokens >= 10 AS keep
+         |FROM base
+         |ORDER BY doc_id""".stripMargin,
+    "text_vocab" ->
+      s"""SELECT token, COUNT(*) AS n_occur, COUNT(DISTINCT doc_id) AS n_docs
+         |FROM (SELECT doc_id, unnest($sqlToks) AS token FROM documents)
+         |GROUP BY token
+         |ORDER BY n_occur DESC, token
+         |LIMIT 50""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, len($sqlToks) AS doc_len, unnest($sqlToks) AS token
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, doc_len, token, COUNT(*) AS tf
+         |  FROM toks GROUP BY 1, 2, 3),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |    (CAST(tf.tf AS DOUBLE) / tf.doc_len) * (CAST(nd.n_docs AS DOUBLE) / df.df) AS score
+         |  FROM tf JOIN df USING (token), nd),
+         |ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, token) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT doc_id, token, tf, df, score, rn
+         |FROM ranked WHERE rn <= 5
+         |ORDER BY doc_id, rn""".stripMargin,
     "text_winnowing" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,

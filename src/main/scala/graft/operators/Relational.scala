@@ -519,6 +519,141 @@ object Relational {
         .orderBy(col("c_nationkey"))
     }),
 
+    // TPC-H Q7 shape: bilateral trade volume between two nations. Each
+    // fact is nation-pruned BEFORE the fact⋈fact join — supplier keys of
+    // the two nations broadcast-prune lineitem, customer keys prune
+    // orders — so the orderkey shuffle moves only the two nations' slices
+    // (the naive plan shuffles both full facts, then throws away ~92% of
+    // the pairs). The residual pair-direction filter is a cheap codegen
+    // predicate after the join.
+    "q7_volume" -> ((s, d) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val su = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name").isin(pair: _*))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cu = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name").isin(pair: _*))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      val o = Tables.orders(s, d)
+        .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter((col("supp_nation") === pair(0) && col("cust_nation") === pair(1)) ||
+                (col("supp_nation") === pair(1) && col("cust_nation") === pair(0)))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(revenue.as("volume"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8 shape: one nation's market share inside a region's customer
+    // base, per order year — a conditional-sum ratio over a snowflake join.
+    // Every dimension side broadcasts (region-filtered customers, STANDARD
+    // parts, supplier+nation); the only wide op is the lineitem⋈orders
+    // orderkey shuffle, with lineitem pre-pruned by the part broadcast.
+    // Numerator and denominator come out of ONE hash agg as exact decimals.
+    "q8_share" -> ((s, d) => {
+      val disc = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(new java.math.BigDecimal("1.00")) - col("l_discount").cast("decimal(12,2)"))
+      val cu = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val su = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "STANDARD")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).join(broadcast(cu), col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_5", disc)
+            .otherwise(lit(new java.math.BigDecimal("0.00")))).cast("double") /
+          sum(disc).cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q9 shape (adapted): per-nation product profit by year. The
+    // testdata has no partsupp, so cost is proxied by the part's retail
+    // price (amount = disc revenue − 10% of retailprice × quantity) — the
+    // join/agg structure is Q9's exactly: two broadcast dimensions into
+    // lineitem, the orderkey fact⋈fact shuffle for the year, then a
+    // (nation, year) hash agg on exact decimals.
+    "q9_profit" -> ((s, d) => {
+      val amount =
+        col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(new java.math.BigDecimal("1.00")) - col("l_discount").cast("decimal(12,2)")) -
+        col("p_retailprice").cast("decimal(12,2)") *
+          col("l_quantity").cast("decimal(12,2)") * lit(new java.math.BigDecimal("0.10"))
+      val su = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_name").contains("widget"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11 shape (adapted): value-concentration — parts whose traded
+    // value exceeds a fixed fraction of the corpus total (no partsupp in
+    // the testdata, so value is lineitem discounted revenue). The global
+    // total is a one-row broadcast against the per-part aggregate — the
+    // scalar-subquery shape without re-running the heavy agg; both engines
+    // compare the same IEEE product total×1e-4, so the cut is bit-stable.
+    "q11_important" -> ((s, d) => {
+      val perPart = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(revenue.as("part_value"))
+      val total = perPart.agg(dsum(col("part_value")).as("total_value"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("part_value") > col("total_value") * lit(0.0001))
+        .select(col("l_partkey"), col("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q21 shape (adapted): suppliers who were the SOLE late shipper
+    // in a multi-supplier order (late = shipped >30 days after the order
+    // date; the testdata has no commit/receipt dates). The classic EXISTS/
+    // NOT-EXISTS double self-join collapses into ONE per-order aggregation:
+    // count distinct suppliers, count distinct late suppliers, keep orders
+    // with n_supp>1 ∧ n_late=1, then count per culprit supplier — two
+    // shuffles total (orderkey, suppkey), no self-join of the fact against
+    // itself, which at 100 TB would double-scan lineitem twice over.
+    "q21_waiting" -> ((s, d) => {
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS")
+      val perOrder = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(late, col("l_suppkey"))).as("n_late"),
+          min(when(late, col("l_suppkey"))).as("late_supp"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+      perOrder.groupBy(col("late_supp"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, d)), col("late_supp") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // grouped stats incl. exact distinct count (partial agg + distinct expand).
     "agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -813,6 +948,82 @@ object Relational {
         |    WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    "q7_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  year(l_shipdate) AS l_year, $rev AS volume
+         |FROM lineitem
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |GROUP BY 1, 2, 3
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  CAST(SUM(CASE WHEN n1.n_name = 'NATION_5'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(12,2)))
+        |    ELSE 0.00 END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |  AS mkt_share
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n2.n_regionkey
+        |WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+        |GROUP BY 1
+        |ORDER BY o_year""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(12,2)))
+        |    - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * 0.10) AS DOUBLE)
+        |  AS sum_profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS part_value
+        |  FROM lineitem GROUP BY l_partkey),
+        |t AS (
+        |  SELECT CAST(SUM(CAST(part_value AS DECIMAL(12,2))) AS DOUBLE) AS total_value FROM pv)
+        |SELECT l_partkey, part_value
+        |FROM pv, t
+        |WHERE part_value > total_value * 0.0001
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q21_waiting" ->
+      """WITH per_order AS (
+        |  SELECT o_orderkey,
+        |    COUNT(DISTINCT l_suppkey) AS n_supp,
+        |    COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |                        THEN l_suppkey END) AS n_late,
+        |    MIN(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |             THEN l_suppkey END) AS late_supp
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY o_orderkey)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM per_order
+        |JOIN supplier ON s_suppkey = late_supp
+        |WHERE n_supp > 1 AND n_late = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,

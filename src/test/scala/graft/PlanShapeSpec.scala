@@ -87,6 +87,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p22.contains("LeftAnti"), "q22 lost its anti join")
   }
 
+  test("round-3 TPC-H shapes: broadcast dims, pruned facts, no cartesian") {
+    // q7/q8/q9: every dimension side broadcasts; the only shuffle join is
+    // the lineitem⋈orders orderkey join
+    for (q <- Seq("q7_volume", "q8_share", "q9_profit")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast dims:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      val n = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(n <= 3, s"$q has $n hash exchanges — a fact side stopped broadcasting:\n$p")
+    }
+    // q11: the global total is a one-row broadcast against the per-part agg
+    val p11 = plan("q11_important")
+    assert(p11.contains("BroadcastNestedLoopJoin") && p11.contains("BroadcastExchange"),
+      s"q11 scalar total no longer broadcasts:\n$p11")
+    // q21: ONE per-order aggregation — the EXISTS/NOT-EXISTS double
+    // self-join formulation would scan lineitem three times
+    val p21 = plan("q21_waiting")
+    val scans = "Scan parquet".r.findAllIn(p21).size
+    assert(scans <= 3, s"q21 scans $scans tables — lineitem self-join reintroduced:\n$p21")
+    assert(!p21.contains("CartesianProduct"), "q21 has a cartesian product")
+  }
+
+  test("text corpus ops: bounded exchanges, no cartesian") {
+    for ((q, maxEx) <- Seq("text_tfidf" -> 5, "text_vocab" -> 3)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      val n = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(n <= maxEx, s"$q has $n hash exchanges (max $maxEx):\n$p")
+    }
+    // text_quality is per-row algebra: no hash exchange at all before the sort
+    val pq = plan("text_quality")
+    assert(!"Exchange hashpartitioning".r.findAllIn(pq).hasNext,
+      s"text_quality gained a shuffle — per-row algebra lost:\n$pq")
+  }
+
   test("quantization plans: codebook broadcasts, no cartesian product") {
     for (q <- Seq("sim_pq_adc", "sim_sq_int8")) {
       val p = plan(q)
