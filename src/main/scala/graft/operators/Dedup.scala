@@ -64,10 +64,42 @@ object Dedup {
   def shingleRows(docs: DataFrame): DataFrame =
     shingleOccurrences(docs).distinct()
 
-  /** MinHash signature: K lexicographic minima of md5(j:shingle). */
+  /** Two 32-bit halves of md5(x) — seeds of the multiplicative MinHash
+    * family h_j(x) = ((C_j·h1) mod 2³¹) + ((D_j·h2) mod 2³¹). ONE digest
+    * per shingle instead of one per (shingle × signature index): the
+    * md5-per-j family cost K=12 digests per occurrence row and dominated
+    * the signature aggregation. The multiply gives per-j avalanche —
+    * plain h1 + j·h2 (and xor-rotate) leave consecutive-j minima
+    * correlated, which inflated band collisions ~7× (a shingle small in
+    * both halves stays minimal across a whole band). Products are
+    * < 2³¹·2³² = 2⁶³, so the arithmetic overflows in neither engine
+    * (DuckDB BIGINT ops are checked, not wrapping; Java longs hold 2⁶³−1). */
+  def mhashH1(x: Column): Column = conv(substring(md5(x), 1, 8), 16, 10).cast("long")
+  def mhashH2(x: Column): Column = conv(substring(md5(x), 9, 8), 16, 10).cast("long")
+
+  /** Per-index odd 31-bit multiplier pairs (C_j, D_j) — fixed constants so
+    * signatures are deterministic and the DuckDB oracle reproduces them. */
+  val MhashCD: Seq[(Long, Long)] = Seq(
+    (1373158607L, 239081665L), (53710185L, 1592467583L),
+    (590620973L, 525901257L), (479341425L, 299655413L),
+    (1581559893L, 220106709L), (1453201079L, 1590571867L),
+    (1915941033L, 1171165723L), (186699715L, 1268073013L),
+    (906070221L, 68252795L), (63989049L, 201209007L),
+    (469521479L, 499635469L), (1085242217L, 1292825379L))
+
+  private val M31 = 0x7FFFFFFFL
+
+  /** The j-th family member over precomputed halves. */
+  def mhash(j: Int, h1: Column, h2: Column): Column =
+    (lit(MhashCD(j)._1) * h1).bitwiseAND(lit(M31)) +
+      (lit(MhashCD(j)._2) * h2).bitwiseAND(lit(M31))
+
+  /** MinHash signature: K minima of the family over a shingle array
+    * (HOF reference formulation; the production path in [[minhashPairs]]
+    * is the codegen explode+agg twin — equality asserted in OperatorsSpec). */
   def minhashSig(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(sh, x => md5(concat(j.cast("string"), lit(":"), x)))))
+    array((0 until k).map(j =>
+      array_min(transform(sh, x => mhash(j, mhashH1(x), mhashH2(x))))): _*)
 
   val K = 12        // signature length
   val Rows = 3      // rows per band
@@ -365,14 +397,19 @@ object Dedup {
     memoized("mh_pairs", s, d)(computeMinhashPairs(s, d).localCheckpoint())
 
   private def computeMinhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleOccurrences(Tables.documents(s, d))
-    val sig = sh.groupBy(col("doc_id")).agg(
-      min(md5(concat(lit("0:"), col("shingle")))).as("m0"),
+    // md5 evaluated ONCE per occurrence row in this projection; the K
+    // signature minima below are integer multiply-adds over its halves.
+    val hashed = shingleOccurrences(Tables.documents(s, d))
+      .select(col("doc_id"),
+        mhashH1(col("shingle")).as("h1"), mhashH2(col("shingle")).as("h2"))
+    val sig = hashed.groupBy(col("doc_id")).agg(
+      min(mhash(0, col("h1"), col("h2"))).as("m0"),
       (1 until K).map(j =>
-        min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"m$j")): _*)
+        min(mhash(j, col("h1"), col("h2"))).as(s"m$j")): _*)
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b =>
-        md5(concat_ws("|", (0 until Rows).map(r => col(s"m${b * Rows + r}")): _*))): _*)))
+        md5(concat_ws("|", (0 until Rows).map(r =>
+          col(s"m${b * Rows + r}").cast("string")): _*))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val buckets = banded.groupBy(col("band"), col("band_hash"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
@@ -496,7 +533,9 @@ object Dedup {
   private def minhashPairCtes: String =
     s"""sig AS (
        |  SELECT doc_id,
-       |    [list_aggregate([md5(CAST(j AS VARCHAR) || ':' || x) for x in s], 'min') for j in range(0, $K)] AS sig
+       |    [${MhashCD.map { case (c, dd) =>
+             s"list_min([(($c * CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) & 2147483647) + (($dd * CAST(('0x' || substr(md5(x), 9, 8)) AS BIGINT)) & 2147483647) for x in s])"
+           }.mkString(",\n     ")}] AS sig
        |  FROM (SELECT doc_id, $sqlShingles AS s
        |        FROM (SELECT doc_id, $sqlToks AS t FROM documents))),
        |mh_banded AS (

@@ -30,11 +30,11 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fast.except(slow).count() == 0 && slow.except(fast).count() == 0)
   }
 
-  test("minhash signature: K entries, stable across row order") {
+  test("minhash signature: K entries, in the linear family's value range") {
     val sig = Seq("x y z w").toDF("text")
       .select(Dedup.minhashSig(Dedup.shingles(TextStats.tokens(col("text"))), Dedup.K).as("m"))
-      .head().getSeq[String](0)
-    assert(sig.size == Dedup.K && sig.forall(_.length == 32))
+      .head().getSeq[Long](0)
+    assert(sig.size == Dedup.K && sig.forall(v => v >= 0L && v < (1L << 32)))
   }
 
   test("identical docs collide in every MinHash band; disjoint docs in none") {
@@ -42,7 +42,7 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "one two three four")).toDF("doc_id", "text")
     val sig = docs.select(col("doc_id"),
       Dedup.minhashSig(Dedup.shingles(TextStats.tokens(col("text"))), Dedup.K).as("m"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sig(1L) == sig(2L))
     assert(sig(1L) != sig(3L))
   }

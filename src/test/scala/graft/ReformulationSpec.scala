@@ -46,12 +46,13 @@ class ReformulationSpec extends AnyFunSuite {
     val fast = Dedup.queries("dedup_minhash_lsh")(spark, d)
     val sh = Dedup.shingleRows(Tables.documents(spark, d))
     val sig = sh.groupBy(col("doc_id")).agg(
-      min(md5(concat(lit("0:"), col("shingle")))).as("m0"),
+      min(Dedup.mhash(0, Dedup.mhashH1(col("shingle")), Dedup.mhashH2(col("shingle")))).as("m0"),
       (1 until Dedup.K).map(j =>
-        min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"m$j")): _*)
+        min(Dedup.mhash(j, Dedup.mhashH1(col("shingle")), Dedup.mhashH2(col("shingle")))).as(s"m$j")): _*)
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until Dedup.Bands).map(b =>
-        md5(concat_ws("|", (0 until Dedup.Rows).map(r => col(s"m${b * Dedup.Rows + r}")): _*))): _*)))
+        md5(concat_ws("|", (0 until Dedup.Rows).map(r =>
+          col(s"m${b * Dedup.Rows + r}").cast("string")): _*))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val a = banded.select(col("band"), col("band_hash"), col("doc_id").as("id1"))
     val b = banded.select(col("band"), col("band_hash"), col("doc_id").as("id2"))
