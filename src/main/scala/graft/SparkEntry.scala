@@ -236,6 +236,7 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.Salting.queries ++
       operators.Sampling.queries ++
+      operators.Corpus.queries ++
       functions.TextStats.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -249,5 +250,6 @@ object SparkEntry {
       operators.Multimodal.oracle ++
       operators.Salting.oracle ++
       operators.Sampling.oracle ++
+      operators.Corpus.oracle ++
       functions.TextStats.oracle
 }

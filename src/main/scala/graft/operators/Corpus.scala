@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Training-corpus preparation operators — the pipeline stages between a
+  * deduplicated document set and a training run: sequence packing, PII
+  * redaction, and benchmark decontamination.
+  *
+  * Scale design (100 TB):
+  *  - packing runs per shard (lang here; any shard key in deployment) — a
+  *    single window cumsum per shard, never a global single-partition
+  *    window, so 1000 executors each pack their own stream exactly like
+  *    per-worker packers in a real loader;
+  *  - PII scrubbing is per-row regexp_replace — shuffle-free, one scan;
+  *  - decontamination broadcasts the benchmark's n-gram set (benchmarks
+  *    are KBs-MBs; the corpus is the big side and is never shuffled —
+  *    the overlap count is one doc-keyed aggregation).
+  */
+object Corpus {
+
+  /** Tokens per packed training sequence. */
+  val PackBudget = 512
+
+  /** Word n-gram occurrence rows (doc_id, shingle) via the codegen
+    * posexplode + window-leads path (see [[Dedup.shingleOccurrences]];
+    * this is its n-ary generalization). */
+  def shingleOccurrencesN(docs: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val base = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+    val withLeads = (1 until n).foldLeft(base)((df, i) =>
+      df.withColumn(s"t$i", lead(col("tok"), i).over(w)))
+    withLeads
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"t$i")): _*).as("shingle"))
+  }
+
+  /** Shared scrub patterns — plain (not defanged) PII shapes; the defanged
+    * variants are the IOC-extraction surface in [[graft.extract.Iocs]]. */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPat = "https?://[^ ]+"
+  val IpPat = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // sequence packing: assign documents to fixed-token-budget training
+    // sequences (greedy in doc_id order, per shard), report per-bin
+    // document counts and token totals. A document whose tokens straddle
+    // a boundary starts in the bin its first token falls in — the
+    // deterministic "pack then split at budget" layout.
+    "docs_pack" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin", floor((col("cum") - col("n_tokens")) / PackBudget))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("bin"))
+    }),
+
+    // PII redaction: synthesize PII-bearing text from the corpus (the
+    // synthetic documents carry none), then scrub URLs, emails, and IPs
+    // with typed placeholders. URL first — an email or IP inside a URL
+    // should disappear with the URL, not leave a partial token behind.
+    "text_pii_scrub" -> ((s, d) => {
+      val id = col("doc_id")
+      val synth = concat(
+        substring(col("text"), 1, 40),
+        lit(" contact user"), id.cast("string"), lit("@corp.example or 10.2."),
+        (id % 256).cast("string"), lit("."), (id % 7).cast("string"),
+        lit(" visit https://evil-"), id.cast("string"), lit(".example.com/p now"))
+      val scrubbed =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(synth, UrlPat, "<URL>"),
+            EmailPat, "<EMAIL>"),
+          IpPat, "<IP>")
+      Relational.sortedOnce(
+        Tables.documents(s, d).select(
+          id,
+          scrubbed.as("scrubbed"),
+          (size(regexp_extract_all(synth, lit(UrlPat), lit(0))) +
+            size(regexp_extract_all(synth, lit(EmailPat), lit(0))) +
+            size(regexp_extract_all(synth, lit(IpPat), lit(0))))
+            .cast("long").as("n_pii")),
+        id)
+    }),
+
+    // benchmark decontamination: documents sharing any word 5-gram with
+    // the benchmark set (here: doc_id < 10 stands in for an eval set).
+    // The benchmark's distinct shingles broadcast; the corpus side streams
+    // its occurrence rows through the broadcast join and aggregates once
+    // on doc_id — the corpus is never shuffled on the shingle.
+    "text_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = shingleOccurrencesN(docs.filter(col("doc_id") < 10), 5)
+        .select(col("shingle")).distinct()
+      shingleOccurrencesN(docs.filter(col("doc_id") >= 10), 5)
+        .join(broadcast(bench), Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("shingle")).as("n_overlap"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val sqlToks = "string_split(lower(text), ' ')"
+  private val sql5grams =
+    "list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, greatest(len(t)-4, 0)+1)])"
+
+  val oracle: Map[String, String] = Map(
+    "docs_pack" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+         |    SUM(len(string_split(text, ' '))) OVER (PARTITION BY lang
+         |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM documents)
+         |SELECT lang, CAST(floor(CAST(cum - n_tokens AS DOUBLE) / $PackBudget) AS BIGINT) AS bin,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM sized
+         |GROUP BY 1, 2
+         |ORDER BY lang, bin""".stripMargin,
+    "text_pii_scrub" ->
+      (s"""WITH synth AS (
+          |  SELECT doc_id,
+          |    substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+          |      || '@corp.example or 10.2.' || CAST(doc_id % 256 AS VARCHAR)
+          |      || '.' || CAST(doc_id % 7 AS VARCHAR)
+          |      || ' visit https://evil-' || CAST(doc_id AS VARCHAR)
+          |      || '.example.com/p now' AS t
+          |  FROM documents)
+          |SELECT doc_id,
+          |""".stripMargin +
+        s"  regexp_replace(regexp_replace(regexp_replace(t, '$UrlPat', '<URL>', 'g'), " +
+        s"'$EmailPat', '<EMAIL>', 'g'), '$IpPat', '<IP>', 'g') AS scrubbed,\n" +
+        s"  len(regexp_extract_all(t, '$UrlPat', 0)) + len(regexp_extract_all(t, '$EmailPat', 0)) + len(regexp_extract_all(t, '$IpPat', 0)) AS n_pii\n" +
+        "FROM synth\nORDER BY doc_id"),
+    "text_contamination" ->
+      s"""WITH bench AS (
+         |  SELECT DISTINCT unnest(s) AS shingle
+         |  FROM (SELECT $sql5grams AS s
+         |        FROM (SELECT doc_id, $sqlToks AS t FROM documents WHERE doc_id < 10))),
+         |cand AS (
+         |  SELECT doc_id, unnest(s) AS shingle
+         |  FROM (SELECT doc_id, $sql5grams AS s
+         |        FROM (SELECT doc_id, $sqlToks AS t FROM documents WHERE doc_id >= 10)))
+         |SELECT doc_id, COUNT(*) AS n_overlap
+         |FROM cand JOIN bench USING (shingle)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+  )
+}

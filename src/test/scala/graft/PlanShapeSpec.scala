@@ -122,6 +122,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"text_quality gained a shuffle — per-row algebra lost:\n$pq")
   }
 
+  test("corpus-prep plans: benchmark broadcasts, packing stays per-shard") {
+    // decontamination: the benchmark n-gram set broadcasts; the corpus is
+    // never shuffled on the shingle (doc-keyed agg reuses the window's
+    // partitioning)
+    val pc = plan("text_contamination")
+    assert(pc.contains("BroadcastHashJoin"), s"benchmark set no longer broadcasts:\n$pc")
+    assert(!pc.contains("CartesianProduct"), "contamination has a cartesian product")
+    // packing: per-shard window + one (shard, bin) agg — 2 hash exchanges
+    val pp = plan("docs_pack")
+    val n = "Exchange hashpartitioning".r.findAllIn(pp).size
+    assert(n <= 2, s"docs_pack has $n hash exchanges (max 2):\n$pp")
+    // scrubbing is per-row: no hash exchange at all
+    val ps = plan("text_pii_scrub")
+    assert(!"Exchange hashpartitioning".r.findAllIn(ps).hasNext,
+      s"text_pii_scrub gained a shuffle:\n$ps")
+  }
+
   test("quantization plans: codebook broadcasts, no cartesian product") {
     for (q <- Seq("sim_pq_adc", "sim_sq_int8")) {
       val p = plan(q)
