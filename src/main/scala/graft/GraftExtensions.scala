@@ -61,9 +61,13 @@ object GraftFunctions {
   * the Expression-backed functions at session build. (The SQL UDFs are
   * session objects — create them with [[GraftFunctions.register]].) */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("array_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "array_dot"),
       exprs => ArrayDot(exprs(0), exprs(1))))
+    // band joins written naively (abs(a.t - b.t) <= w, no equi key) become
+    // bucketed equi-joins instead of BroadcastNestedLoopJoin
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
