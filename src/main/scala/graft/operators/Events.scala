@@ -85,6 +85,23 @@ object Events {
         .orderBy(col("user_id"))
     }),
 
+    // cohort retention: users grouped by first-seen day, actives counted
+    // per (cohort, day-offset) — the product-analytics retention matrix.
+    // The per-user first day is a window min that shares the user_id
+    // exchange with nothing else (one shuffle), then one (cohort, offset)
+    // aggregation with a distinct-user expand. No join back: the window
+    // carries the cohort onto every event row directly.
+    "events_retention" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .withColumn("cohort", min(col("day")).over(byUser))
+        .withColumn("day_offset", datediff(col("day"), col("cohort")).cast("long"))
+        .groupBy(col("cohort"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort"), col("day_offset"))
+    }),
+
     // JSON field projection + aggregation (from_json/get_json_object, S5).
     "events_json" -> ((s, d) =>
       Tables.events(s, d)
@@ -156,6 +173,16 @@ object Events {
         |FROM v LEFT JOIN c ON c.user_id = v.user_id
         |LEFT JOIN p ON p.user_id = v.user_id
         |ORDER BY v.user_id""".stripMargin,
+    "events_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |c AS (
+        |  SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS cohort FROM e)
+        |SELECT cohort, CAST(day - cohort AS BIGINT) AS day_offset,
+        |  COUNT(DISTINCT user_id) AS n_active
+        |FROM c
+        |GROUP BY 1, 2
+        |ORDER BY cohort, day_offset""".stripMargin,
     "events_json" ->
       """SELECT event_type,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,

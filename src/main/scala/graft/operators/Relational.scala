@@ -654,6 +654,35 @@ object Relational {
         .limit(20)
     }),
 
+    // CDC upsert: merge a change feed (events: user_id → new balance at
+    // ts) into a dimension snapshot (customer) — updates AND inserts —
+    // without a join: melt both sides onto one keyed axis with a source
+    // priority, one window picks each key's winner (change beats
+    // snapshot, later version beats earlier, event_id breaks ties).
+    // ONE shuffle on the key; the intermediate is |snapshot| + |changes|.
+    // The join formulation (outer join + coalesce) shuffles both sides
+    // AND loses the multi-change-per-key case without a pre-agg; this
+    // shape absorbs any number of changes per key in the same pass.
+    "cdc_upsert" -> ((s, d) => {
+      val snap = Tables.customer(s, d).select(
+        col("c_custkey").as("key"), col("c_acctbal").as("bal"),
+        lit(0).as("src"), lit(null).cast("timestamp").as("ver"),
+        lit(null).cast("long").as("change_id"))
+      val chg = Tables.events(s, d).select(
+        col("user_id").as("key"), col("value").as("bal"),
+        lit(1).as("src"), col("ts").as("ver"),
+        col("event_id").cast("long").as("change_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key"))
+        .orderBy(col("src").desc, col("ver").desc_nulls_last, col("change_id").desc_nulls_last)
+      sortedOnce(snap.unionByName(chg)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("key"), col("bal"),
+          (col("src") === 1).as("updated"), col("ver").as("last_ver")),
+        col("key"))
+    }),
+
     // grouped stats incl. exact distinct count (partial agg + distinct expand).
     "agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1024,6 +1053,20 @@ object Relational {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 20""".stripMargin,
+    "cdc_upsert" ->
+      """WITH merged AS (
+        |  SELECT c_custkey AS key, c_acctbal AS bal, 0 AS src,
+        |    CAST(NULL AS TIMESTAMP) AS ver, CAST(NULL AS BIGINT) AS change_id
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT user_id, value, 1, CAST(ts AS TIMESTAMP), event_id FROM events),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+        |    ORDER BY src DESC, ver DESC NULLS LAST, change_id DESC NULLS LAST) AS rn
+        |  FROM merged)
+        |SELECT key, bal, src = 1 AS updated, ver AS last_ver
+        |FROM r WHERE rn = 1
+        |ORDER BY key""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
