@@ -102,6 +102,34 @@ object Events {
         .orderBy(col("cohort"), col("day_offset"))
     }),
 
+    // per-user anomaly detection: z-score outliers (|value − μ| > 2σ)
+    // against each user's own distribution. One shuffle: three window
+    // aggregates (n, Σx, Σx²) share the user_id exchange. Determinism:
+    // Σx/Σx² accumulate in exact DECIMAL (order-free), get cast to
+    // DOUBLE while still exactly representable, and only then enter
+    // IEEE arithmetic in a fixed expression order — population variance
+    // as (n·Σx² − (Σx)²)/n², never a running double reduction, so both
+    // engines produce bit-identical z-scores at any partitioning.
+    "events_anomaly" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+      val dv = col("value").cast("decimal(12,2)")
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("n", count(lit(1)).over(byUser))
+        .withColumn("sx", sum(dv).over(byUser).cast("double"))
+        .withColumn("sxx", sum(dv * dv).over(byUser).cast("double"))
+      e.withColumn("mean", col("sx") / col("n"))
+        .withColumn("varp",
+          (col("n").cast("double") * col("sxx") - col("sx") * col("sx")) /
+            (col("n").cast("double") * col("n").cast("double")))
+        .filter(col("varp") > 0.0)
+        .withColumn("zscore", (col("value") - col("mean")) / sqrt(col("varp")))
+        .filter(abs(col("zscore")) > 2.0)
+        .select(col("user_id"), col("event_id").cast("long").as("event_id"),
+          col("value"), col("zscore"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // JSON field projection + aggregation (from_json/get_json_object, S5).
     "events_json" -> ((s, d) =>
       Tables.events(s, d)
@@ -183,6 +211,22 @@ object Events {
         |FROM c
         |GROUP BY 1, 2
         |ORDER BY cohort, day_offset""".stripMargin,
+    "events_anomaly" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, value,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id) AS DOUBLE) AS sxx
+        |  FROM events),
+        |z AS (
+        |  SELECT user_id, event_id, value, sx / n AS mean,
+        |    (CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS varp
+        |  FROM w)
+        |SELECT user_id, event_id, value,
+        |  (value - mean) / sqrt(varp) AS zscore
+        |FROM z
+        |WHERE varp > 0 AND abs((value - mean) / sqrt(varp)) > 2.0
+        |ORDER BY user_id, event_id""".stripMargin,
     "events_json" ->
       """SELECT event_type,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
