@@ -130,6 +130,18 @@ object Events {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // semi-structured access via Spark 4 VariantType: parse once into the
+    // binary variant encoding, extract typed fields with variant_get —
+    // the open-schema path for props-style columns (vs from_json's fixed
+    // StructType). Per-row, shuffle-free; the oracle reads the same field
+    // through DuckDB's JSON extraction.
+    "events_variant" -> ((s, d) =>
+      Relational.sortedOnce(
+        Tables.events(s, d).select(
+          col("event_id").cast("long").as("event_id"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k")),
+        col("event_id"))),
+
     // JSON field projection + aggregation (from_json/get_json_object, S5).
     "events_json" -> ((s, d) =>
       Tables.events(s, d)
@@ -227,6 +239,11 @@ object Events {
         |FROM z
         |WHERE varp > 0 AND abs((value - mean) / sqrt(varp)) > 2.0
         |ORDER BY user_id, event_id""".stripMargin,
+    "events_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
     "events_json" ->
       """SELECT event_type,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,

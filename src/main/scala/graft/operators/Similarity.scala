@@ -102,6 +102,23 @@ object Similarity {
         .orderBy(col("cell"))
     }),
 
+    // per-label mean embedding (class centroids) — the distributed
+    // vector-mean: posexplode to (label, dim, x), fixed-point quantize
+    // (floor(x·10⁴) — unambiguous in both engines, same trick as the
+    // int8 codes below), ONE (label, dim) aggregation whose map-side
+    // partials absorb the 64× dimension fan-out before the shuffle, then
+    // an exact integer-sum → IEEE division. The output is (labels × dims)
+    // rows — tiny at any corpus size.
+    "embed_label_centroids" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("xq", floor(col("x").cast("double") * 10000).cast("long"))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("xq")).as("sxq"))
+        .select(col("label"), col("dim"),
+          (col("sxq").cast("double") / (col("n") * lit(10000.0))).as("centroid"))
+        .orderBy(col("label"), col("dim"))),
+
     // Scalar int8 quantization of the embedding store — the 4× memory/IO
     // reduction a 100 TB embedding corpus applies before anything else.
     // Per-dimension [lo, hi] ranges come from ONE dim-keyed aggregation
@@ -310,6 +327,17 @@ object Similarity {
        |  WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "embed_label_centroids" ->
+      """WITH ex AS (
+        |  SELECT label,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS xq
+        |  FROM embeddings)
+        |SELECT label, dim,
+        |  CAST(SUM(xq) AS DOUBLE) / (COUNT(*) * 10000.0) AS centroid
+        |FROM ex
+        |GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
     "sim_ivf_cells" ->
       (s"WITH $ivfCtes\n" +
         """SELECT cell, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
