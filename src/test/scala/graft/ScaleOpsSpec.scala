@@ -134,4 +134,38 @@ class ScaleOpsSpec extends AnyFunSuite {
       .select("total").collect().map(_.getLong(0)).sorted.toSeq
     assert(perBatch == Seq(2L, 3L)) // state carried 2 → 3 across batches
   }
+
+  test("transformWithState (Spark 4 arbitrary-state API) accumulates per-key stats") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // transformWithState's typed state handles are column families — only
+    // the RocksDB provider supports them (HDFSBacked throws). This IS the
+    // production provider for large state anyway.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val out = mem.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("key", "n", "max_value")
+    val q = out.writeStream.format("memory").queryName("tws_out")
+      .outputMode("update").start()
+    mem.addData((1L, 5.0), (1L, 3.0), (2L, 7.0))
+    q.processAllAvailable()
+    mem.addData((1L, 9.0)) // key 1 state must carry n=2 → 3, max 5 → 9
+    q.processAllAvailable()
+    q.stop()
+    prevProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+    val rows = spark.table("tws_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows((1L, 2L, 5.0)) && rows((2L, 1L, 7.0)), s"batch-1 state wrong: $rows")
+    assert(rows((1L, 3L, 9.0)), s"batch-2 did not accumulate: $rows")
+  }
 }
