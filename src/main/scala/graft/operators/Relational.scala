@@ -683,6 +683,33 @@ object Relational {
         col("key"))
     }),
 
+    // data-quality validation report (the "expectations" stage of a
+    // production ETL): null keys, range violations, duplicate natural
+    // keys, and referential orphans in ONE report row. One full-scan
+    // aggregation for the row-local checks, one key-grouped agg for
+    // duplicates, one anti-join count for orphans — each the minimal
+    // plan for its check, glued by one-row broadcasts. At 100 TB this
+    // runs as a post-load gate: cost ≈ one scan of the fact plus the
+    // (pre-aggregated, tiny) key joins.
+    "dq_checks" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val rowChecks = li.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("l_orderkey").isNull, true)).as("null_orderkey"),
+        count(when(col("l_quantity") <= 0 || col("l_quantity") > 60, true))
+          .as("qty_range_viol"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 0.2, true))
+          .as("disc_range_viol"))
+      val dupKeys = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(count(lit(1)).as("dup_line_keys"))
+      val orphans = li.select(col("l_orderkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_lines"))
+      rowChecks.crossJoin(broadcast(dupKeys)).crossJoin(broadcast(orphans))
+    }),
+
     // grouped stats incl. exact distinct count (partial agg + distinct expand).
     "agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1067,6 +1094,21 @@ object Relational {
         |SELECT key, bal, src = 1 AS updated, ver AS last_ver
         |FROM r WHERE rn = 1
         |ORDER BY key""".stripMargin,
+    "dq_checks" ->
+      """WITH rowchecks AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS null_orderkey,
+        |    COUNT(CASE WHEN l_quantity <= 0 OR l_quantity > 60 THEN 1 END) AS qty_range_viol,
+        |    COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.2 THEN 1 END) AS disc_range_viol
+        |  FROM lineitem),
+        |dups AS (
+        |  SELECT COUNT(*) AS dup_line_keys FROM (
+        |    SELECT l_orderkey, l_linenumber FROM lineitem
+        |    GROUP BY 1, 2 HAVING COUNT(*) > 1)),
+        |orph AS (
+        |  SELECT COUNT(*) AS orphan_lines FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+        |SELECT * FROM rowchecks, dups, orph""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
