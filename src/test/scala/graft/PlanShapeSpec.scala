@@ -139,6 +139,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"text_pii_scrub gained a shuffle:\n$ps")
   }
 
+  test("warehouse/analytics ops: join-free merges, single-exchange windows") {
+    // cdc_upsert is the melt formulation: union + one keyed window, NO join
+    val pc = plan("cdc_upsert")
+    assert(!pc.contains("Join"), s"cdc_upsert reintroduced a join:\n$pc")
+    assert("Exchange hashpartitioning".r.findAllIn(pc).size == 1,
+      s"cdc_upsert should shuffle exactly once (the key window):\n$pc")
+    // events_anomaly: the three stat windows share ONE user_id exchange
+    val pa = plan("events_anomaly")
+    assert("Exchange hashpartitioning".r.findAllIn(pa).size == 1,
+      s"anomaly windows no longer share the user exchange:\n$pa")
+    // events_retention: user window + distinct-count agg, bounded exchanges
+    val pr = plan("events_retention")
+    assert("Exchange hashpartitioning".r.findAllIn(pr).size <= 3,
+      s"retention gained exchanges:\n$pr")
+    // dq_checks: one-row sides glue via broadcast, never a real cartesian
+    val pd = plan("dq_checks")
+    assert(!pd.contains("CartesianProduct"), s"dq_checks has a cartesian:\n$pd")
+    assert(pd.contains("LeftAnti"), "dq_checks lost its orphan anti-join")
+  }
+
   test("quantization plans: codebook broadcasts, no cartesian product") {
     for (q <- Seq("sim_pq_adc", "sim_sq_int8")) {
       val p = plan(q)
