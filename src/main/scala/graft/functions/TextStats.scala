@@ -145,11 +145,16 @@ object TextStats {
           explode(tokens(col("text"))).as("token"))
         .groupBy(col("doc_id"), col("doc_len"), col("token"))
         .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      // df as a count-over-token-partition window on the tf relation:
+      // tf rows are unique per (doc, token), so the window count IS the
+      // document frequency — one token exchange replaces the separate
+      // df aggregation AND its join back (3 exchanges total, not 4)
+      val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
-      tf.join(df, Seq("token")).crossJoin(broadcast(nDocs))
+      tf.withColumn("df", count(lit(1)).over(wTok))
+        .crossJoin(broadcast(nDocs))
         .withColumn("score",
           (col("tf").cast("double") / col("doc_len")) *
           (col("n_docs").cast("double") / col("df")))

@@ -110,7 +110,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("text corpus ops: bounded exchanges, no cartesian") {
-    for ((q, maxEx) <- Seq("text_tfidf" -> 5, "text_vocab" -> 3)) {
+    for ((q, maxEx) <- Seq("text_tfidf" -> 3, "text_vocab" -> 3)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
       val n = "Exchange hashpartitioning".r.findAllIn(p).size
