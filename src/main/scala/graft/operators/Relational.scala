@@ -344,6 +344,25 @@ object Relational {
         col("o_custkey"), col("o_orderkey"))
     }),
 
+    // RANGE-frame window (vs the ROWS frames everywhere else): each
+    // order's trailing-30-day spend for its customer — the frame is
+    // defined by the ORDER-BY VALUE (epoch days), so gaps in order dates
+    // shrink the window where ROWS would blindly take k physical rows.
+    // Same single-shuffle shape as every window here: one exchange on
+    // the high-cardinality customer key.
+    "window_range_frame" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(unix_date(to_date(col("o_orderdate"))))
+        .rangeBetween(-30, 0)
+      sortedOnce(Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_orderdate"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).over(w)
+            .cast("double").as("trailing_30d")),
+        col("o_custkey"), col("o_orderkey"))
+    }),
+
     // date/time feature extraction (training-data timestamp featurization).
     "time_features" -> ((s, d) =>
       sortedOnce(Tables.orders(s, d).select(
@@ -933,6 +952,14 @@ object Relational {
         |  CUME_DIST() OVER w AS cdist
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+        |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS trailing_30d
+        |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "time_features" ->
       """SELECT o_orderkey,
