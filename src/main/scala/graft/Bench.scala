@@ -46,17 +46,32 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // The driver captures only the LAST ~2000 chars of output and JSON-parses
-    // the result line from that tail; full-precision doubles over ~70 queries
-    // made the line ~2800 chars in round 2 and it was truncated (parsed:null).
-    // 2-decimal values keep the line ~1600 chars. If the inventory ever grows
-    // past the budget, drop to 1 decimal rather than overflow the tail.
-    def fmtLine(prec: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + s"%.${prec}f".format(v) }
+    // the result line from that tail (sbt's "[success] …" epilogue eats ~75
+    // of those); full-precision doubles over ~70 queries made the line
+    // ~2800 chars in round 2 and it was truncated (parsed:null). Tiers:
+    // 2-decimal full map → 1-decimal full map → 1-decimal map of only the
+    // SLOWEST queries that fit (total stays exact; "omitted" records the
+    // fast ones dropped from the map, never from the measurement).
+    val budget = 1800
+    def fmtLine(prec: Int, entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + s"%.${prec}f".format(v) }
         .mkString("{", ",", "}")
       val total = "%.2f".format(results.map(_._2).sum)
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val om = if (omitted > 0) s""","omitted":$omitted""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
     }
-    val line = { val l2 = fmtLine(2); if (l2.length <= 1800) l2 else fmtLine(1) }
+    val full2 = fmtLine(2, results, 0)
+    val full1 = fmtLine(1, results, 0)
+    val line =
+      if (full2.length <= budget) full2
+      else if (full1.length <= budget) full1
+      else {
+        val bySlow = results.sortBy(-_._2)
+        val kept = (bySlow.length to 1 by -1).view
+          .map(k => fmtLine(1, bySlow.take(k).sortBy(_._1), bySlow.length - k))
+          .find(_.length <= budget)
+        kept.getOrElse(fmtLine(1, Nil, bySlow.length))
+      }
     println(line)
     spark.stop()
   }
