@@ -75,7 +75,7 @@ object SparkEntry {
         count(when(col("type") === "hash", true)).as("hashes"),
         count(when(col("type") === "url", true)).as("urls"),
         count(when(col("type") === "email", true)).as("emails"))
-      processed.crossJoin(byType)
+      processed.crossJoin(broadcast(byType))
     }),
 
     // S6/P6/X5: pastebin enrichment — pick each tweet's first pastebin link,

@@ -68,6 +68,25 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     assert(!plan.contains("__graft_lb"), s"rule fired despite an equi key:\n$plan")
   }
 
+  test("randomized equivalence: widths and sign-crossing values") {
+    // deterministic pseudo-random point sets (md5-derived, no rand()):
+    // values cross zero, widths exercise tiny and wide buckets
+    val a = spark.range(200).select(
+      col("id").as("a_id"),
+      (conv(substring(md5(concat(lit("a"), col("id"))), 1, 6), 16, 10).cast("long") % 2000 - 1000).as("a_t"))
+    val b = spark.range(200).select(
+      col("id").as("b_id"),
+      (conv(substring(md5(concat(lit("b"), col("id"))), 1, 6), 16, 10).cast("long") % 2000 - 1000).as("b_t"))
+    for (w <- Seq(1, 7, 40, 500)) {
+      def q = a.join(b, abs(col("a_t") - col("b_t")) <= w)
+        .select(col("a_id"), col("b_id"))
+      val naive = rows(q)
+      val got = withRule(rows(q))
+      assert(got == naive, s"width $w: rewrite lost/invented pairs " +
+        s"(missing ${naive -- got}, extra ${got -- naive})")
+    }
+  }
+
   test("session-extension route injects the same rule") {
     import org.apache.spark.sql.SparkSession
     val prev = spark
