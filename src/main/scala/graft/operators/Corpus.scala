@@ -24,6 +24,10 @@ object Corpus {
   /** Tokens per packed training sequence. */
   val PackBudget = 512
 
+  /** Packing shards per language — the window's unit of parallelism and
+    * of single-task memory. Scale with the corpus (DEPLOYMENT.md). */
+  val PackShards = 4
+
   /** Word n-gram occurrence rows (doc_id, shingle) via the codegen
     * posexplode + window-leads path (see [[Dedup.shingleOccurrences]];
     * this is its n-ary generalization). */
@@ -52,21 +56,26 @@ object Corpus {
     // sequences (greedy in doc_id order, per shard), report per-bin
     // document counts and token totals. A document whose tokens straddle
     // a boundary starts in the bin its first token falls in — the
-    // deterministic "pack then split at budget" layout.
+    // deterministic "pack then split at budget" layout. The shard key is
+    // (lang, doc_id % PackShards), NOT lang alone: the window's partition
+    // is the unit of parallelism AND of single-task memory, so it must be
+    // fine-grained — each shard packs its own stream exactly like one
+    // worker of a distributed loader, and PackShards scales with the
+    // corpus (see DEPLOYMENT.md).
     "docs_pack" -> ((s, d) => {
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
       Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
+        .select(col("doc_id"), col("lang"), (col("doc_id") % PackShards).as("shard"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
         .withColumn("cum", sum(col("n_tokens")).over(w))
         .withColumn("bin", floor((col("cum") - col("n_tokens")) / PackBudget))
-        .groupBy(col("lang"), col("bin"))
+        .groupBy(col("lang"), col("shard"), col("bin"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("bin_tokens"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
-        .orderBy(col("lang"), col("bin"))
+        .orderBy(col("lang"), col("shard"), col("bin"))
     }),
 
     // PII redaction: synthesize PII-bearing text from the corpus (the
@@ -121,16 +130,17 @@ object Corpus {
   val oracle: Map[String, String] = Map(
     "docs_pack" ->
       s"""WITH sized AS (
-         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
-         |    SUM(len(string_split(text, ' '))) OVER (PARTITION BY lang
+         |  SELECT doc_id, lang, doc_id % $PackShards AS shard,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    SUM(len(string_split(text, ' '))) OVER (PARTITION BY lang, doc_id % $PackShards
          |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
          |  FROM documents)
-         |SELECT lang, CAST(floor(CAST(cum - n_tokens AS DOUBLE) / $PackBudget) AS BIGINT) AS bin,
+         |SELECT lang, shard, CAST(floor(CAST(cum - n_tokens AS DOUBLE) / $PackBudget) AS BIGINT) AS bin,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM sized
-         |GROUP BY 1, 2
-         |ORDER BY lang, bin""".stripMargin,
+         |GROUP BY 1, 2, 3
+         |ORDER BY lang, shard, bin""".stripMargin,
     "text_pii_scrub" ->
       (s"""WITH synth AS (
           |  SELECT doc_id,

@@ -328,10 +328,27 @@ object Dedup {
     * is the single-process stand-in for that persisted table: executor
     * block storage, plan lineage cut. Entries are per-path, so different
     * scale factors never alias; a new session starts cold. */
+  private val MemoCap = 8
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](16, 0.75f, true) {
+      // LRU with unpersist-on-evict: a long-lived session iterating corpus
+      // snapshots must not accumulate stale checkpoint blocks in executor
+      // storage — the eviction is what makes the memo safe to leave on in
+      // a production driver
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean = {
+        val evict = size() > MemoCap
+        if (evict) e.getValue.unpersist(blocking = false)
+        evict
+      }
+    }
   private def memoized(key: String, s: SparkSession, d: String)(mk: => DataFrame): DataFrame =
-    memo.computeIfAbsent((s, d, key), _ => mk)
+    memo.synchronized {
+      val k = (s, d, key)
+      val hit = memo.get(k)
+      if (hit != null) hit
+      else { val v = mk; memo.put(k, v); v }
+    }
 
   def clusterLabels(s: SparkSession, d: String): DataFrame =
     memoized("labels", s, d)(computeClusterLabels(s, d))
