@@ -344,6 +344,41 @@ object Relational {
         col("o_custkey"), col("o_orderkey"))
     }),
 
+    // TPC-H Q12 shape (adapted: lateness = shipped >30 days after the
+    // order date; the testdata has no ship mode or commit/receipt dates,
+    // so the grouping axis is the return flag): fact⋈fact orderkey join
+    // with the residual lateness predicate, then conditional counts by
+    // priority class out of ONE hash agg. Both scans prune to 3 columns.
+    "q12_late" -> ((s, d) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+        .join(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(when(high, true)).as("high_line_count"),
+          count(when(!high, true)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // full-outer join (the remaining join family member): per-nation
+    // customer vs supplier counts, nations present on either side kept.
+    // Both inputs are PRE-AGGREGATED to |nations| rows before the join —
+    // full outer can't broadcast (both sides preserve unmatched rows),
+    // so the join runs on the tiny aggregates, never on the raw tables.
+    "join_full" -> ((s, d) => {
+      val cu = Tables.customer(s, d)
+        .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_cust"))
+      val su = Tables.supplier(s, d)
+        .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_supp"))
+      cu.join(su, Seq("nationkey"), "full")
+        .select(col("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    }),
+
     // RANGE-frame window (vs the ROWS frames everywhere else): each
     // order's trailing-30-day spend for its customer — the frame is
     // defined by the ORDER-BY VALUE (epoch days), so gaps in order dates
@@ -953,6 +988,24 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q12_late" ->
+      """SELECT l_returnflag,
+        |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+        |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "join_full" ->
+      """WITH cu AS (
+        |  SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+        |su AS (
+        |  SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT COALESCE(cu.nationkey, su.nationkey) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM cu FULL JOIN su ON cu.nationkey = su.nationkey
+        |ORDER BY nationkey""".stripMargin,
     "window_range_frame" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
