@@ -10,7 +10,7 @@ import graft.sources.Tables
   * redaction, and benchmark decontamination.
   *
   * Scale design (100 TB):
-  *  - packing runs per shard (lang here; any shard key in deployment) — a
+  *  - packing runs per shard ((lang, doc_id % PackShards) here) — a
   *    single window cumsum per shard, never a global single-partition
   *    window, so 1000 executors each pack their own stream exactly like
   *    per-worker packers in a real loader;
