@@ -193,6 +193,48 @@ class ReformulationSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc_upsert melt equals the pre-agg + full-outer-join formulation") {
+    val melt = SparkEntry.queries("cdc_upsert")(spark, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latest = Tables.events(spark, d)
+      .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val naive = Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .join(latest, col("c_custkey") === col("user_id"), "full")
+      .select(
+        coalesce(col("c_custkey"), col("user_id")).as("key"),
+        coalesce(col("value"), col("c_acctbal")).as("bal"),
+        col("user_id").isNotNull.as("updated"),
+        col("ts").as("last_ver"))
+    assertSameRows(melt, naive)
+  }
+
+  test("q21 single-aggregation equals the EXISTS / NOT-EXISTS double self-join") {
+    val fast = SparkEntry.queries("q21_waiting")(spark, d)
+    val lo = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("late"))
+    val mine = lo.filter(col("late")).select(col("ok"), col("sk")).distinct()
+    val othersAny = lo.select(col("ok").as("ok2"), col("sk").as("sk2"))
+    val othersLate = lo.filter(col("late"))
+      .select(col("ok").as("ok3"), col("sk").as("sk3"))
+    val naive = mine
+      .join(othersAny, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      .join(othersLate, col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+      .groupBy(col("sk")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, d)), col("sk") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+    assertSameRows(fast, naive)
+  }
+
   test("IVF-bucketed embedding dedup is a subset of brute-force pairs, with exact cosines") {
     val fast = Dedup.queries("dedup_embedding_cosine")(spark, d)
     val e = Tables.embeddings(spark, d)
