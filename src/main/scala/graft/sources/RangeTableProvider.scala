@@ -1,0 +1,153 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Batch DataSource V2 connector with REAL pushdown: a deterministic
+  * numeric table (`id BIGINT, val DOUBLE, bucket BIGINT` over
+  * [start, end)) whose readers materialize ONLY the pushed id-range and
+  * ONLY the pruned columns. The batch twin of the streaming DSv2 source
+  * ([[graft.streaming.ReplayJsonlSource]]) — together they cover both
+  * halves of the connector surface an engine must expose.
+  *
+  * Pushdown contract (the part vanilla "filter after scan" sources get
+  * wrong at 100 TB): `SupportsPushDownFilters` tightens the partition
+  * range with every >, >=, <, <=, = predicate on `id`, so a selective
+  * filter never generates the rows at all — the exact analogue of
+  * parquet row-group pruning; everything else is returned as a residual
+  * for Spark to evaluate. `SupportsPushDownRequiredColumns` drops unread
+  * columns at the reader. [[RangeTableProvider.rowsGenerated]] counts
+  * reader-side row materializations so tests assert pruning happened
+  * rather than trusting plan strings.
+  *
+  * Usage: `spark.read.format("graft.sources.RangeTableProvider")
+  * .option("start", 0).option("end", 1000000).load()`.
+  */
+class RangeTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RangeTableProvider.fullSchema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    // properties arrive with the caller's original key case
+    val opts = properties.asScala.map { case (k, v) => (k.toLowerCase, v) }
+    new RangeTable(
+      opts.getOrElse("start", "0").toLong,
+      opts.getOrElse("end", "1000").toLong,
+      opts.getOrElse("numpartitions", "4").toInt)
+  }
+}
+
+object RangeTableProvider {
+  val fullSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("val", DoubleType, nullable = false),
+    StructField("bucket", LongType, nullable = false)))
+
+  /** Rows materialized by readers across all scans (test instrumentation:
+    * pushdown is proven by rows NOT generated, not by plan strings). */
+  val rowsGenerated = new AtomicLong(0L)
+
+  def valOf(id: Long): Double = (id * 37 % 1000) / 10.0
+  def bucketOf(id: Long): Long = id % 16
+}
+
+private[sources] class RangeTable(start: Long, end: Long, numParts: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"range($start, $end)"
+  override def schema(): StructType = RangeTableProvider.fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RangeScanBuilder(start, end, numParts)
+}
+
+private[sources] class RangeScanBuilder(start: Long, end: Long, numParts: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo = start
+  private var hi = end
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = RangeTableProvider.fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition {
+      case GreaterThan("id", _: java.lang.Long | _: java.lang.Integer) => true
+      case GreaterThanOrEqual("id", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThan("id", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThanOrEqual("id", _: java.lang.Long | _: java.lang.Integer) => true
+      case EqualTo("id", _: java.lang.Long | _: java.lang.Integer) => true
+      case _ => false
+    }
+    supported.foreach {
+      case GreaterThan("id", v: Number)        => lo = math.max(lo, v.longValue() + 1)
+      case GreaterThanOrEqual("id", v: Number) => lo = math.max(lo, v.longValue())
+      case LessThan("id", v: Number)           => hi = math.min(hi, v.longValue())
+      case LessThanOrEqual("id", v: Number)    => hi = math.min(hi, v.longValue() + 1)
+      case EqualTo("id", v: Number) =>
+        lo = math.max(lo, v.longValue()); hi = math.min(hi, v.longValue() + 1)
+      case _ =>
+    }
+    accepted = supported
+    residual // Spark re-checks these; range tightening stays a pure prune
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new RangeScan(lo, hi, numParts, required)
+}
+
+private[sources] class RangeScan(lo: Long, hi: Long, numParts: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"RangeScan [$lo, $hi) cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, math.min(numParts.toLong, math.max(0L, hi - lo))).toInt
+    val step = math.max(1L, (hi - lo + n - 1) / n)
+    (0 until n).map { i =>
+      RangePartition(lo + i * step, math.min(hi, lo + (i + 1) * step))
+    }.filter(p => p.from < p.until).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeReaderFactory(required)
+}
+
+private[sources] case class RangePartition(from: Long, until: Long) extends InputPartition
+
+private[sources] class RangeReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RangePartition]
+    // resolve column positions ONCE per reader, not per row
+    val cols: Array[Long => Any] = required.fieldNames.map {
+      case "id"     => (id: Long) => id
+      case "val"    => (id: Long) => RangeTableProvider.valOf(id)
+      case "bucket" => (id: Long) => RangeTableProvider.bucketOf(id)
+    }
+    new PartitionReader[InternalRow] {
+      private var cur = p.from - 1
+      override def next(): Boolean = { cur += 1; cur < p.until }
+      override def get(): InternalRow = {
+        RangeTableProvider.rowsGenerated.incrementAndGet()
+        InternalRow.fromSeq(cols.map(_(cur)).toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -191,4 +191,38 @@ class SinksAndSourcesSpec extends AnyFunSuite {
       assert(got(s"$base/pastebin/raw/2") == Seq("10.7.7.2", "xx"))
     }
   }
+
+  test("batch DSv2 source: filters prune at the READER, columns prune at the schema") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.RangeTableProvider
+    val spark = TestSpark.spark
+    def table = spark.read.format("graft.sources.RangeTableProvider")
+      .option("start", "0").option("end", "100000").option("numPartitions", "4").load()
+
+    // range predicates reach the reader: only the qualifying 10k rows are
+    // ever MATERIALIZED (not generated-then-filtered)
+    RangeTableProvider.rowsGenerated.set(0)
+    val n = table.filter(col("id") >= 90000L).count()
+    assert(n == 10000, s"wrong filtered count: $n")
+    assert(RangeTableProvider.rowsGenerated.get() == 10000,
+      s"pushdown failed: reader generated ${RangeTableProvider.rowsGenerated.get()} rows for a 10k slice")
+
+    // equality collapses the range to one row
+    RangeTableProvider.rowsGenerated.set(0)
+    val one = table.filter(col("id") === 42L).collect()
+    assert(one.length == 1 && one(0).getLong(0) == 42L &&
+      one(0).getDouble(1) == RangeTableProvider.valOf(42L))
+    assert(RangeTableProvider.rowsGenerated.get() == 1)
+
+    // non-id residuals stay Spark-side but still compose with the prune
+    RangeTableProvider.rowsGenerated.set(0)
+    val m = table.filter(col("id") < 1000L && col("bucket") === 3L).count()
+    assert(m == 63, s"wrong residual-filtered count: $m") // 1000/16 rounded per phase
+    assert(RangeTableProvider.rowsGenerated.get() == 1000,
+      "id prune should bound generation at 1000 rows; bucket is a residual")
+
+    // column pruning reaches readSchema
+    val pruned = table.select(col("bucket")).schema.fieldNames.toSeq
+    assert(pruned == Seq("bucket"))
+  }
 }
