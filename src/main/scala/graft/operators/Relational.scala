@@ -344,6 +344,65 @@ object Relational {
         col("o_custkey"), col("o_orderkey"))
     }),
 
+    // TPC-H Q2 shape: min-cost supplier per part within a region, over
+    // the synthesized partsupp view (Tables.partsupp — the testdata has
+    // no partsupp; the oracle mirrors the same deterministic CTE). The
+    // region-pruned supplier side broadcasts INTO partsupp, the part
+    // filter broadcasts, and the correlated-min subquery is the argmin
+    // agg + join-back on the part key (the candidate subtree executes
+    // twice — the q17 trade: each pass is the pruned slice, far cheaper
+    // at scale than materializing it).
+    "q2_mincost" -> ((s, d) => {
+      val su = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val cand = Tables.partsupp(s, d)
+        .join(broadcast(su), col("s_suppkey") === col("ps_suppkey"))
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_type") === "LARGE" && col("p_size") % 5 === 0)
+            .select(col("p_partkey"), col("p_name"))),
+          col("ps_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("ps_supplycost"))
+      val best = cand.groupBy(col("p_partkey").as("bk"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+      cand.join(best, col("p_partkey") === col("bk") &&
+          col("ps_supplycost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("ps_supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q20 shape: suppliers holding surplus stock of a part family —
+    // availqty greater than half the quantity they actually shipped in
+    // 1998. Per-(part, supplier) shipped quantity is ONE fact aggregation
+    // on the composite key; partsupp is pruned by the broadcast part
+    // filter before the join; the surviving supplier keys semi-join into
+    // the dimension. No correlated per-row subquery ever runs.
+    "q20_surplus" -> ((s, d) => {
+      val shipped = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01") && col("l_shipdate") < lit("1999-01-01"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(dsum(col("l_quantity")).as("qty_shipped"))
+      val surplus = Tables.partsupp(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_name").startsWith("red"))
+          .select(col("p_partkey"))), col("ps_partkey") === col("p_partkey"))
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty").cast("double") > col("qty_shipped") * 0.5)
+        .select(col("ps_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(surplus, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name").isin(
+          "NATION_1", "NATION_2", "NATION_3"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy(col("s_name"))
+    }),
+
     // TPC-H Q12 shape (adapted: lateness = shipped >30 days after the
     // order date; the testdata has no ship mode or commit/receipt dates,
     // so the grouping axis is the return flag): fact⋈fact orderkey join
@@ -780,6 +839,15 @@ object Relational {
   private val rev =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)"
 
+  /** DuckDB CTE mirroring [[Tables.partsupp]] verbatim (synthesized view;
+    * the testdata ships no partsupp table). */
+  private val partsuppCte =
+    """partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    CAST(CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)), 1, 6)) AS BIGINT) % 1000 + 1 AS INTEGER) AS ps_availqty,
+      |    CAST(CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)), 7, 6)) AS BIGINT) % 100000 AS DOUBLE) / 100.0 AS ps_supplycost
+      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -988,6 +1056,45 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q2_mincost" ->
+      (s"WITH $partsuppCte,\n" +
+        """cand AS (
+          |  SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+          |  FROM partsupp
+          |  JOIN supplier ON s_suppkey = ps_suppkey
+          |  JOIN nation ON n_nationkey = s_nationkey
+          |  JOIN region ON r_regionkey = n_regionkey
+          |  JOIN part ON p_partkey = ps_partkey
+          |  WHERE r_name = 'ASIA' AND p_type = 'LARGE' AND p_size % 5 = 0),
+          |best AS (
+          |  SELECT p_partkey AS bk, MIN(ps_supplycost) AS min_cost
+          |  FROM cand GROUP BY 1)
+          |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+          |FROM cand JOIN best ON bk = p_partkey AND ps_supplycost = min_cost
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+          |LIMIT 100""".stripMargin),
+    "q20_surplus" ->
+      (s"WITH $partsuppCte,\n" +
+        """shipped AS (
+          |  SELECT l_partkey, l_suppkey,
+          |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_shipped
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+          |  GROUP BY 1, 2),
+          |surplus AS (
+          |  SELECT DISTINCT ps_suppkey
+          |  FROM partsupp
+          |  JOIN part ON p_partkey = ps_partkey
+          |  JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          |  WHERE p_name LIKE 'red%'
+          |    AND CAST(ps_availqty AS DOUBLE) > qty_shipped * 0.5)
+          |SELECT s_suppkey, s_name, n_name
+          |FROM supplier
+          |JOIN nation ON n_nationkey = s_nationkey
+          |WHERE s_suppkey IN (SELECT ps_suppkey FROM surplus)
+          |  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          |ORDER BY s_name""".stripMargin),
     "q12_late" ->
       """SELECT l_returnflag,
         |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
