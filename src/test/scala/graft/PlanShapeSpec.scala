@@ -122,6 +122,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"text_quality gained a shuffle — per-row algebra lost:\n$pq")
   }
 
+  test("partsupp-backed and late-batch TPC-H shapes keep their strategies") {
+    // q2: every dimension broadcasts; the argmin join-back is the only
+    // wide join; no cartesian
+    val p2 = plan("q2_mincost")
+    assert(p2.contains("BroadcastHashJoin"), s"q2 lost its broadcast chain:\n$p2")
+    assert(!p2.contains("CartesianProduct"), "q2 has a cartesian")
+    // q20: the surviving supplier keys SEMI-join into the dimension
+    val p20 = plan("q20_surplus")
+    assert(p20.contains("LeftSemi"), s"q20 lost its semi join:\n$p20")
+    assert(!p20.contains("CartesianProduct"), "q20 has a cartesian")
+    // q12: one fact-fact join + one agg — bounded exchanges, pruned scans
+    val p12 = plan("q12_late")
+    assert("Exchange hashpartitioning".r.findAllIn(p12).size <= 3,
+      s"q12 gained exchanges:\n$p12")
+    val rs12 = "ReadSchema: [^\\n]*".r.findAllIn(p12).mkString
+    assert(!rs12.contains("l_extendedprice"), s"q12 scan drags unused columns: $rs12")
+    // join_full: both sides pre-aggregated BELOW the full outer join
+    val pf = plan("join_full")
+    assert(pf.contains("FullOuter"), s"join_full lost the full outer join:\n$pf")
+    assert(pf.indexOf("HashAggregate") > pf.indexOf("FullOuter"),
+      "join_full aggregates above the join — sides no longer pre-aggregated")
+  }
+
   test("corpus-prep plans: benchmark broadcasts, packing stays per-shard") {
     // decontamination: the benchmark n-gram set broadcasts; the corpus is
     // never shuffled on the shingle (doc-keyed agg reuses the window's
