@@ -192,6 +192,32 @@ class SinksAndSourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("canonical IOC frame round-trips through every bundled format") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val iocs = graft.pipeline.EmailPipeline(
+      graft.sources.Tables.emails(spark, "/root/testdata/sf0.001"), "2026-08-12")
+      .orderBy(col("id"), col("type"), col("ioc"))
+    val expected = iocs.collect().toSeq
+    for (fmt <- Seq("parquet", "orc", "json", "csv")) {
+      val dir = Files.createTempDirectory(s"ioc_$fmt").toString
+      iocs.write.mode("overwrite").option("header", "true").format(fmt).save(dir)
+      val back = spark.read.format(fmt)
+        .option("header", "true")
+        // json/csv are schemaless on read — supply the canonical schema
+        // instead of inferring (inference is a second full pass AND can
+        // widen types); parquet/orc carry their own
+        .schema(iocs.schema)
+        .load(dir)
+        .orderBy(col("id"), col("type"), col("ioc"))
+      // file reads come back nullable regardless of writer nullability
+      // (Spark convention) — names and types are the contract
+      assert(back.schema.map(f => (f.name, f.dataType)) ==
+        iocs.schema.map(f => (f.name, f.dataType)), s"$fmt changed the schema")
+      assert(back.collect().toSeq == expected, s"$fmt round-trip lost rows")
+    }
+  }
+
   test("batch DSv2 source: filters prune at the READER, columns prune at the schema") {
     import org.apache.spark.sql.functions._
     import graft.sources.RangeTableProvider
