@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -60,7 +60,7 @@ private case class ReplayOffset(n: Long) extends Offset {
 }
 
 private class ReplayMicroBatchStream(path: String, maxPerBatch: Int)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   /** Total line count — ONE streaming pass on the driver; the lines
     * themselves are never materialized driver-side. Partition readers open
@@ -74,22 +74,30 @@ private class ReplayMicroBatchStream(path: String, maxPerBatch: Int)
     val src = scala.io.Source.fromFile(path)
     try src.getLines().size.toLong finally src.close()
   }
-  // high-water mark of offsets already handed out; restart resumes from the
-  // checkpointed start offset via planInputPartitions
-  private var planned = 0L
 
   override def initialOffset(): Offset = ReplayOffset(0)
   override def deserializeOffset(json: String): Offset = ReplayOffset(json.toLong)
 
-  override def latestOffset(): Offset = {
-    planned = math.min(totalLines, planned + maxPerBatch)
-    ReplayOffset(planned)
+  // SupportsAdmissionControl, NOT the bare latestOffset(): a rate-limited
+  // source must advance from the offset Spark RESTORED, which only the
+  // 2-arg form receives. The round-2 version kept its own in-memory
+  // high-water mark starting at 0, so a restarted query's offset log
+  // walked [committed, 0+k), [0+k, 2k)… — re-reading every line between
+  // the first batch and the committed offset (caught by the restart test
+  // in ReplaySourceSpec: records 5-10 arrived twice).
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[ReplayOffset].n
+    ReplayOffset(math.min(totalLines, s + maxPerBatch))
   }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerBatch)
+  override def reportLatestOffset(): Offset = ReplayOffset(totalLines)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "rate-limited source: Spark must call latestOffset(start, limit)")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[ReplayOffset].n,
       end.asInstanceOf[ReplayOffset].n)
-    planned = math.max(planned, e)
     if (e <= s) Array.empty
     else {
       // split the batch across 2 tasks to exercise parallel read

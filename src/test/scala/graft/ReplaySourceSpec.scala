@@ -37,4 +37,38 @@ class ReplaySourceSpec extends AnyFunSuite {
     assert(q.recentProgress.count(_.numInputRows > 0) >= 4)  // rate-bounded batches
     assert(q.recentProgress.forall(_.numInputRows <= 7))
   }
+
+  test("restart from checkpoint resumes at the committed offset - no reprocessing (S11)") {
+    val f = Files.createTempFile("tweets_ckpt", ".jsonl")
+    val ckpt = Files.createTempDirectory("replay_ckpt").toString
+    val out = Files.createTempDirectory("replay_sink").toString
+    Files.writeString(f, (1 to 10).map(i => tweet(i, s"10.1.0.$i")).mkString("\n"))
+
+    def run(): Unit = {
+      val raw = spark.readStream
+        .format("graft.streaming.ReplayJsonlSource")
+        .option("path", f.toString)
+        .option("maxPerBatch", 4)
+        .load()
+      // durable file sink: appends across restarts would EXPOSE
+      // reprocessing as duplicate rows (a memory sink is wiped per run)
+      val q = TweetStream.iocStream(raw)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()                              // pass 1: consumes all 10 records
+    // pass 2: more records arrive, then the query RESTARTS from the
+    // same checkpoint — it must pick up only the 5 new ones
+    Files.writeString(f,
+      "\n" + (11 to 15).map(i => tweet(i, s"10.1.0.$i")).mkString("\n"),
+      java.nio.file.StandardOpenOption.APPEND)
+    run()
+
+    val iocs = spark.read.parquet(out).select("ioc")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(iocs == (1 to 15).map(i => s"10.1.0.$i").sorted,
+      s"restart reprocessed or lost records: $iocs")
+  }
 }
