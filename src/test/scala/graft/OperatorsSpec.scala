@@ -30,6 +30,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fast.except(slow).count() == 0 && slow.except(fast).count() == 0)
   }
 
+  test("shingleOccurrencesN(5) equals the 5-gram HOF slice formulation") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fast = graft.operators.Corpus.shingleOccurrencesN(docs, 5).distinct()
+    val toks = TextStats.tokens(col("text"))
+    val hof = when(size(toks) >= 5,
+      array_distinct(transform(sequence(lit(1), size(toks) - 4),
+        i => concat_ws(" ", slice(toks, i, lit(5))))))
+      .otherwise(array().cast("array<string>"))
+    val slow = docs.select(col("doc_id"), explode(hof).as("shingle"))
+    assert(fast.except(slow).count() == 0 && slow.except(fast).count() == 0)
+  }
+
+  test("docs_pack conserves documents and tokens within every shard") {
+    val d = "/root/testdata/sf0.001"
+    val packed = graft.operators.Corpus.queries("docs_pack")(spark, d)
+    val perShard = packed.groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_docs")).as("docs"), sum(col("bin_tokens")).as("toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val truth = graft.sources.Tables.documents(spark, d)
+      .groupBy(col("lang"), (col("doc_id") % graft.operators.Corpus.PackShards).as("shard"))
+      .agg(count(lit(1)).as("docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(perShard == truth, "packing lost or invented documents/tokens")
+  }
+
   test("minhash signature: K entries, in the linear family's value range") {
     val sig = Seq("x y z w").toDF("text")
       .select(Dedup.minhashSig(Dedup.shingles(TextStats.tokens(col("text"))), Dedup.K).as("m"))
