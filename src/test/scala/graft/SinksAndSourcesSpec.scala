@@ -192,6 +192,25 @@ class SinksAndSourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("keyed REST sink: deterministic _key per record makes retries idempotent") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(("1", "10.0.0.1", "ip"), ("2", "deadbeef", "hash"))
+      .toDF("id", "ioc", "type")
+    def keysOf(dir: String): Seq[String] = {
+      graft.sinks.RestBatchSink.write(df, "kv", new graft.sinks.FileTransport(dir), keyed = true)
+      val payloads = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray.toSeq
+        .flatMap(p => scala.io.Source.fromFile(p.toString).getLines())
+      payloads.flatMap("\"_key\":\"([0-9a-f]{32})\"".r.findAllMatchIn(_).map(_.group(1))).sorted
+    }
+    val d1 = Files.createTempDirectory("keyed1").toString
+    val d2 = Files.createTempDirectory("keyed2").toString
+    val (k1, k2) = (keysOf(d1), keysOf(d2))
+    assert(k1.size == 2 && k1.distinct.size == 2, s"missing/colliding keys: $k1")
+    assert(k1 == k2, "a re-post produced different keys - retries would duplicate")
+  }
+
   test("canonical IOC frame round-trips through every bundled format") {
     import org.apache.spark.sql.functions._
     val spark = TestSpark.spark
