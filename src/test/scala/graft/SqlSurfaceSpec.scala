@@ -46,6 +46,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .head().getDouble(0) == 8.0)
   }
 
+  test("full SQL text over registered views equals the DataFrame API (TPC-H q3)") {
+    val d = "/root/testdata/sf0.001"
+    for (t <- Seq("customer", "orders", "lineitem"))
+      graft.sources.Tables.table(spark, d, t).createOrReplaceTempView(t)
+    val viaSql = spark.sql(
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '2000-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '2000-06-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin).collect().toSeq
+    val viaApi = SparkEntry.queries("q3_topk")(spark, d).collect().toSeq
+    assert(viaSql == viaApi, "SQL text and DataFrame API diverged on q3")
+  }
+
   test("typed Dataset[IocRecord] boundary") {
     val emails = Seq(("c1", "A", "indicator", "ip 1[.]2[.]3[.]4",
       java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
