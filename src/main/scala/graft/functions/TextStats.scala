@@ -30,6 +30,32 @@ object TextStats {
   /** BPE-ish subword segmentation: letter runs, digit runs, single symbols. */
   private val bpePat = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""
 
+  /** Composite quality score — the one formula `text_quality` and
+    * `corpus_report` share (a fork here would silently diverge the two).
+    * Written in a fixed IEEE association order mirrored by the SQL twin
+    * [[sqlQualityKeep]], so the doubles are bit-stable cross-engine. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val stopR = countIn(toks, stopEn).cast("double") / size(toks)
+    val punctR = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("double") / length(text)
+    lit(0.4) * least(stopR * lit(5.0), lit(1.0)) +
+      lit(0.3) * greatest(lit(0.0), lit(1.0) - punctR * lit(5.0)) +
+      lit(0.3) * least(size(toks).cast("double") / lit(100.0), lit(1.0))
+  }
+
+  /** The keep/drop cut over [[qualityScore]]. */
+  def qualityKeep(text: Column): Column =
+    qualityScore(text) >= 0.5 && size(tokens(text)) >= 10
+
+  /** DuckDB twin of [[qualityKeep]] over a `text` column — identical
+    * association order. */
+  private[graft] def sqlQualityKeep: String =
+    s"(0.4 * least(CAST(${sqlCountIn(stopEn)} AS DOUBLE) / len($sqlToks) * 5.0, 1.0)" +
+      s" + 0.3 * greatest(0.0, 1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)) AS DOUBLE) / length(text) * 5.0)" +
+      s" + 0.3 * least(CAST(len($sqlToks) AS DOUBLE) / 100.0, 1.0)) >= 0.5" +
+      s" AND len($sqlToks) >= 10"
+
   /** 60-bit token hash as a zero-padded binary string (md5-derived so both
     * engines agree bit-for-bit). */
   private def tokenBits(t: Column): Column =
@@ -101,10 +127,6 @@ object TextStats {
         .cast("double") / length(col("text"))
       val digitR = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
         .cast("double") / length(col("text"))
-      val score =
-        lit(0.4) * least(stopR * lit(5.0), lit(1.0)) +
-        lit(0.3) * greatest(lit(0.0), lit(1.0) - punctR * lit(5.0)) +
-        lit(0.3) * least(nToks.cast("double") / lit(100.0), lit(1.0))
       graft.operators.Relational.sortedOnce(
         Tables.documents(s, d).select(
           col("doc_id"),
@@ -112,8 +134,8 @@ object TextStats {
           stopR.as("stop_ratio"),
           punctR.as("punct_ratio"),
           digitR.as("digit_ratio"),
-          score.as("quality"),
-          (score >= 0.5 && nToks >= 10).as("keep")),
+          qualityScore(col("text")).as("quality"),
+          qualityKeep(col("text")).as("keep")),
         col("doc_id"))
     }),
 

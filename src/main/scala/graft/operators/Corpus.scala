@@ -106,6 +106,30 @@ object Corpus {
         id)
     }),
 
+    // corpus health report: the composed dashboard a pipeline operator
+    // reads per language — document/token volume, quality-filter pass
+    // count, near-dup cluster membership, and post-dedup survivor count,
+    // all in one row per language. Composes the quality formula (shared
+    // with text_quality) and the MEMOIZED cluster labels (shared with
+    // dedup_clusters/dedup_keep — at scale this is precisely why the
+    // label map is a persisted intermediate: every report reads it, none
+    // recompute it). All outputs are counts: deterministic by
+    // construction. One broadcast-ish join + one lang aggregation.
+    "corpus_report" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .join(Dedup.clusterLabels(s, d), Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+          count(when(graft.functions.TextStats.qualityKeep(col("text")), true))
+            .as("n_quality_keep"),
+          count(when(col("cluster_id").isNotNull, true)).as("n_clustered"),
+          count(when(col("cluster_id").isNull || col("cluster_id") === col("doc_id"), true))
+            .as("n_dedup_survivors"))
+        .orderBy(col("lang"))),
+
     // benchmark decontamination: documents sharing any word 5-gram with
     // the benchmark set (here: doc_id < 10 stands in for an eval set).
     // The benchmark's distinct shingles broadcast; the corpus side streams
@@ -156,6 +180,22 @@ object Corpus {
         s"'$EmailPat', '<EMAIL>', 'g'), '$IpPat', '<IP>', 'g') AS scrubbed,\n" +
         s"  len(regexp_extract_all(t, '$UrlPat', 0)) + len(regexp_extract_all(t, '$EmailPat', 0)) + len(regexp_extract_all(t, '$IpPat', 0)) AS n_pii\n" +
         "FROM synth\nORDER BY doc_id"),
+    "corpus_report" ->
+      (s"WITH RECURSIVE ${Dedup.minhashPairCtes},\n${Dedup.clusterCtes},\n" +
+        s"""q AS (
+           |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks,
+           |""".stripMargin +
+        s"    ${graft.functions.TextStats.sqlQualityKeep} AS keep\n" +
+        """  FROM documents)
+          |SELECT lang, COUNT(*) AS n_docs,
+          |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+          |  COUNT(CASE WHEN keep THEN 1 END) AS n_quality_keep,
+          |  COUNT(CASE WHEN l.cluster_id IS NOT NULL THEN 1 END) AS n_clustered,
+          |  COUNT(CASE WHEN l.cluster_id IS NULL OR l.cluster_id = q.doc_id
+          |             THEN 1 END) AS n_dedup_survivors
+          |FROM q LEFT JOIN labels l ON l.doc_id = q.doc_id
+          |GROUP BY lang
+          |ORDER BY lang""".stripMargin),
     "text_contamination" ->
       s"""WITH bench AS (
          |  SELECT DISTINCT unnest(s) AS shingle

@@ -532,7 +532,7 @@ object Dedup {
 
   /** Recursive-CTE connected components over `mh_pairs` → `labels(doc_id,
     * cluster_id)`, mirroring [[clusterLabels]]. */
-  private def clusterCtes: String =
+  private[graft] def clusterCtes: String =
     """edges AS (
       |  SELECT id1 AS src, id2 AS dst FROM mh_pairs
       |  UNION ALL
@@ -547,7 +547,7 @@ object Dedup {
 
   /** Shared DuckDB CTE chain ending in `mh_pairs(id1, id2)` — the MinHash
     * banded candidate pairs, mirrored by [[minhashPairs]]. */
-  private def minhashPairCtes: String =
+  private[graft] def minhashPairCtes: String =
     s"""sig AS (
        |  SELECT doc_id,
        |    [${MhashCD.map { case (c, dd) =>
