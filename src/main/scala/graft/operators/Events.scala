@@ -7,15 +7,18 @@ import graft.sources.Tables
 
 /** Event-time analytics over the `events` table — the batch twins of the
   * Structured Streaming operators (SURVEY.md §2.9 "extensions only"):
-  * tumbling-window aggregation, gaps-and-islands sessionization (the batch
+  * tumbling/sliding windows, gaps-and-islands sessionization (the batch
   * oracle for `session_window`; the streaming variant is exercised in
-  * StreamingSpec), and JSON projection of the `props` column (S5's
-  * from_json surface on relational data).
+  * StreamingSpec), the 3-step conversion funnel, cohort retention,
+  * per-user z-score anomaly detection, and the semi-structured `props`
+  * surface (JSON path projection AND Spark 4 Variant extraction).
   *
   * Sessionize = two window passes over one shuffle on user_id (lag + running
   * count reuse the same partitioning — Catalyst plans a single Exchange), then
   * a hash agg. At 100 TB this is the canonical one-shuffle sessionization; no
-  * per-user driver loop, no state explosion.
+  * per-user driver loop, no state explosion. Retention and anomaly follow
+  * the same discipline: the user window carries derived values onto event
+  * rows so nothing ever joins back.
   */
 object Events {
 

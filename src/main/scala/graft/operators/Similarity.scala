@@ -21,6 +21,10 @@ import graft.sources.Tables
   * oracle reproduces them); candidate generation then joins within buckets
   * only — the same shuffle-on-bucket shape as Dedup's MinHash LSH. Top-k
   * ranking is a single window over the candidate pairs, shuffled by query id.
+  * The quantization stack (scalar int8, IVF-PQ with ADC scoring) trades
+  * exactness for the 4-32× storage/IO cut that makes the vector store
+  * scannable at all; `embed_label_centroids` is the distributed
+  * vector-mean (class centroids) over the same fixed-point discipline.
   */
 object Similarity {
 
