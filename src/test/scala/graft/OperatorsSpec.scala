@@ -42,6 +42,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fast.except(slow).count() == 0 && slow.except(fast).count() == 0)
   }
 
+  test("corpus_report agrees with dedup_keep and text_quality per language") {
+    val d = "/root/testdata/sf0.001"
+    val report = graft.operators.Corpus.queries("corpus_report")(spark, d)
+      .select("lang", "n_dedup_survivors", "n_quality_keep")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val keep = Dedup.queries("dedup_keep")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap // lang -> n_kept
+    val quality = TextStats.queries("text_quality")(spark, d)
+      .join(graft.sources.Tables.documents(spark, d).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang")).agg(count(when(col("keep"), true)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, (surv, qual)) <- report) {
+      assert(keep(lang) == surv, s"$lang: report survivors $surv != dedup_keep ${keep(lang)}")
+      assert(quality(lang) == qual, s"$lang: report quality-keep $qual != text_quality ${quality(lang)}")
+    }
+  }
+
   test("docs_pack conserves documents and tokens within every shard") {
     val d = "/root/testdata/sf0.001"
     val packed = graft.operators.Corpus.queries("docs_pack")(spark, d)
