@@ -66,6 +66,12 @@ final class HttpRestClient(base: String) extends Transport {
         body.map(BodyPublishers.ofString).getOrElse(BodyPublishers.noBody()))
     }).build()
     val resp: HttpResponse[String] = client.send(req, BodyHandlers.ofString())
+    // Fail loudly on error statuses: the sink's at-least-once guarantee
+    // rests on a failed POST failing its TASK (so Spark retries it) — a
+    // 5xx body returned as a "result" would silently drop the batch.
+    if (resp.statusCode() < 200 || resp.statusCode() >= 300)
+      throw new java.io.IOException(
+        s"HTTP ${resp.statusCode()} from ${url(endpoint)}: ${resp.body().take(200)}")
     resp.body()
   }
 

@@ -107,6 +107,23 @@ class SinksAndSourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("HttpRestClient: error statuses throw - a failed POST must fail its task") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val out = """{"messages":[{"type":"ERROR"}]}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(503, out.length)
+      ex.getResponseBody.write(out); ex.close()
+    })
+    server.start()
+    try {
+      val api = new graft.sinks.HttpRestClient(
+        s"http://127.0.0.1:${server.getAddress.getPort}").authenticate("u", "p")
+      val e = intercept[java.io.IOException] { api.post("kv", "[{}]") }
+      assert(e.getMessage.contains("503"), s"wrong error: ${e.getMessage}")
+    } finally server.stop(0)
+  }
+
   test("RestBatchSink over HttpRestClient: executor-side POSTs against a live endpoint") {
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String, String)]()
     withServer(seen, _ => """{"_key": "ok"}""") { base =>
