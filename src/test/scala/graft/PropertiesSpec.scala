@@ -65,6 +65,37 @@ class PropertiesSpec extends AnyFunSuite {
     assert(exploded == arrays.map(_.size).sum)
   }
 
+  test("property: PII scrub removes every generated email/IP/URL") {
+    import graft.operators.Corpus
+    val local = Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar,
+      Gen.oneOf('.', '_', '%', '+', '-'))).map(_.mkString)
+      .suchThat(s => s.exists(_.isLetterOrDigit))
+    val dom = for {
+      a <- Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+      tld <- Gen.oneOf("com", "io", "net", "example")
+    } yield s"$a.$tld"
+    val emailGen = for { l <- local; d <- dom } yield s"$l@$d"
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "https"); d <- dom
+      p <- Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    } yield s"$scheme://$d/$p"
+    val piiGen = for {
+      e <- emailGen; ip <- ipGen; u <- urlGen
+    } yield s"start $e mid $ip also $u end"
+    val samples = Gen.listOfN(200, piiGen).sample.get
+    val scrubbed = samples.toDF("text").select(
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        Corpus.UrlPat, "<URL>"), Corpus.EmailPat, "<EMAIL>"),
+        Corpus.IpPat, "<IP>").as("s"))
+      .collect().map(_.getString(0))
+    for (s <- scrubbed) {
+      assert(!s.contains("@"), s"email survived scrub: $s")
+      assert(!s.matches(""".*\d+\.\d+\.\d+\.\d+.*"""), s"IP survived scrub: $s")
+      assert(!s.contains("://"), s"URL survived scrub: $s")
+      assert(s.contains("<EMAIL>") && s.contains("<IP>") && s.contains("<URL>"))
+    }
+  }
+
   test("property: hash regex is greedy — exactly one match per hash token") {
     val hashes = Gen.listOfN(60, hashGen).sample.get
     val matches = hashes.map(h => s"sample $h end").toDF("b")
