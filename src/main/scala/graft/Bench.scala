@@ -37,28 +37,36 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
+        // a broken query must NOT read as a fast green timing — it is
+        // reported in the "failed" field of the result line
+        failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // All numeric formatting is Locale.ROOT: a comma-decimal default locale
+    // (de_DE) would emit "1,23" and invalidate the JSON.
+    def fmt(prec: Int, v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
     // The driver captures only the LAST ~2000 chars of output and JSON-parses
-    // the result line from that tail (sbt's "[success] …" epilogue eats ~75
-    // of those); full-precision doubles over ~70 queries made the line
-    // ~2800 chars in round 2 and it was truncated (parsed:null). Tiers:
-    // 2-decimal full map → 1-decimal full map → 1-decimal map of only the
-    // SLOWEST queries that fit (total stays exact; "omitted" records the
+    // the result line from that tail; full-precision doubles over ~70 queries
+    // made the line ~2800 chars in round 2 and it was truncated (parsed:null).
+    // Tiers: 2-decimal full map → 1-decimal full map → 1-decimal map of only
+    // the SLOWEST queries that fit (total stays exact; "omitted" records the
     // fast ones dropped from the map, never from the measurement).
     val budget = 1800
     def fmtLine(prec: Int, entries: Seq[(String, Double)], omitted: Int): String = {
-      val qs = entries.map { case (k, v) => "\"" + k + "\":" + s"%.${prec}f".format(v) }
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(prec, v) }
         .mkString("{", ",", "}")
-      val total = "%.2f".format(results.map(_._2).sum)
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
+      val fl = if (failed.isEmpty) ""
+        else failed.sorted.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
+      s"""{"metric":"total","value":${fmt(2, results.map(_._2).sum)},"unit":"sec","queries":$qs$om$fl,"sf":"$sfDir"}"""
     }
     val full2 = fmtLine(2, results, 0)
     val full1 = fmtLine(1, results, 0)
@@ -72,7 +80,12 @@ object Bench {
           .find(_.length <= budget)
         kept.getOrElse(fmtLine(1, Nil, bySlow.length))
       }
-    println(line)
+    // belt-and-braces mirror for the judge (driver parses the stdout tail)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    catch { case _: Throwable => }
+    // stop the session BEFORE printing so no Spark shutdown log line can
+    // land after (or inside) the result line in the captured tail
     spark.stop()
+    println(line)
   }
 }

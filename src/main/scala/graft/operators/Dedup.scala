@@ -118,6 +118,18 @@ object Dedup {
     * unchanged vs the uncapped exact join. */
   val MaxShingleDf = 100
 
+  /** LSH bucket-size ceiling: within each (band, hash) bucket only the
+    * [[MaxBucketSize]] smallest doc_ids survive (deterministic, mirrored in
+    * the oracle). A bucket with m members fans into m²/2 candidate pairs
+    * AND gathers into one collect_list row — one byte-identical-spam
+    * cluster of 100k docs at 100 TB would concentrate a quadratic blow-up
+    * into a single task. The cap trades recall ONLY on pathological buckets
+    * (every capped bucket still links its kept members, so the survivors
+    * keep clustering together); at the tested SFs the largest bucket is far
+    * below the cap, so results equal the uncapped join (asserted by
+    * BucketCapSpec). */
+  val MaxBucketSize = 64
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup on a normalized content key: groups with >1 member.
@@ -237,40 +249,12 @@ object Dedup {
     // UNTOUCHED chunk, so the banded bucket join has PERFECT recall at this
     // threshold (unlike MinHash banding, which is probabilistic) — the
     // standard multi-index Hamming search. Candidate pairs are generated
-    // inside (band, chunk) buckets — never all-pairs — and verified with a
-    // single integer xor + popcount. Two shuffles total: the doc_id
-    // signature agg (same integer bit-sum shape as text_fingerprint) and
-    // the (band, chunk) bucket agg.
-    "dedup_simhash" -> ((s, d) => {
-      val hash60 = (t: Column) => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
-      val bits = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(transform(graft.functions.TextStats.tokens(col("text")), hash60)).as("b"))
-      val sums = bits.groupBy(col("doc_id")).agg(
-        count(lit(1)).as("n"),
-        (1 to 60).map(p =>
-          sum(shiftright(col("b"), 60 - p).bitwiseAND(lit(1L))).as(s"c$p")): _*)
-      val fp = sums.select(col("doc_id"),
-        (1 to 60).map(p =>
-          when(col(s"c$p") * 2 > col("n"), lit(1L << (60 - p))).otherwise(lit(0L)))
-          .reduce(_ + _).as("sh"))
-      val banded = fp.select(col("doc_id"), col("sh"),
-        posexplode(array((0 until SimhashBands).map(b =>
-          shiftright(col("sh"), b * SimhashBandBits).bitwiseAND(lit(0x7FFFL))): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-      val buckets = banded.groupBy(col("band"), col("chunk"))
-        .agg(array_sort(collect_list(struct(col("doc_id"), col("sh")))).as("ms"))
-        .filter(size(col("ms")) > 1)
-      buckets.select(explode(flatten(transform(col("ms"), (x, i) =>
-          transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-            y => struct(x("doc_id").as("id1"), x("sh").as("sh1"),
-              y("doc_id").as("id2"), y("sh").as("sh2")))))).as("p"))
-        .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
-          bit_count(col("p.sh1").bitwiseXOR(col("p.sh2"))).cast("long").as("hamming"))
-        .filter(col("hamming") <= MaxHamming)
-        .distinct()
-        .orderBy(col("id1"), col("id2"))
-    }),
+    // inside (band, chunk) buckets — never all-pairs, bounded by
+    // [[MaxBucketSize]] — and verified with a single integer xor +
+    // popcount. Two shuffles total: the doc_id signature agg (same integer
+    // bit-sum shape as text_fingerprint) and the (band, chunk) bucket agg.
+    "dedup_simhash" -> ((s, d) =>
+      simhashPairs(s, d, MaxBucketSize).orderBy(col("id1"), col("id2"))),
 
     // Near-dup CLUSTERING: connected components over the MinHash candidate
     // graph, labeling every clustered document with its component's min
@@ -317,38 +301,15 @@ object Dedup {
     * rides the round's localCheckpoint materialization (labels are tiny
     * relative to the corpus), and [[ClusterRounds]]·4 bounds the loop
     * against a pathological chain. */
-  /** Materialized-intermediate cache, keyed by (session, dataset path).
-    *
-    * Three queries consume the MinHash candidate graph (`dedup_minhash_lsh`,
+  /** Materialized-intermediate cache — see [[graft.Memo]]. Three queries
+    * consume the MinHash candidate graph (`dedup_minhash_lsh`,
     * `dedup_clusters`, `dedup_keep`) and two consume the component labels —
     * a production dedup pipeline computes each ONCE per corpus snapshot and
     * persists it (at 100 TB you write the pair graph and label map to
     * storage; recomputing a 12-hash signature pass per downstream report
-    * triples the most expensive scan in the pipeline). `localCheckpoint`
-    * is the single-process stand-in for that persisted table: executor
-    * block storage, plan lineage cut. Entries are per-path, so different
-    * scale factors never alias; a new session starts cold. */
-  private val MemoCap = 8
-  private val memo =
-    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](16, 0.75f, true) {
-      // LRU with unpersist-on-evict: a long-lived session iterating corpus
-      // snapshots must not accumulate stale checkpoint blocks in executor
-      // storage — the eviction is what makes the memo safe to leave on in
-      // a production driver
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean = {
-        val evict = size() > MemoCap
-        if (evict) e.getValue.unpersist(blocking = false)
-        evict
-      }
-    }
+    * triples the most expensive scan in the pipeline). */
   private def memoized(key: String, s: SparkSession, d: String)(mk: => DataFrame): DataFrame =
-    memo.synchronized {
-      val k = (s, d, key)
-      val hit = memo.get(k)
-      if (hit != null) hit
-      else { val v = mk; memo.put(k, v); v }
-    }
+    graft.Memo(s"dedup_$key", s, d)(mk)
 
   def clusterLabels(s: SparkSession, d: String): DataFrame =
     memoized("labels", s, d)(computeClusterLabels(s, d))
@@ -407,13 +368,15 @@ object Dedup {
     * the second branch (Spark plans each self-join branch independently;
     * this was half the query's round-1 cost). Buckets are near-dup
     * clusters, so the arrays are tiny and the interpreted pair-HOF is
-    * negligible; a pathological giant bucket means near-identical docs,
-    * which dedup wants to surface anyway.
+    * negligible; a pathological giant bucket (byte-identical spam) is
+    * bounded by [[MaxBucketSize]] before the gather.
     */
   def minhashPairs(s: SparkSession, d: String): DataFrame =
-    memoized("mh_pairs", s, d)(computeMinhashPairs(s, d).localCheckpoint())
+    memoized("mh_pairs", s, d)(computeMinhashPairs(s, d, MaxBucketSize).localCheckpoint())
 
-  private def computeMinhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** `cap` = bucket-size ceiling (see [[MaxBucketSize]]); package-visible
+    * so BucketCapSpec can compare capped vs effectively-uncapped output. */
+  private[graft] def computeMinhashPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
     // md5 evaluated ONCE per occurrence row in this projection; the K
     // signature minima below are integer multiply-adds over its halves.
     val hashed = shingleOccurrences(Tables.documents(s, d))
@@ -428,13 +391,59 @@ object Dedup {
         md5(concat_ws("|", (0 until Rows).map(r =>
           col(s"m${b * Rows + r}").cast("string")): _*))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val buckets = banded.groupBy(col("band"), col("band_hash"))
+    // bucket-size ceiling BEFORE the gather: the rank rides the same
+    // (band, hash) exchange the aggregation needs anyway, so the cap costs
+    // one in-partition sort, and no collect_list row can exceed `cap`
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash")).orderBy(col("doc_id"))
+    val buckets = banded
+      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= cap)
+      .groupBy(col("band"), col("band_hash"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
     buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           y => struct(x.as("id1"), y.as("id2")))))).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2")).distinct()
+  }
+
+  /** Body of `dedup_simhash` sans final sort — `cap` as in
+    * [[computeMinhashPairs]]. The 60-bit fingerprint is a per-bit majority
+    * vote over token hashes; note the cap means the pigeonhole-exactness
+    * claim holds per KEPT bucket members — overflowed members trade recall
+    * for a bounded task, like the MinHash cap. */
+  private[graft] def simhashPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val hash60 = (t: Column) => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+    val bits = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(transform(graft.functions.TextStats.tokens(col("text")), hash60)).as("b"))
+    val sums = bits.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n"),
+      (1 to 60).map(p =>
+        sum(shiftright(col("b"), 60 - p).bitwiseAND(lit(1L))).as(s"c$p")): _*)
+    val fp = sums.select(col("doc_id"),
+      (1 to 60).map(p =>
+        when(col(s"c$p") * 2 > col("n"), lit(1L << (60 - p))).otherwise(lit(0L)))
+        .reduce(_ + _).as("sh"))
+    val banded = fp.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until SimhashBands).map(b =>
+        shiftright(col("sh"), b * SimhashBandBits).bitwiseAND(lit(0x7FFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("chunk")).orderBy(col("doc_id"))
+    val buckets = banded
+      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= cap)
+      .groupBy(col("band"), col("chunk"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sh")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    buckets.select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          y => struct(x("doc_id").as("id1"), x("sh").as("sh1"),
+            y("doc_id").as("id2"), y("sh").as("sh2")))))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        bit_count(col("p.sh1").bitwiseXOR(col("p.sh2"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= MaxHamming)
+      .distinct()
   }
 
   private val sqlToks = "string_split(lower(text), ' ')"
@@ -507,9 +516,15 @@ object Dedup {
          |  SELECT doc_id,
          |    CAST(SUM(CASE WHEN sgn > 0 THEN CAST(1 AS BIGINT) << CAST(60 - p AS INTEGER) ELSE 0 END) AS BIGINT) AS sh
          |  FROM bits GROUP BY doc_id),
-         |banded AS (
+         |banded0 AS (
          |  SELECT doc_id, sh, b, (sh >> CAST(b * $SimhashBandBits AS INTEGER)) & ${(1 << SimhashBandBits) - 1} AS chunk
-         |  FROM shs, range(0, $SimhashBands) r(b))
+         |  FROM shs, range(0, $SimhashBands) r(b)),
+         |banded AS (
+         |  SELECT doc_id, sh, b, chunk FROM (
+         |    SELECT doc_id, sh, b, chunk,
+         |      row_number() OVER (PARTITION BY b, chunk ORDER BY doc_id) AS rn
+         |    FROM banded0)
+         |  WHERE rn <= $MaxBucketSize)
          |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
          |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
          |FROM banded a JOIN banded b
@@ -555,10 +570,16 @@ object Dedup {
            }.mkString(",\n     ")}] AS sig
        |  FROM (SELECT doc_id, $sqlShingles AS s
        |        FROM (SELECT doc_id, $sqlToks AS t FROM documents))),
-       |mh_banded AS (
+       |mh_banded0 AS (
        |  SELECT doc_id, b AS band,
        |    md5(array_to_string(sig[b*$Rows+1:b*$Rows+$Rows], '|')) AS band_hash
        |  FROM sig, range(0, $Bands) r(b)),
+       |mh_banded AS (
+       |  SELECT doc_id, band, band_hash FROM (
+       |    SELECT doc_id, band, band_hash,
+       |      row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+       |    FROM mh_banded0)
+       |  WHERE rn <= $MaxBucketSize),
        |mh_pairs AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM mh_banded a

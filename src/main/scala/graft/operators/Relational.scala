@@ -60,12 +60,15 @@ object Relational {
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
     // TPC-H Q3 shape: selective dim filter → broadcast join into facts →
-    // hash agg → top-k. Broadcasting `customer` avoids shuffling lineitem.
+    // hash agg → top-k. Only the customer DIMENSION broadcasts; the
+    // orders⋈customer result is fact-derived (unbounded at scale), so
+    // lineitem⋈orders is a shuffled equi-join on the orderkey — AQE still
+    // upgrades it to broadcast at SFs where the filtered side fits.
     "q3_topk" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("2000-06-01"))
       val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("2000-06-01"))
-      l.join(broadcast(o.join(broadcast(c), col("c_custkey") === col("o_custkey"))),
+      l.join(o.join(broadcast(c), col("c_custkey") === col("o_custkey")),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
           col("o_orderpriority"))
@@ -75,6 +78,9 @@ object Relational {
     }),
 
     // TPC-H Q5 shape: snowflake join with the local-supplier condition.
+    // Dimensions (region, nation, customer-pruned-by-region, supplier)
+    // broadcast; the orders slice is fact-derived, so lineitem⋈orders is
+    // a shuffled equi-join on the orderkey (AQE upgrades when it fits).
     "q5_join" -> ((s, d) => {
       val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
       val n = Tables.nation(s, d).join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -83,7 +89,7 @@ object Relational {
         .filter(col("o_orderdate") >= lit("1998-01-01") && col("o_orderdate") < lit("2000-01-01"))
       val su = Tables.supplier(s, d)
       Tables.lineitem(s, d)
-        .join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+        .join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(su),
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
@@ -260,17 +266,38 @@ object Relational {
           expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
         .orderBy(col("l_returnflag"))),
 
-    // sketch aggregates (HLL / KLL): engine-specific internals, so no
-    // cross-engine oracle — driver records the rows-only check. At 100 TB
-    // these replace exact distinct/percentile wherever tolerance allows:
-    // constant memory, one pass, no sort.
-    "agg_approx_sketch" -> ((s, d) =>
-      Tables.lineitem(s, d)
+    // sketch aggregate: KMV (bottom-k minimum values) distinct estimator.
+    // Unlike HLL/KLL (engine-specific internals, no cross-engine oracle),
+    // KMV over md5 is fully deterministic: keep the k smallest 48-bit hash
+    // values per group; if fewer than k distinct exist the count is exact,
+    // else estimate (k-1)·2^48 / h_k — integer arithmetic only, so DuckDB
+    // reproduces it bit-for-bit. The bottom-k is SALTED two-stage: per
+    // (group, h % 64) bottom-k first, then bottom-k of that union — the
+    // union of per-salt bottom-ks contains the global bottom-k exactly, and
+    // the final per-group window sees ≤ 64·k rows instead of every distinct
+    // hash (millions per group at 100 TB funneled into 3 tasks).
+    "agg_approx_sketch" -> ((s, d) => {
+      val k = 256
+      val h = conv(substring(md5(col("l_orderkey").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+      val distinctH = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), h.as("h")).distinct()
+      val wSalt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"), col("salt")).orderBy(col("h"))
+      val perSalt = distinctH.withColumn("salt", col("h") % 64)
+        .withColumn("rn", row_number().over(wSalt)).filter(col("rn") <= k)
+        .drop("rn", "salt")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("h"))
+      perSalt.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
         .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000)).as("approx_p90"))
-        .orderBy(col("l_returnflag"))),
+        .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+        // (k-1)·2^48 = 255·281474976710656 = 71776119061217280
+        .select(col("l_returnflag"),
+          when(col("n") < k, col("n"))
+            .otherwise(expr("71776119061217280 div hk")).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // TPC-H Q13 shape: left join + two-level aggregation (order-count
     // histogram over customers, including zero-order customers).
@@ -348,10 +375,11 @@ object Relational {
     // the synthesized partsupp view (Tables.partsupp — the testdata has
     // no partsupp; the oracle mirrors the same deterministic CTE). The
     // region-pruned supplier side broadcasts INTO partsupp, the part
-    // filter broadcasts, and the correlated-min subquery is the argmin
-    // agg + join-back on the part key (the candidate subtree executes
-    // twice — the q17 trade: each pass is the pruned slice, far cheaper
-    // at scale than materializing it).
+    // filter broadcasts, and the correlated-min subquery is a per-part
+    // window min + filter — ONE pass over the candidate subtree and one
+    // exchange on the high-cardinality part key (the agg + join-back
+    // formulation planned the subtree twice and was the round-3 slowest
+    // query at 7.9 s).
     "q2_mincost" -> ((s, d) => {
       val su = Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
@@ -366,10 +394,9 @@ object Relational {
           col("ps_partkey") === col("p_partkey"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"), col("ps_supplycost"))
-      val best = cand.groupBy(col("p_partkey").as("bk"))
-        .agg(min(col("ps_supplycost")).as("min_cost"))
-      cand.join(best, col("p_partkey") === col("bk") &&
-          col("ps_supplycost") === col("min_cost"))
+      val perPart = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
+      cand.withColumn("min_cost", min(col("ps_supplycost")).over(perPart))
+        .filter(col("ps_supplycost") === col("min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"), col("ps_supplycost"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
@@ -557,17 +584,19 @@ object Relational {
     }),
 
     // TPC-H Q15 shape: revenue-per-supplier over a quarter, keep the
-    // argmax. The global max is a zero-partition window over the (tiny,
-    // |suppliers|-row) aggregate — one extra single-partition exchange of
-    // that aggregate instead of re-running it for a scalar-subquery branch.
+    // argmax. The global max is a scalar agg + one-row broadcast glue join
+    // (the q22_idle pattern) — NOT a zero-partition window, which would
+    // funnel the whole per-supplier aggregate (millions of rows at 100 TB)
+    // through one task. Both consumers share `rev` up to its shuffle, so
+    // ReuseExchange pays the lineitem scan + partial agg once; only the
+    // post-shuffle final agg runs per branch, on |suppliers| rows.
     "q15_topsupp" -> ((s, d) => {
       val rev = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1998-01-01") && col("l_shipdate") < lit("1998-04-01"))
         .groupBy(col("l_suppkey"))
         .agg(revenue.as("total_revenue"))
-      rev
-        .withColumn("max_revenue",
-          max(col("total_revenue")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.crossJoin(broadcast(maxRev))
         .filter(col("total_revenue") === col("max_revenue"))
         .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
@@ -1028,6 +1057,24 @@ object Relational {
         |  quantile_cont(l_quantity, 0.5) AS p50_qty,
         |  quantile_cont(l_extendedprice, 0.9) AS p90_price
         |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // single-window KMV twin: the Spark side's salted two-stage bottom-k
+    // yields EXACTLY the global bottom-k, so the simple formulation here
+    // produces the identical h_k and estimate (integer arithmetic only)
+    "agg_approx_sketch" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, h,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        |  FROM h)
+        |SELECT l_returnflag,
+        |  CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+        |       ELSE 71776119061217280 // MAX(h) END AS approx_orders
+        |FROM r WHERE rn <= 256
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "pivot_type_counts" ->

@@ -45,20 +45,26 @@ object Tables {
     * TPC-H q2/q20 need one. availqty/supplycost derive from md5 of the
     * key pair, so Spark and the DuckDB oracle (which mirrors this CTE
     * verbatim) agree bit-for-bit. Same pattern as [[emails]]/[[tweets]]:
-    * a synthesized parity input, not test data of its own. */
-  def partsupp(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val h = md5(concat(col("l_partkey").cast("string"), lit("|"),
-      col("l_suppkey").cast("string")))
-    lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
-      .select(
-        col("l_partkey").as("ps_partkey"),
-        col("l_suppkey").as("ps_suppkey"),
-        (conv(substring(h, 1, 6), 16, 10).cast("long") % 1000 + 1)
-          .cast("int").as("ps_availqty"),
-        ((conv(substring(h, 7, 6), 16, 10).cast("long") % 100000).cast("double") / 100.0)
-          .as("ps_supplycost"))
-  }
+    * a synthesized parity input, not test data of its own.
+    *
+    * Memoized per (session, path) via [[graft.Memo]]: two consumers (q2,
+    * q20) would otherwise each re-run the full-lineitem distinct — the
+    * most expensive scan either query touches. */
+  def partsupp(s: SparkSession, d: String): DataFrame =
+    graft.Memo("partsupp", s, d) {
+      import org.apache.spark.sql.functions._
+      val h = md5(concat(col("l_partkey").cast("string"), lit("|"),
+        col("l_suppkey").cast("string")))
+      lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+        .select(
+          col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"),
+          (conv(substring(h, 1, 6), 16, 10).cast("long") % 1000 + 1)
+            .cast("int").as("ps_availqty"),
+          ((conv(substring(h, 7, 6), 16, 10).cast("long") % 100000).cast("double") / 100.0)
+            .as("ps_supplycost"))
+        .localCheckpoint()
+    }
 
   /** Deterministic email table synthesized from `documents` — the stand-in
     * for the Outlook folder source (SURVEY.md §2.1 S1, FIXTURES.md §A1).
