@@ -38,16 +38,19 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        // a broken query must NOT read as a fast green timing — it is
-        // reported in the "failed" field of the result line
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        // a broken query must NOT read as a fast green timing: it is listed
+        // in "failed" and excluded from BOTH the per-query map and the total,
+        // so the flag and the numbers can never disagree
         failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
     // All numeric formatting is Locale.ROOT: a comma-decimal default locale
     // (de_DE) would emit "1,23" and invalidate the JSON.

@@ -12,43 +12,57 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cut). Entries are per-path, so different scale factors never alias; a
   * new session starts cold.
   *
-  * Eviction is LRU with a real block release: `DataFrame.unpersist` alone
-  * would only clear CacheManager entries, NOT the checkpoint RDD blocks
-  * (those otherwise wait for GC + ContextCleaner), so eviction digs the
-  * checkpointed RDD out of the plan's `LogicalRDD` leaf and unpersists it
-  * directly. Entries whose session has stopped are purged on every access,
-  * so the memo never pins dead `SparkSession`s.
+  * Concurrency: the global lock guards only the (cheap) entry lookup; the
+  * expensive materialization (`mk`, typically an eager localCheckpoint job)
+  * runs under a per-key lock, so one slow build never blocks memo access
+  * for other keys or sessions — only same-key callers wait, and they all
+  * receive the single shared result.
+  *
+  * Eviction is LRU on the Dataset-level cache entry ONLY
+  * (`unpersist(blocking = false)`). The checkpoint RDD blocks behind a
+  * `localCheckpoint` frame are deliberately NOT force-released on eviction:
+  * a caller may still hold the evicted DataFrame (or a plan built from it),
+  * and yanking its blocks would fail that plan unrecoverably with
+  * missing-checkpoint-block errors. The blocks are reclaimed by
+  * GC + ContextCleaner once the last reference drops — the same lifecycle
+  * any checkpointed frame has. Entries whose session has stopped are purged
+  * on every access, so the memo never pins dead `SparkSession`s.
   */
 private[graft] object Memo {
   private val Cap = 8
+
+  /** Holder whose `get` materializes at most once, under a per-key lock. */
+  private final class Entry(mk: () => DataFrame) {
+    @volatile private var value: DataFrame = _
+    def get: DataFrame = {
+      if (value == null) synchronized { if (value == null) value = mk() }
+      value
+    }
+    /** The value if already materialized — never triggers computation. */
+    def peek: Option[DataFrame] = Option(value)
+  }
+
   private val map =
-    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(SparkSession, String, String), Entry](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean = {
+          e: java.util.Map.Entry[(SparkSession, String, String), Entry]): Boolean = {
         val evict = size() > Cap
-        if (evict) release(e.getValue)
+        // soft release only — see scaladoc; an un-materialized entry
+        // (still being built by another thread) has nothing to release
+        if (evict) e.getValue.peek.foreach(_.unpersist(blocking = false))
         evict
       }
     }
 
-  /** Free both the Dataset-level cache entry and the localCheckpoint RDD
-    * blocks backing a checkpointed DataFrame. */
-  private def release(df: DataFrame): Unit = {
-    df.unpersist(blocking = false)
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ =>
-    }
-  }
-
-  def apply(key: String, s: SparkSession, d: String)(mk: => DataFrame): DataFrame =
-    map.synchronized {
+  def apply(key: String, s: SparkSession, d: String)(mk: => DataFrame): DataFrame = {
+    val entry = map.synchronized {
       val it = map.entrySet().iterator()
       while (it.hasNext) if (it.next().getKey._1.sparkContext.isStopped) it.remove()
       val k = (s, d, key)
-      val hit = map.get(k)
-      if (hit != null) hit
-      else { val v = mk; map.put(k, v); v }
+      var e = map.get(k)
+      if (e == null) { e = new Entry(() => mk); map.put(k, e) }
+      e
     }
+    entry.get // expensive build happens here, OUTSIDE the global lock
+  }
 }

@@ -20,22 +20,42 @@ object TweetPipeline {
   /** Raw tweet JSON → flat columns (projections P2-P4, firehose.py:22-37):
     * retweet filter, extended-text coalesce with \r-strip/\n→space,
     * nested user/entities access, ";"-joined hashtags and urls.
+    *
+    * `withWarnings = true` additionally carries the reference's two console
+    * warnings as boolean columns, for `observe()` counters downstream
+    * (see [[graft.streaming.TweetStream.observedWarnings]]):
+    *  - `warn_truncated`: no extended_tweet AND cleaned text > 140 chars —
+    *    "Tweet is truncated, but extended_tweet isn't available..."
+    *    (firehose.py:33-34);
+    *  - `warn_multi_pastebin`: more than one pastebin link in a tweet —
+    *    "Unhandled situation: More than one pastebin link" (firehose.py:52-53).
+    * The flags are extra columns only; every downstream select ignores them,
+    * so the parity path is unchanged.
     */
-  def flatten(raw: DataFrame): DataFrame = {
+  def flatten(raw: DataFrame, withWarnings: Boolean = false): DataFrame = {
     val t = from_json(col("value"), Schemas.tweet)
-    raw.select(t.as("t"))
+    val cleanedText = regexp_replace(regexp_replace(
+      coalesce(col("t.extended_tweet.full_text"), col("t.text")),
+      "\r", ""), "\n", " ")
+    val base = raw.select(t.as("t"))
       .filter(!col("t.retweeted") && !col("t.text").startsWith("RT @")) // P2
-      .select(
-        col("t.id").cast("string").as("id"),
-        regexp_replace(regexp_replace(
-          coalesce(col("t.extended_tweet.full_text"), col("t.text")),
-          "\r", ""), "\n", " ").as("text"), // P3: \r→"" then \n→" ", exactly
-        col("t.user.screen_name").as("user"),
-        concat_ws(";", transform(col("t.entities.hashtags"), h => h("text")))
-          .as("hashtags"), // P4
-        concat_ws(";", transform(col("t.entities.urls"), u => u("expanded_url")))
-          .as("urls"),
-        col("t.created_at").as("created_date"))
+    val cols = Seq(
+      col("t.id").cast("string").as("id"),
+      cleanedText.as("text"), // P3: \r→"" then \n→" ", exactly
+      col("t.user.screen_name").as("user"),
+      concat_ws(";", transform(col("t.entities.hashtags"), h => h("text")))
+        .as("hashtags"), // P4
+      concat_ws(";", transform(col("t.entities.urls"), u => u("expanded_url")))
+        .as("urls"),
+      col("t.created_at").as("created_date"))
+    val warnCols =
+      if (!withWarnings) Nil
+      else Seq(
+        (col("t.extended_tweet.full_text").isNull && length(cleanedText) > 140)
+          .as("warn_truncated"),
+        (size(filter(transform(col("t.entities.urls"), u => u("expanded_url")),
+          u => u.contains("pastebin"))) > 1).as("warn_multi_pastebin"))
+    base.select(cols ++ warnCols: _*)
   }
 
   /** Flat tweet columns → canonical 8-column IOC frame (extraction R3/R4/R6

@@ -41,6 +41,23 @@ object TweetStream {
       count(lit(1)).as("total"))
   }
 
+  /** The reference's two console warnings, re-expressed as streaming metrics
+    * (firehose.py:33-34 truncation, firehose.py:52-53 multi-pastebin-link):
+    * counts observed per micro-batch on the flattened frame, surfaced through
+    * StreamingQueryProgress.observedMetrics exactly like [[observed]]'s IOC
+    * counters. A console print per offending tweet does not scale past one
+    * process; a counter per micro-batch is the distributed equivalent.
+    * Input must come from `TweetPipeline.flatten(raw, withWarnings = true)`;
+    * the flag columns pass through `observe` and are dropped by the next
+    * projection ([[graft.pipeline.TweetPipeline.extract]]).
+    */
+  def observedWarnings(flatWithWarnings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    flatWithWarnings.observe("ingest_warnings",
+      count(when(col("warn_truncated"), true)).as("truncated_no_extended"),
+      count(when(col("warn_multi_pastebin"), true)).as("multi_pastebin_links"))
+  }
+
   /** Keep only tweets carrying at least one tracked hashtag — the in-engine
     * equivalent of the reference's `track=` list (firehose.py:163-164). */
   def trackFilter(flat: DataFrame, tracked: Seq[String]): DataFrame = {

@@ -125,27 +125,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fast.except(slow).count() == 0 && slow.except(fast).count() == 0)
   }
 
-  test("agg_approx_sketch: sketch estimates bounded against the exact aggregates") {
-    // No cross-engine oracle is possible for sketch internals (HLL / KLL are
-    // engine-specific), so the rows-only driver check is upgraded here to an
-    // accuracy bound: approx_count_distinct within 3×rsd (default rsd=0.05)
-    // of the exact distinct count, approx p90 within the value range and
-    // close to the exact percentile.
+  test("agg_approx_sketch: KMV estimate bounded against the exact distinct count") {
+    // The KMV (bottom-k minimum values) estimator is deterministic and
+    // oracle-expressible — the DuckDB twin replays the same md5 bottom-k —
+    // so the hash gate proves cross-engine EQUALITY. This test proves the
+    // estimate is also a GOOD one: k=256 gives rsd ≈ 1/√(k-2) ≈ 6.3%, so
+    // the estimate must land within 3×rsd (~19%) of the exact distinct
+    // count, and must be EXACT for groups with fewer than k members.
     val d = "/root/testdata/sf0.001"
     val approx = operators.Relational.queries("agg_approx_sketch")(spark, d)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    val exactCd = operators.Relational.queries("agg_stats")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = operators.Relational.queries("agg_stats")(spark, d)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
-    val exactP90 = operators.Relational.queries("agg_percentiles")(spark, d)
-      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
-    assert(approx.keySet == exactCd.keySet)
-    approx.foreach { case (flag, (cd, p90)) =>
-      val exact = exactCd(flag)
-      assert(math.abs(cd - exact).toDouble / exact <= 0.15, // 3× default rsd
-        s"$flag: approx distinct $cd vs exact $exact")
-      // KLL with accuracy=1000 on a smooth distribution: within 2% of exact
-      assert(math.abs(p90 - exactP90(flag)) / exactP90(flag) <= 0.02,
-        s"$flag: approx p90 $p90 vs exact ${exactP90(flag)}")
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (flag, est) =>
+      val ex = exact(flag)
+      if (ex < 256) assert(est == ex, s"$flag: sub-k group must be exact")
+      else assert(math.abs(est - ex).toDouble / ex <= 0.19,
+        s"$flag: KMV estimate $est vs exact $ex")
     }
   }
 

@@ -17,10 +17,12 @@ class TweetStreamSpec extends AnyFunSuite {
 
   private def tweet(id: Long, text: String, retweeted: Boolean = false,
                     extended: Option[String] = None, user: String = "acct",
-                    hashtags: Seq[String] = Seq("malware")): String = {
+                    hashtags: Seq[String] = Seq("malware"),
+                    urls: Seq[String] = Nil): String = {
     val ext = extended.map(t => s""","extended_tweet":{"full_text":"$t"}""").getOrElse("")
     val tags = hashtags.map(h => s"""{"text":"$h"}""").mkString(",")
-    s"""{"created_at":"2024-02-02","id":$id,"text":"$text","retweeted":$retweeted$ext,"user":{"screen_name":"$user"},"entities":{"hashtags":[$tags],"urls":[]}}"""
+    val us = urls.map(u => s"""{"expanded_url":"$u"}""").mkString(",")
+    s"""{"created_at":"2024-02-02","id":$id,"text":"$text","retweeted":$retweeted$ext,"user":{"screen_name":"$user"},"entities":{"hashtags":[$tags],"urls":[$us]}}"""
   }
 
   test("flatten: retweet filter, extended-text coalesce, hashtag join (P2-P4)") {
@@ -81,6 +83,28 @@ class TweetStreamSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     val iocs = spark.table("dedup_out").select("ioc").collect().map(_.getString(0)).sorted
     assert(iocs.toSeq == Seq("5.5.5.5", "6.6.6.6"))
+  }
+
+  test("ingest warnings surface as observed metrics (firehose.py:33-34,52-53)") {
+    implicit val sq = spark.sqlContext
+    val long = "x" * 150
+    val mem = MemoryStream[String]
+    mem.addData(
+      tweet(40, long),                                   // truncated, no extended
+      tweet(41, long, extended = Some("full text 1.2.3.4")), // extended → NOT counted
+      tweet(42, "two pastes", urls = Seq(
+        "https://pastebin.com/a", "https://pastebin.com/b")), // multi-pastebin
+      tweet(43, "plain 5.5.5.5", urls = Seq("https://example.com/z")))
+    val flat = TweetStream.observedWarnings(
+      TweetPipeline.flatten(mem.toDF(), withWarnings = true))
+    val q = TweetPipeline.extract(flat).writeStream.format("memory")
+      .queryName("warn_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val metrics = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("ingest_warnings")))
+    assert(metrics.nonEmpty, "no ingest_warnings metrics in any progress event")
+    assert(metrics.map(_.getLong(0)).sum == 1L) // truncated_no_extended
+    assert(metrics.map(_.getLong(1)).sum == 1L) // multi_pastebin_links
   }
 
   test("track filter keeps only tracked hashtags (S4 semantics, in-engine)") {
