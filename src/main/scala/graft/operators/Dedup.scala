@@ -256,6 +256,25 @@ object Dedup {
     "dedup_simhash" -> ((s, d) =>
       simhashPairs(s, d, MaxBucketSize).orderBy(col("id1"), col("id2"))),
 
+    // Bucket-overflow REPORT: the observability twin of [[MaxBucketSize]].
+    // A silent cap reads as "covered everything" when it didn't — this
+    // per-band diagnostic (bucket count, largest bucket, buckets over the
+    // cap, members the cap would drop) is what a 100 TB operator watches to
+    // size the cap and to catch a byte-identical-spam cluster forming. Two
+    // hash aggs over the banded rows; the second groups on `band` (4 rows).
+    "dedup_bucket_overflow" -> ((s, d) =>
+      minhashBanded(s, d)
+        .groupBy(col("band"), col("band_hash")).agg(count(lit(1)).as("m"))
+        .groupBy(col("band")).agg(
+          count(lit(1)).as("n_buckets"),
+          max(col("m")).as("max_bucket"),
+          count(when(col("m") > MaxBucketSize, true)).as("n_over_cap"),
+          sum(when(col("m") > MaxBucketSize, col("m") - MaxBucketSize)
+            .otherwise(lit(0L))).as("members_dropped"))
+        .select(col("band").cast("long").as("band"), col("n_buckets"),
+          col("max_bucket"), col("n_over_cap"), col("members_dropped"))
+        .orderBy(col("band"))),
+
     // Near-dup CLUSTERING: connected components over the MinHash candidate
     // graph, labeling every clustered document with its component's min
     // doc_id (the canonical survivor a dedup pass keeps). NOTE: unlike
@@ -374,9 +393,11 @@ object Dedup {
   def minhashPairs(s: SparkSession, d: String): DataFrame =
     memoized("mh_pairs", s, d)(computeMinhashPairs(s, d, MaxBucketSize).localCheckpoint())
 
-  /** `cap` = bucket-size ceiling (see [[MaxBucketSize]]); package-visible
-    * so BucketCapSpec can compare capped vs effectively-uncapped output. */
-  private[graft] def computeMinhashPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
+  /** Pre-cap banded rows (doc_id, band, band_hash) — the signature pipeline
+    * shared by pair generation ([[computeMinhashPairs]]) and the
+    * bucket-overflow diagnostic (`dedup_bucket_overflow`). Mirrored by the
+    * oracle's `mh_banded0` CTE. */
+  private[graft] def minhashBanded(s: SparkSession, d: String): DataFrame = {
     // md5 evaluated ONCE per occurrence row in this projection; the K
     // signature minima below are integer multiply-adds over its halves.
     val hashed = shingleOccurrences(Tables.documents(s, d))
@@ -386,17 +407,22 @@ object Dedup {
       min(mhash(0, col("h1"), col("h2"))).as("m0"),
       (1 until K).map(j =>
         min(mhash(j, col("h1"), col("h2"))).as(s"m$j")): _*)
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b =>
         md5(concat_ws("|", (0 until Rows).map(r =>
           col(s"m${b * Rows + r}").cast("string")): _*))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
+  /** `cap` = bucket-size ceiling (see [[MaxBucketSize]]); package-visible
+    * so BucketCapSpec can compare capped vs effectively-uncapped output. */
+  private[graft] def computeMinhashPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
     // bucket-size ceiling BEFORE the gather: the rank rides the same
     // (band, hash) exchange the aggregation needs anyway, so the cap costs
     // one in-partition sort, and no collect_list row can exceed `cap`
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_hash")).orderBy(col("doc_id"))
-    val buckets = banded
+    val buckets = minhashBanded(s, d)
       .withColumn("rn", row_number().over(wb)).filter(col("rn") <= cap)
       .groupBy(col("band"), col("band_hash"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
@@ -502,6 +528,18 @@ object Dedup {
       s"""WITH $minhashPairCtes
          |SELECT id1, id2 FROM mh_pairs
          |ORDER BY id1, id2""".stripMargin,
+    "dedup_bucket_overflow" ->
+      (s"WITH $minhashPairCtes,\n" +
+        s"""m AS (
+           |  SELECT band, band_hash, COUNT(*) AS m
+           |  FROM mh_banded0 GROUP BY band, band_hash)
+           |SELECT CAST(band AS BIGINT) AS band,
+           |  COUNT(*) AS n_buckets,
+           |  MAX(m) AS max_bucket,
+           |  COUNT(CASE WHEN m > $MaxBucketSize THEN 1 END) AS n_over_cap,
+           |  CAST(SUM(CASE WHEN m > $MaxBucketSize THEN m - $MaxBucketSize ELSE 0 END) AS BIGINT)
+           |    AS members_dropped
+           |FROM m GROUP BY band ORDER BY band""".stripMargin),
     "dedup_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents),

@@ -272,26 +272,30 @@ object Relational {
     // values per group; if fewer than k distinct exist the count is exact,
     // else estimate (k-1)·2^48 / h_k — integer arithmetic only, so DuckDB
     // reproduces it bit-for-bit. The bottom-k is SALTED two-stage: per
-    // (group, h % 64) bottom-k first, then bottom-k of that union — the
-    // union of per-salt bottom-ks contains the global bottom-k exactly, and
-    // the final per-group window sees ≤ 64·k rows instead of every distinct
-    // hash (millions per group at 100 TB funneled into 3 tasks).
+    // (group, h % 64) distinct bottom-k first (a hash value lands in exactly
+    // ONE salt, so the union of per-salt bottom-ks contains the global
+    // bottom-k exactly), then bottom-k of that ≤ 64·k union. Both stages are
+    // collect_set aggregations — partial map-side merge pre-dedups before the
+    // ONE (group, salt) exchange — where the previous formulation needed a
+    // full distinct exchange plus two window sorts. The salt count is the
+    // deployment knob: it bounds any one group-salt's set to distinct/salts,
+    // raised with corpus cardinality like Similarity.MaxCentroids.
     "agg_approx_sketch" -> ((s, d) => {
       val k = 256
       val h = conv(substring(md5(col("l_orderkey").cast("string")), 1, 12), 16, 10)
         .cast("long")
-      val distinctH = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), h.as("h")).distinct()
-      val wSalt = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_returnflag"), col("salt")).orderBy(col("h"))
-      val perSalt = distinctH.withColumn("salt", col("h") % 64)
-        .withColumn("rn", row_number().over(wSalt)).filter(col("rn") <= k)
-        .drop("rn", "salt")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_returnflag")).orderBy(col("h"))
-      perSalt.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      val bottomK = slice(array_sort(collect_set(col("h"))), 1, k)
+      val perSalt = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), h.as("h"))
+        .withColumn("salt", col("h") % 64)
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(bottomK.as("hs"))
+      perSalt.select(col("l_returnflag"), explode(col("hs")).as("h"))
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+        .agg(bottomK.as("hs"))
+        .select(col("l_returnflag"),
+          size(col("hs")).cast("long").as("n"),
+          element_at(col("hs"), size(col("hs"))).as("hk"))
         // (k-1)·2^48 = 255·281474976710656 = 71776119061217280
         .select(col("l_returnflag"),
           when(col("n") < k, col("n"))

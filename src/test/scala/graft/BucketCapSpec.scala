@@ -35,6 +35,18 @@ class BucketCapSpec extends AnyFunSuite {
     assert(capped.nonEmpty, "test SF produced no candidate pairs — vacuous")
   }
 
+  test("overflow report agrees with cap neutrality at test SF") {
+    val rep = Dedup.queries("dedup_bucket_overflow")(spark, d).collect()
+    assert(rep.nonEmpty)
+    // BucketCapSpec proves capped == uncapped here; the report must agree:
+    // zero buckets over the cap, zero members dropped
+    rep.foreach { r =>
+      assert(r.getLong(3) == 0, s"band ${r.getLong(0)}: n_over_cap != 0")
+      assert(r.getLong(4) == 0, s"band ${r.getLong(0)}: members_dropped != 0")
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    }
+  }
+
   test("a pathologically small cap yields a subset, never new pairs") {
     val tiny = pairs(Dedup.computeMinhashPairs(spark, d, 2))
     val full = pairs(Dedup.computeMinhashPairs(spark, d, Int.MaxValue))
