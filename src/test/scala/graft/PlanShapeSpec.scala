@@ -38,6 +38,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_approx_sketch: collect_set bottom-k, no window sorts") {
+    val p = plan("agg_approx_sketch")
+    assert(!p.contains("Window"),
+      s"sketch reintroduced a window (two sorts + a zero-benefit rank):\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 2, s"sketch has $n hash exchanges (max 2: salt stage + group stage):\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"collect_set agg lost its object hash agg:\n$p")
+  }
+
+  test("dedup_bucket_overflow: two hash aggs over banded rows, no bucket cap window") {
+    val p = plan("dedup_bucket_overflow")
+    assert(!p.contains("CartesianProduct"))
+    // the shingle lead-window is the only window — the report must count
+    // PRE-cap buckets, so no row_number cap window may appear
+    assert(!p.contains("row_number"), s"overflow report counts capped buckets:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 3, s"overflow report has $n hash exchanges:\n$p")
+  }
+
   test("join_asof is the union/melt single-window plan - no join operator at all") {
     val p = plan("join_asof")
     assert(!p.contains("Join"), s"asof reintroduced a join:\n$p")
