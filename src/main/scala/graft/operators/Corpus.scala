@@ -50,6 +50,24 @@ object Corpus {
   val UrlPat = "https?://[^ ]+"
   val IpPat = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
+  /** Bloom-filter bits (m) for the scale decontamination path. Sized for
+    * the test benchmark set; at 100 TB set m ≈ 1.44·k·|bench n-grams| /
+    * ln(2) for the target false-positive rate (DEPLOYMENT.md) — the
+    * bitmap relation is m/64 longs regardless of benchmark string size. */
+  val BloomBits = 65536L
+
+  /** Bloom probe count (k). FP rate ≈ (1 - e^(-k·n/m))^k. */
+  val BloomK = 3
+
+  /** k deterministic bloom positions for a shingle: the same two-md5-half
+    * multiplicative family [[Dedup.mhashH1]] uses — one digest per
+    * shingle, h1 + j·h2 probe spread (independence across j is irrelevant
+    * here: probes of one key SHOULD differ, not be uncorrelated across
+    * keys). */
+  private def bloomPos(shingle: Column, j: Int): Column =
+    (conv(substring(md5(shingle), 1, 8), 16, 10).cast("long") +
+      lit(j.toLong) * conv(substring(md5(shingle), 9, 8), 16, 10).cast("long")) % BloomBits
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // sequence packing: assign documents to fixed-token-budget training
@@ -144,6 +162,51 @@ object Corpus {
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("shingle")).as("n_overlap"))
         .orderBy(col("doc_id"))
+    }),
+
+    // decontamination at 100 TB: when the benchmark suite itself is huge
+    // (eval + held-out + contamination blocklists can be TBs of n-grams),
+    // its string set no longer broadcasts. Compress it to an m-bit bloom
+    // bitmap — built as a (word_idx, bits) relation with one bit_or
+    // aggregation over k md5-derived positions per benchmark shingle,
+    // then folded into ONE map row (m/64 longs ≈ KBs, independent of
+    // benchmark size) that broadcasts to every executor. The corpus side
+    // stays exactly like `text_contamination`: stream occurrence rows
+    // through per-row column algebra (k map probes, no join on the
+    // shingle) and aggregate once on doc_id. Superset semantics: bloom
+    // hits = exact overlaps + false positives (the FP rate is the m/k
+    // sizing knob, DEPLOYMENT.md) — candidates then re-check exactly
+    // against the benchmark shard that owns them, which is the standard
+    // two-phase shape; the bitmap is what keeps phase 1 broadcastable.
+    "text_contamination_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val probes = (0 until BloomK).map(j => bloomPos(col("shingle"), j))
+      val benchPos = shingleOccurrencesN(docs.filter(col("doc_id") < 10), 5)
+        .select(col("shingle")).distinct()
+        .select(explode(array(probes: _*)).as("pos"))
+      val bloomRow = benchPos
+        .groupBy((col("pos") / 64).cast("long").as("word_idx"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))").as("bits"))
+        .agg(map_from_arrays(collect_list(col("word_idx")), collect_list(col("bits"))).as("bloom"))
+      // h1/h2 computed ONCE per occurrence row (one md5), probes are pure
+      // integer algebra on them; the contamination predicate filters
+      // BEFORE the doc aggregation, so the exchange carries rows
+      // proportional to CONTAMINATION, not to the corpus.
+      val hit = (j: Int) => {
+        val p = (col("h1") + lit(j.toLong) * col("h2")) % BloomBits
+        val word = (p / 64).cast("long")
+        val mask = call_function("shiftleft", lit(1L), (p % 64).cast("int"))
+        coalesce(element_at(col("bloom"), word), lit(0L)).bitwiseAND(mask) =!= 0
+      }
+      shingleOccurrencesN(docs.filter(col("doc_id") >= 10), 5)
+        .select(col("doc_id"), col("shingle"),
+          conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h1"),
+          conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long").as("h2"))
+        .crossJoin(broadcast(bloomRow))
+        .filter((0 until BloomK).map(hit).reduce(_ && _))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("shingle")).as("n_bloom"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -208,6 +271,38 @@ object Corpus {
          |SELECT doc_id, COUNT(*) AS n_overlap
          |FROM cand JOIN bench USING (shingle)
          |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "text_contamination_bloom" -> {
+      val h1 = "CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)"
+      val h2 = "CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT)"
+      s"""WITH bench AS (
+         |  SELECT DISTINCT unnest(s) AS shingle
+         |  FROM (SELECT $sql5grams AS s
+         |        FROM (SELECT doc_id, $sqlToks AS t FROM documents WHERE doc_id < 10))),
+         |bpos AS (
+         |  SELECT ($h1 + j * $h2) % $BloomBits AS pos
+         |  FROM bench CROSS JOIN unnest([${(0 until BloomK).mkString(", ")}]) AS u(j)),
+         |bloom AS (
+         |  SELECT pos // 64 AS word_idx,
+         |         bit_or(CAST(1 AS UBIGINT) << CAST(pos % 64 AS INT)) AS bits
+         |  FROM bpos GROUP BY 1),
+         |cand AS (
+         |  SELECT DISTINCT doc_id, unnest(s) AS shingle
+         |  FROM (SELECT doc_id, $sql5grams AS s
+         |        FROM (SELECT doc_id, $sqlToks AS t FROM documents WHERE doc_id >= 10))),
+         |probes AS (
+         |  SELECT doc_id, shingle, ($h1 + j * $h2) % $BloomBits AS pos
+         |  FROM cand CROSS JOIN unnest([${(0 until BloomK).mkString(", ")}]) AS u(j)),
+         |hits AS (
+         |  SELECT doc_id, shingle,
+         |         bool_and(b.bits IS NOT NULL AND
+         |           (b.bits & (CAST(1 AS UBIGINT) << CAST(p.pos % 64 AS INT))) <> 0) AS all_hit
+         |  FROM probes p LEFT JOIN bloom b ON b.word_idx = p.pos // 64
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, COUNT(*) AS n_bloom
+         |FROM hits WHERE all_hit
+         |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
+    }
   )
 }

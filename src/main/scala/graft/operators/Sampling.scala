@@ -46,8 +46,67 @@ object Sampling {
           when(hashBucket(col("doc_id"), 10) < 9, "train").otherwise("test").as("split"))
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("lang"), col("split")))
+        .orderBy(col("lang"), col("split"))),
+
+    // data mixing: resample the corpus to a TARGET composition (en 50%,
+    // es 30%, rest 20% of a half-corpus token budget) — unlike
+    // sample_stratified's fixed per-stratum rates, the rate here is
+    // COMPUTED from corpus statistics: pass 1 aggregates per-lang token
+    // totals (tiny: |langs| rows), the thresholds derive from them in
+    // exact integer arithmetic (ppm of the hash space — no float
+    // division anywhere, so Spark and the oracle agree bit-for-bit; at
+    // ≳10^13-token corpora widen the b·share product to DECIMAL(38,0),
+    // DEPLOYMENT.md), and pass 2 re-scans with the threshold filter
+    // fused into the scan after a |langs|-row broadcast join. This
+    // stats→broadcast→filter shape is the 100 TB mixture sampler: the
+    // corpus is never shuffled, only scanned (pruned to two columns for
+    // the stats pass, whose scalar-glue total costs one extra pruned
+    // scan — the q22_idle pattern; at 100 TB the stats relation is a
+    // persisted byproduct and both extra scans disappear).
+    "sample_mixture" -> ((s, d) => {
+      val sized = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+      val sharePpm = when(col("lang") === "en", 500000L)
+        .when(col("lang") === "es", 300000L)
+        .otherwise(200000L)
+      val rates = sized.groupBy(col("lang"))
+        .agg(sum(col("n_toks")).as("lang_toks"))
+        .withColumn("share_ppm", sharePpm)
+        .crossJoin(broadcast(sized.agg(expr("sum(n_toks) div 2").as("b"))))
+        .select(col("lang"),
+          least(lit(1000000L), expr("(b * share_ppm) div lang_toks")).as("threshold_ppm"))
+      sized
+        .join(broadcast(rates), Seq("lang"))
+        .filter(hashBucket(col("doc_id"), 1000000) < col("threshold_ppm"))
+        .groupBy(col("lang"), col("threshold_ppm"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_toks")).as("kept_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // deterministic training-order shuffle + sharding: every epoch reader
+    // needs the corpus in a pseudo-random order that is STABLE across
+    // retries and re-runs — order by md5(doc_id) within hash shards.
+    // Each shard's window sorts only its own slice (shards are the unit
+    // of parallelism: thousands at 100 TB, so no single-task sort), and
+    // the (shard, pos) pair is the deterministic address a loader seeks
+    // to — resharding is a pure function of NumShards, no data movement
+    // decision left to the engine.
+    "docs_shuffle" -> ((s, d) => {
+      val h = md5(col("doc_id").cast("string"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), hashBucket(col("doc_id"), NumShards).as("shard"), h.as("h"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    })
   )
+
+  /** Training shards for docs_shuffle — the unit of sort parallelism and
+    * of loader addressing; scale with the corpus (DEPLOYMENT.md). */
+  val NumShards = 8
 
   private val bucketSql =
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10"
@@ -66,6 +125,36 @@ object Sampling {
          |  COUNT(*) AS n_docs
          |FROM documents
          |GROUP BY 1, 2
-         |ORDER BY lang, split""".stripMargin
+         |ORDER BY lang, split""".stripMargin,
+    "sample_mixture" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |ls AS (
+         |  SELECT lang, CAST(SUM(n_toks) AS BIGINT) AS lang_toks,
+         |    CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 300000 ELSE 200000 END AS share_ppm
+         |  FROM sized GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(lang_toks) // 2 AS BIGINT) AS b FROM ls),
+         |rates AS (
+         |  SELECT lang,
+         |    CAST(least(1000000, (b * share_ppm) // lang_toks) AS BIGINT) AS threshold_ppm
+         |  FROM ls CROSS JOIN tot)
+         |SELECT lang, threshold_ppm, COUNT(*) AS n_kept,
+         |  CAST(SUM(n_toks) AS BIGINT) AS kept_tokens
+         |FROM sized JOIN rates USING (lang)
+         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % 1000000 < threshold_ppm
+         |GROUP BY 1, 2
+         |ORDER BY lang""".stripMargin,
+    "docs_shuffle" ->
+      s"""SELECT doc_id,
+         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $NumShards
+         |    AS shard,
+         |  ROW_NUMBER() OVER (
+         |    PARTITION BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % $NumShards
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+         |FROM documents
+         |ORDER BY shard, pos""".stripMargin
   )
 }

@@ -57,6 +57,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n <= 3, s"overflow report has $n hash exchanges:\n$p")
   }
 
+  test("text_contamination_bloom: corpus side never shuffles on the shingle") {
+    val p = plan("text_contamination_bloom")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"bloom probe regressed into a shuffled join on the shingle:\n$p")
+    // the only join is the one-row bitmap-map glue
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj == 1, s"expected exactly the one-row bloom-map glue join, got $bnlj:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 4, s"bloom path has $n hash exchanges (bench distinct + word agg + doc agg):\n$p")
+  }
+
+  test("sample_mixture: broadcast-only joins, stats+filter passes, no shuffle of the corpus") {
+    val p = plan("sample_mixture")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"mixture rates must broadcast, never shuffle the corpus:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 2, s"mixture has $n hash exchanges (lang stats + final agg):\n$p")
+  }
+
+  test("docs_shuffle: one shard exchange, one scan, no join") {
+    val p = plan("docs_shuffle")
+    assert(!p.contains("Join"), s"shuffle-order assignment needs no join:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"docs_shuffle has $n hash exchanges (want 1: the shard window):\n$p")
+  }
+
   test("join_asof is the union/melt single-window plan - no join operator at all") {
     val p = plan("join_asof")
     assert(!p.contains("Join"), s"asof reintroduced a join:\n$p")

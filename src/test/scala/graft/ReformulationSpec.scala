@@ -252,4 +252,50 @@ class ReformulationSpec extends AnyFunSuite {
     assert(nFast > 0 && nFast * 10 >= nBrute,
       s"IVF recall collapsed: $nFast of $nBrute brute-force pairs")
   }
+
+  test("bloom decontamination candidates are a superset of exact overlaps") {
+    val exact = SparkEntry.queries("text_contamination")(spark, d)
+    val bloom = SparkEntry.queries("text_contamination_bloom")(spark, d)
+    // a bloom filter has false positives but NEVER false negatives: every
+    // exactly-contaminated doc must surface with at least its exact count
+    val missed = exact
+      .join(bloom, Seq("doc_id"), "left")
+      .filter(col("n_bloom").isNull || col("n_bloom") < col("n_overlap"))
+    assert(missed.isEmpty,
+      s"bloom false negative(s): ${missed.collect().mkString(", ")}")
+  }
+
+  test("mixture thresholds equal a driver-side integer-rational recomputation") {
+    val fast = SparkEntry.queries("sample_mixture")(spark, d)
+    val sized = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val langToks = sized.groupBy(col("lang")).agg(sum(col("n_toks")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = langToks.values.sum / 2
+    def share(l: String) = l match { case "en" => 500000L; case "es" => 300000L; case _ => 200000L }
+    val thresholds = langToks.map { case (l, t) => l -> math.min(1000000L, b * share(l) / t) }
+    val got = fast.select(col("lang"), col("threshold_ppm"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == thresholds.filter { case (l, _) => got.contains(l) },
+      s"thresholds diverged: got $got want $thresholds")
+    // and the kept counts match a naive literal-map reformulation
+    val lits = coalesce(thresholds.map { case (l, t) => when(col("lang") === l, t) }.toSeq: _*)
+    val naive = sized
+      .filter(graft.operators.Sampling.hashBucket(col("doc_id"), 1000000) < lits)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_toks")).as("kept_tokens"))
+    assertSameRows(fast.select(col("lang"), col("n_kept"), col("kept_tokens")), naive)
+  }
+
+  test("docs_shuffle emits a contiguous per-shard permutation of the whole corpus") {
+    val out = SparkEntry.queries("docs_shuffle")(spark, d)
+    val nDocs = Tables.documents(spark, d).count()
+    assert(out.count() == nDocs)
+    assert(out.select(col("doc_id")).distinct().count() == nDocs)
+    val perShard = out.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("lo"), max(col("pos")).as("hi"),
+        countDistinct(col("pos")).as("nd"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n") || col("nd") =!= col("n"))
+    assert(perShard.isEmpty, s"non-contiguous shard positions: ${perShard.collect().mkString}")
+  }
 }
