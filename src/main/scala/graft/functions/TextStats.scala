@@ -237,6 +237,42 @@ object TextStats {
         .join(sh, Seq("doc_id"))
         .select(col("doc_id"), col("md5_norm"), col("simhash60"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition signals per document: duplicate word-2-gram
+    // fraction and most-frequent-2-gram coverage — the self-repetition
+    // filters (looping scrapes, keyword-stuffed spam) every LLM corpus
+    // applies alongside [[qualityScore]]. Plan shape: posexplode → one
+    // doc_id window (the only exchange whose key is new) → (doc,gram)
+    // count → per-doc roll-up; the two aggregations reuse the window's
+    // doc_id partitioning (subset-clustering), so the whole query is ONE
+    // real exchange — per-doc cost is linear in doc length, corpus cost
+    // one scan. Top gram selected by max(struct(cnt, gram)): count first,
+    // lexicographically-last gram on ties — the identical total order
+    // DuckDB's struct max applies, so the oracle agrees exactly.
+    "text_repetition" -> ((s, d) => {
+      val byPos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val occ = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("t1", lead(col("tok"), 1).over(byPos))
+        .filter(col("t1").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("gram"))
+      occ.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_2grams"),
+          count(lit(1)).as("n_distinct_2grams"),
+          max(struct(col("cnt"), col("gram"))).as("top"))
+        .select(col("doc_id"), col("n_2grams"), col("n_distinct_2grams"),
+          (lit(1.0) - col("n_distinct_2grams").cast("double") / col("n_2grams"))
+            .as("dup_2gram_frac"),
+          col("top.gram").as("top_2gram"),
+          col("top.cnt").as("top_2gram_count"),
+          // token coverage of the top gram: 2 tokens per occurrence over
+          // n_tokens = n_2grams + 1 (every doc here has ≥ 2 tokens)
+          ((col("top.cnt") * 2).cast("double") / (col("n_2grams") + 1))
+            .as("top_2gram_frac"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -347,6 +383,25 @@ object TextStats {
         |  md5(regexp_replace(lower(d.text), '\s+', ' ', 'g')) AS md5_norm,
         |  sh.simhash60
         |FROM documents d JOIN sh ON d.doc_id = sh.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS gram
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
+        |cnts AS (
+        |  SELECT doc_id, gram, COUNT(*) AS cnt FROM occ GROUP BY doc_id, gram),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_2grams,
+        |    COUNT(*) AS n_distinct_2grams,
+        |    max({'cnt': cnt, 'gram': gram}) AS top
+        |  FROM cnts GROUP BY doc_id)
+        |SELECT doc_id, n_2grams, n_distinct_2grams,
+        |  1.0 - CAST(n_distinct_2grams AS DOUBLE) / n_2grams AS dup_2gram_frac,
+        |  top.gram AS top_2gram,
+        |  top.cnt AS top_2gram_count,
+        |  CAST(top.cnt * 2 AS DOUBLE) / (n_2grams + 1) AS top_2gram_frac
+        |FROM agg
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -275,6 +275,45 @@ object Dedup {
           col("max_bucket"), col("n_over_cap"), col("members_dropped"))
         .orderBy(col("band"))),
 
+    // Cross-document SUBSTRING duplication — the scalable stand-in for
+    // suffix-array exact-substring dedup (Lee et al.'s "Deduplicating
+    // Training Data" pass): a document's word-10-grams that also appear in
+    // ANY other document, reported as per-doc duplicated coverage. Shape:
+    // posexplode → 9 window leads over ONE doc_id window (gram assembly,
+    // exchange #1) → 60-bit md5 gram keys (fixed-width keys, never
+    // 10-word strings, cross the wire) → per-doc distinct (free — reuses
+    // the doc_id partitioning) → document-frequency as a count over the
+    // gram-key window (exchange #2, the df-as-window trick from
+    // text_tfidf) → per-doc roll-up (exchange #3). All keys are
+    // high-cardinality; a boilerplate gram shared by millions of docs
+    // at 100 TB concentrates its window partition — the hardened
+    // deployment puts a DF cap on grams first (the [[MaxShingleDf]]
+    // discipline), which also drops exactly the grams a dedup pass
+    // would treat as boilerplate rather than evidence.
+    "dedup_substring" -> ((s, d) => {
+      val grams = Corpus.shingleOccurrencesN(Tables.documents(s, d), 10)
+        .select(col("doc_id"),
+          conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      // document frequency WITHOUT a join-back (which would evaluate the
+      // gram subtree twice) and WITHOUT a gram-keyed window (which sorts
+      // every row by h): one hash agg per gram carrying its doc list —
+      // posting lists are docfreq-sized (the boilerplate cap bounds them
+      // at scale, same discipline as the LSH buckets) — then explode back
+      // and roll up per doc. Hash aggs only; the sole sort in the whole
+      // query is the gram-assembly window.
+      val perGram = grams.groupBy(col("h"))
+        .agg(count(lit(1)).as("n_docs"), collect_list(col("doc_id")).as("docs"))
+      perGram.select(col("n_docs"), explode(col("docs")).as("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+          (col("n_dup_grams").cast("double") / col("n_grams")).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Near-dup CLUSTERING: connected components over the MinHash candidate
     // graph, labeling every clustered document with its component's min
     // doc_id (the canonical survivor a dedup pass keeps). NOTE: unlike
@@ -540,6 +579,22 @@ object Dedup {
            |  CAST(SUM(CASE WHEN m > $MaxBucketSize THEN m - $MaxBucketSize ELSE 0 END) AS BIGINT)
            |    AS members_dropped
            |FROM m GROUP BY band ORDER BY band""".stripMargin),
+    "dedup_substring" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest([array_to_string(t[i:i+9], ' ') for i in range(1, len(t)-8)]) AS gram
+        |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))),
+        |df AS (SELECT h, COUNT(*) AS n_docs FROM pairs GROUP BY h)
+        |SELECT p.doc_id,
+        |  COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+        |  CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+        |FROM pairs p JOIN df f USING (h)
+        |GROUP BY p.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents),

@@ -208,8 +208,58 @@ object Similarity {
         .filter(col("rank") <= 3)
         .select(col("qid"), col("vec_id").as("nid"), col("cosine"), col("rank"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ANN quality measurement — recall@k of the IVF 2-probe search against
+    // exact brute-force ground truth, per query. This is how a real ANN
+    // deployment tunes (nlist, nprobe): recall is measured on a FIXED SMALL
+    // query sample (here vec_id < RecallQueries) for which exact top-k is
+    // affordable — the ground-truth pass broadcasts the query sample and
+    // makes ONE narrow pass over the corpus (O(n·|sample|), linear in n,
+    // never n²), then a per-qid top-k window that Spark 3.5+'s
+    // WindowGroupLimit executes as map-side partial top-k. The approximate
+    // side reuses the identical IVF probe machinery as `sim_cosine_topk`,
+    // so this query measures exactly the index the engine serves. Output:
+    // per-query hit count and recall — the operator a 100 TB vector store
+    // runs after every index rebuild.
+    "sim_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+      val q = e.filter(col("vec_id") < RecallQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nsq").as("qn"))
+      val byQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      // exact ground truth: corpus scan × broadcast query sample
+      val exact = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosine", dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nsq")))
+        .withColumn("rank", row_number().over(byQ))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("vec_id").as("nid"))
+      // approximate side: the served IVF 2-probe index, identical to
+      // sim_cosine_topk restricted to the query sample
+      val approx = q.join(ivfProbes(s, d).filter(col("qid") < RecallQueries), Seq("qid"))
+        .join(ivfAssign(s, d), Seq("cell"))
+        .join(e.select(col("vec_id"), col("embedding").as("ne"), col("nsq").as("nn")), Seq("vec_id"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosine", dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")))
+        .withColumn("rank", row_number().over(byQ))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("vec_id").as("nid"), lit(1).as("hit"))
+      exact.join(approx, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("hit")).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(TopK)).as("recall"))
+        .orderBy(col("qid"))
     })
   )
+
+  /** Size of the fixed recall-measurement query sample (`sim_recall`). The
+    * deployment knob trades ground-truth cost (one corpus scan × sample
+    * size) against recall-estimate variance; it does NOT grow with corpus
+    * size — that is what keeps exact ground truth affordable at 100 TB. */
+  val RecallQueries = 50
 
   /** IVF list count (`nlist`): seeds are every 64th vector, BOUNDED to the
     * first [[MaxCentroids]] — the assignment pass is O(n · MaxCentroids)
@@ -448,6 +498,41 @@ object Similarity {
            |  FROM adc)
            |WHERE rank <= 3
            |ORDER BY qid, rank""".stripMargin),
+    "sim_recall" ->
+      (s"WITH $ivfCtes,\n" +
+        s"""probes AS (
+           |  SELECT vec_id AS qid, sid AS cell FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+           |    FROM dists WHERE vec_id < $RecallQueries)
+           |  WHERE rn <= 2),
+           |apx_cands AS (
+           |  SELECT q.vec_id AS qid, x.vec_id AS nid,
+           |    ${dotSql("q", "x")} / sqrt(q.nsq * x.nsq) AS cosine
+           |  FROM e q
+           |  JOIN probes p ON p.qid = q.vec_id
+           |  JOIN assign a ON a.cell = p.cell
+           |  JOIN e x ON x.vec_id = a.vec_id AND x.vec_id <> q.vec_id),
+           |approx AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+           |    FROM apx_cands)
+           |  WHERE rank <= $TopK),
+           |ex_cands AS (
+           |  SELECT q.vec_id AS qid, x.vec_id AS nid,
+           |    ${dotSql("q", "x")} / sqrt(q.nsq * x.nsq) AS cosine
+           |  FROM e q CROSS JOIN e x
+           |  WHERE q.vec_id < $RecallQueries AND x.vec_id <> q.vec_id),
+           |exact AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+           |    FROM ex_cands)
+           |  WHERE rank <= $TopK)
+           |SELECT g.qid, COUNT(a.nid) AS n_hits,
+           |  CAST(COUNT(a.nid) AS DOUBLE) / $TopK AS recall
+           |FROM exact g
+           |LEFT JOIN approx a ON a.qid = g.qid AND a.nid = g.nid
+           |GROUP BY g.qid
+           |ORDER BY g.qid""".stripMargin),
     "sim_lsh_buckets" ->
       s"""WITH signed AS (
          |  SELECT vec_id,

@@ -146,6 +146,60 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_recall: one row per sampled query, recall = n_hits/k, bounded") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("sim_recall")(spark, d).collect()
+    assert(rows.length == graft.operators.Similarity.RecallQueries)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0 && hits <= graft.operators.Similarity.TopK)
+      assert(r.getAs[Double]("recall") ==
+        hits.toDouble / graft.operators.Similarity.TopK)
+    }
+    // the measurement must carry signal at test scale: not all queries
+    // perfect (otherwise the probe restriction isn't being exercised)
+    assert(rows.exists(_.getAs[Long]("n_hits") < graft.operators.Similarity.TopK))
+  }
+
+  test("text_repetition agrees with text_stats: n_2grams = n_tokens - 1") {
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val rep = SparkEntry.queries("text_repetition")(spark, d)
+      .select(col("doc_id"), col("n_2grams"))
+    val st = SparkEntry.queries("text_stats")(spark, d)
+      .select(col("doc_id"), col("n_tokens"))
+    val joined = rep.join(st, "doc_id")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("n_2grams") =!= col("n_tokens") - 1).count() == 0)
+  }
+
+  test("dedup_substring: exact-duplicate docs score dup_frac 1.0, singletons 0.0") {
+    import org.apache.spark.sql.functions._
+    // crafted corpus: two byte-identical docs, one sharing a 10-gram run
+    // with them, one disjoint — written as a real parquet table so the
+    // query runs its production read path
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val disjoint = (1 to 30).map(i => s"z$i").mkString(" ")
+    val partial = (1 to 12).map(i => s"w$i").mkString(" ") + " " +
+      (1 to 17).map(i => s"y$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("subdup").toString
+    Seq((0L, words), (1L, words), (2L, partial), (3L, disjoint))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("dedup_substring")(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_grams"), x.getAs[Long]("n_dup_grams"), x.getAs[Double]("dup_frac")))
+      .toMap
+    assert(r(0L) == ((21L, 21L, 1.0)) && r(1L) == ((21L, 21L, 1.0)),
+      s"identical docs must be fully covered: $r")
+    // doc 2 (29 tokens → 20 grams) shares exactly its first three 10-grams
+    // (w1..w10, w2..w11, w3..w12)
+    assert(r(2L)._1 == 20L && r(2L)._2 == 3L, s"partial overlap miscounted: $r")
+    assert(r(3L) == ((21L, 0L, 0.0)), s"disjoint doc must score zero: $r")
+  }
+
   test("multimodal decodeMeta: deterministic fake decode via mapPartitions") {
     val df = Seq((1L, "abc".getBytes), (2L, "longer payload bytes".getBytes))
       .toDF("doc_id", "payload")

@@ -250,6 +250,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n <= 3, s"dedup_simhash has $n hash exchanges (max 3):\n$p")
   }
 
+  test("sim_recall: ground truth broadcasts the query sample, no cartesian") {
+    val p = plan("sim_recall")
+    assert(!p.contains("CartesianProduct"), s"sim_recall has a cartesian product:\n$p")
+    // the exact-ground-truth pass must be corpus-scan × BROADCAST sample;
+    // a shuffled nested-loop here is the n² formulation coming back
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BroadcastExchange"),
+      s"exact ground truth no longer broadcasts the query sample:\n$p")
+  }
+
+  test("text_repetition: the doc_id window partitioning feeds both aggs — one real exchange") {
+    val p = plan("text_repetition")
+    assert(!p.contains("Join"), s"text_repetition needs no join:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1,
+      s"text_repetition has $n hash exchanges (want 1: the gram window; " +
+        s"both aggs must reuse its doc_id partitioning):\n$p")
+  }
+
+  test("dedup_substring: linear hash-agg chain - no join, no gram-keyed sort") {
+    val p = plan("dedup_substring")
+    assert(!p.contains("Join"), s"dedup_substring reintroduced a join-back " +
+      s"(evaluates the gram subtree twice):\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 3, s"dedup_substring has $n hash exchanges (max 3):\n$p")
+    // exactly one sort: the gram-assembly window. A second sort means the
+    // docfreq pass regressed from hash agg to a window/SMJ formulation.
+    val sorts = "\\bSort \\[".r.findAllIn(p).size
+    assert(sorts <= 2, s"dedup_substring has $sorts sorts (gram window + output order):\n$p")
+  }
+
   test("S2 incremental watermark predicate pushes down to the parquet scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("emails_pq").toString
