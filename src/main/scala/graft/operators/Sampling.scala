@@ -84,6 +84,41 @@ object Sampling {
         .orderBy(col("lang"))
     }),
 
+    // temperature-scaled language mixing (the mT5/UniMax α-smoothing):
+    // target weights w_i ∝ lang_toks^α with α = 1/2 — unlike
+    // sample_mixture's GIVEN shares, the target composition here is
+    // COMPUTED from the corpus statistics, up-weighting tail languages.
+    // Determinism discipline: the only irrational step (√) is evaluated
+    // once per LANGUAGE on the stats relation — floor(√toks) as a BIGINT
+    // "integer root" — and everything after is exact integer rationals
+    // (ppm thresholds), so Spark and the oracle agree bit-for-bit and
+    // retries/AQE re-plans can't perturb the sample. Same stats →
+    // broadcast → scan-fused filter shape as sample_mixture: the corpus
+    // is never shuffled. Overflow note: budget·sroot·10⁶ needs
+    // DECIMAL(38,0) beyond ~10¹³ tokens (DEPLOYMENT.md).
+    "sample_temperature" -> ((s, d) => {
+      val sized = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+      val stats = sized.groupBy(col("lang"))
+        .agg(sum(col("n_toks")).as("lang_toks"))
+        .withColumn("sroot", floor(sqrt(col("lang_toks").cast("double"))).cast("long"))
+      val tot = stats.agg(sum(col("sroot")).as("s_sum"),
+        expr("sum(lang_toks) div 2").as("budget"))
+      val rates = stats.crossJoin(broadcast(tot))
+        .select(col("lang"), col("lang_toks"),
+          expr("(sroot * 1000000) div s_sum").as("weight_ppm"),
+          least(lit(1000000L),
+            expr("(budget * sroot * 1000000) div (s_sum * lang_toks)"))
+            .as("threshold_ppm"))
+      sized
+        .join(broadcast(rates), Seq("lang"))
+        .filter(hashBucket(col("doc_id"), 1000000) < col("threshold_ppm"))
+        .groupBy(col("lang"), col("lang_toks"), col("weight_ppm"), col("threshold_ppm"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_toks")).as("kept_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // deterministic training-order shuffle + sharding: every epoch reader
     // needs the corpus in a pseudo-random order that is STABLE across
     // retries and re-runs — order by md5(doc_id) within hash shards.
@@ -145,6 +180,31 @@ object Sampling {
          |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
          |      % 1000000 < threshold_ppm
          |GROUP BY 1, 2
+         |ORDER BY lang""".stripMargin,
+    "sample_temperature" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |ls AS (
+         |  SELECT lang, CAST(SUM(n_toks) AS BIGINT) AS lang_toks,
+         |    CAST(floor(sqrt(CAST(SUM(n_toks) AS DOUBLE))) AS BIGINT) AS sroot
+         |  FROM sized GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(SUM(sroot) AS BIGINT) AS s_sum,
+         |    CAST(SUM(lang_toks) // 2 AS BIGINT) AS budget
+         |  FROM ls),
+         |rates AS (
+         |  SELECT lang, lang_toks,
+         |    CAST((sroot * 1000000) // s_sum AS BIGINT) AS weight_ppm,
+         |    CAST(least(1000000, (budget * sroot * 1000000) // (s_sum * lang_toks)) AS BIGINT)
+         |      AS threshold_ppm
+         |  FROM ls CROSS JOIN tot)
+         |SELECT lang, lang_toks, weight_ppm, threshold_ppm, COUNT(*) AS n_kept,
+         |  CAST(SUM(n_toks) AS BIGINT) AS kept_tokens
+         |FROM sized JOIN rates USING (lang)
+         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % 1000000 < threshold_ppm
+         |GROUP BY 1, 2, 3, 4
          |ORDER BY lang""".stripMargin,
     "docs_shuffle" ->
       s"""SELECT doc_id,

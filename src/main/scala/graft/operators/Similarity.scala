@@ -163,28 +163,40 @@ object Similarity {
     // store PQ exists for); the LUT side is |queries|·8·K rows → broadcast.
     // ADC sums fold over the SUBSPACE-SORTED array for cross-engine
     // determinism.
-    "sim_pq_adc" -> ((s, d) => {
-      val dists = pqSubDists(s, d)
-      val codes = pqCodes(s, d)
-      val lut = dists.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("m"), col("sid"), col("dist"))
-      val cand = ivfProbes(s, d).filter(col("qid") < 20)
-        .join(ivfAssign(s, d), Seq("cell"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"))
-      val adc = cand.join(codes, Seq("vec_id"))
-        .join(broadcast(lut), Seq("qid", "m", "sid"))
-        .groupBy(col("qid"), col("vec_id"))
-        .agg(array_sort(collect_list(struct(col("m"), col("dist")))).as("ds"))
-        .select(col("qid"), col("vec_id"),
-          aggregate(transform(col("ds"), x => x("dist")), lit(0.0), (a, v) => a + v)
-            .as("adc_dist"))
+    "sim_pq_adc" -> ((s, d) =>
+      pqAdcTopK(s, d, qcap = 20, k = 3)
+        .orderBy(col("qid"), col("rank"))),
+
+    // Quantization-quality measurement — recall@k of the IVF-PQ ADC search
+    // against exact L2 ground truth over the fixed query sample. ADC
+    // approximates SQUARED L2 (the PQ codebooks are L2-trained), so the
+    // ground truth here is the exact L2 top-k — comparing against the
+    // cosine ground truth would conflate metric mismatch with quantization
+    // loss. Together with `sim_recall` (IVF-only) this separates the two
+    // recall costs a 100 TB vector store tunes independently: cell-probe
+    // misses (nlist/nprobe) vs code coarseness (M/K).
+    "sim_recall_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+      val qq = e.filter(col("vec_id") < RecallQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nsq").as("qn"))
       val byQ = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("adc_dist"), col("vec_id"))
-      adc.withColumn("rank", row_number().over(byQ).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("vec_id").as("nid"), col("adc_dist"), col("rank"))
-        .orderBy(col("qid"), col("rank"))
+        .partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+      val exact = e.crossJoin(broadcast(qq))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dist",
+          col("nsq") - lit(2.0) * dot(col("qe"), col("embedding")) + col("qn"))
+        .withColumn("rank", row_number().over(byQ))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("vec_id").as("nid"))
+      val approx = pqAdcTopK(s, d, qcap = RecallQueries, k = TopK)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      exact.join(approx, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("hit")).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(TopK)).as("recall"))
+        .orderBy(col("qid"))
     }),
 
     // IVF probe search, narrowed to a demo query set (vec_id < 20): the
@@ -308,6 +320,33 @@ object Similarity {
         pqL2(col("vs"), pqSlice(col("se"), col("m"))).as("dist"))
   }
 
+  /** ADC top-k through the IVF probes for the first `qcap` query vectors —
+    * the one scoring pipeline shared by `sim_pq_adc` (inspection query)
+    * and `sim_recall_pq` (quality gate), so the measured index is exactly
+    * the served index. */
+  private def pqAdcTopK(s: SparkSession, d: String, qcap: Int, k: Int): DataFrame = {
+    val dists = pqSubDists(s, d)
+    val codes = pqCodes(s, d)
+    val lut = dists.filter(col("vec_id") < qcap)
+      .select(col("vec_id").as("qid"), col("m"), col("sid"), col("dist"))
+    val cand = ivfProbes(s, d).filter(col("qid") < qcap)
+      .join(ivfAssign(s, d), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("qid", "m", "sid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("dist")))).as("ds"))
+      .select(col("qid"), col("vec_id"),
+        aggregate(transform(col("ds"), x => x("dist")), lit(0.0), (a, v) => a + v)
+          .as("adc_dist"))
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc_dist"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(byQ).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("adc_dist"), col("rank"))
+  }
+
   /** PQ encoding: each vector's nearest centroid id per subspace. */
   private[graft] def pqCodes(s: SparkSession, d: String): DataFrame = {
     val wmin = org.apache.spark.sql.expressions.Window
@@ -379,6 +418,47 @@ object Similarity {
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
        |    FROM dists)
        |  WHERE rn = 1)""".stripMargin
+
+  /** PQ encode + ADC scoring CTE chain (DuckDB dialect) for the first
+    * `qcap` query vectors — through the `adc` relation; composed by
+    * concatenation (never stripMargin over embedded SQL). Assumes the
+    * [[ivfCtes]] chain precedes it. */
+  private def pqAdcCtes(qcap: Int): String =
+    s"""seeds_pq AS (
+       |  SELECT vec_id AS sid, embedding AS se FROM embeddings
+       |  WHERE vec_id % 64 = 0 AND vec_id < ${PqK * 64}),
+       |vsub AS (
+       |  SELECT vec_id, CAST(r.m AS INTEGER) AS m, embedding
+       |  FROM embeddings, range(0, $PqM) r(m)),
+       |dists_pq AS (
+       |  SELECT v.vec_id, v.m, s.sid,
+       |    list_sum([(CAST(v.embedding[v.m*$PqSub+i] AS DOUBLE) - CAST(s.se[v.m*$PqSub+i] AS DOUBLE))
+       |              * (CAST(v.embedding[v.m*$PqSub+i] AS DOUBLE) - CAST(s.se[v.m*$PqSub+i] AS DOUBLE))
+       |              for i in range(1, $PqSub + 1)]) AS dist
+       |  FROM vsub v CROSS JOIN seeds_pq s),
+       |codes AS (
+       |  SELECT vec_id, m, sid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, sid) AS rn
+       |    FROM dists_pq)
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT vec_id AS qid, m, sid, dist FROM dists_pq WHERE vec_id < $qcap),
+       |probes_pq AS (
+       |  SELECT vec_id AS qid, sid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+       |    FROM dists WHERE vec_id < $qcap)
+       |  WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id
+       |  FROM probes_pq p JOIN assign a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.qid),
+       |adc AS (
+       |  SELECT c.qid, c.vec_id,
+       |    list_sum(list(l.dist ORDER BY l.m)) AS adc_dist
+       |  FROM cand c
+       |  JOIN codes k ON k.vec_id = c.vec_id
+       |  JOIN lut l ON l.qid = c.qid AND l.m = k.m AND l.sid = k.sid
+       |  GROUP BY c.qid, c.vec_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "embed_label_centroids" ->
@@ -457,47 +537,35 @@ object Similarity {
         |GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin,
     "sim_pq_adc" ->
-      (s"WITH $ivfCtes,\n" +
-        s"""seeds_pq AS (
-           |  SELECT vec_id AS sid, embedding AS se FROM embeddings
-           |  WHERE vec_id % 64 = 0 AND vec_id < ${PqK * 64}),
-           |vsub AS (
-           |  SELECT vec_id, CAST(r.m AS INTEGER) AS m, embedding
-           |  FROM embeddings, range(0, $PqM) r(m)),
-           |dists_pq AS (
-           |  SELECT v.vec_id, v.m, s.sid,
-           |    list_sum([(CAST(v.embedding[v.m*$PqSub+i] AS DOUBLE) - CAST(s.se[v.m*$PqSub+i] AS DOUBLE))
-           |              * (CAST(v.embedding[v.m*$PqSub+i] AS DOUBLE) - CAST(s.se[v.m*$PqSub+i] AS DOUBLE))
-           |              for i in range(1, $PqSub + 1)]) AS dist
-           |  FROM vsub v CROSS JOIN seeds_pq s),
-           |codes AS (
-           |  SELECT vec_id, m, sid FROM (
-           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, sid) AS rn
-           |    FROM dists_pq)
-           |  WHERE rn = 1),
-           |lut AS (
-           |  SELECT vec_id AS qid, m, sid, dist FROM dists_pq WHERE vec_id < 20),
-           |probes_pq AS (
-           |  SELECT vec_id AS qid, sid AS cell FROM (
-           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
-           |    FROM dists WHERE vec_id < 20)
-           |  WHERE rn <= 2),
-           |cand AS (
-           |  SELECT p.qid, a.vec_id
-           |  FROM probes_pq p JOIN assign a ON a.cell = p.cell
-           |  WHERE a.vec_id <> p.qid),
-           |adc AS (
-           |  SELECT c.qid, c.vec_id,
-           |    list_sum(list(l.dist ORDER BY l.m)) AS adc_dist
-           |  FROM cand c
-           |  JOIN codes k ON k.vec_id = c.vec_id
-           |  JOIN lut l ON l.qid = c.qid AND l.m = k.m AND l.sid = k.sid
-           |  GROUP BY c.qid, c.vec_id)
-           |SELECT qid, vec_id AS nid, adc_dist, rank FROM (
+      (s"WITH $ivfCtes,\n" + pqAdcCtes(20) + "\n" +
+        """SELECT qid, vec_id AS nid, adc_dist, rank FROM (
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
            |  FROM adc)
            |WHERE rank <= 3
            |ORDER BY qid, rank""".stripMargin),
+    "sim_recall_pq" ->
+      (s"WITH $ivfCtes,\n" + pqAdcCtes(RecallQueries) + ",\n" +
+        s"""approx AS (
+           |  SELECT qid, vec_id AS nid FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
+           |    FROM adc)
+           |  WHERE rank <= $TopK),
+           |ex_cands AS (
+           |  SELECT q.vec_id AS qid, x.vec_id AS nid,
+           |    x.nsq - CAST(2.0 AS DOUBLE) * ${dotSql("q", "x")} + q.nsq AS dist
+           |  FROM e q CROSS JOIN e x
+           |  WHERE q.vec_id < $RecallQueries AND x.vec_id <> q.vec_id),
+           |exact AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+           |    FROM ex_cands)
+           |  WHERE rank <= $TopK)
+           |SELECT g.qid, COUNT(a.nid) AS n_hits,
+           |  CAST(COUNT(a.nid) AS DOUBLE) / $TopK AS recall
+           |FROM exact g
+           |LEFT JOIN approx a ON a.qid = g.qid AND a.nid = g.nid
+           |GROUP BY g.qid
+           |ORDER BY g.qid""".stripMargin),
     "sim_recall" ->
       (s"WITH $ivfCtes,\n" +
         s"""probes AS (

@@ -161,6 +161,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("n_hits") < graft.operators.Similarity.TopK))
   }
 
+  test("sample_temperature: tail languages up-weighted, thresholds and weights bounded") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("sample_temperature")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val byToks = rows.sortBy(_.getAs[Long]("lang_toks"))
+    // α=1/2 smoothing: the smallest language must keep at a rate ≥ the largest
+    assert(byToks.head.getAs[Long]("threshold_ppm") >=
+      byToks.last.getAs[Long]("threshold_ppm"),
+      s"temperature failed to up-weight the tail: ${byToks.mkString(", ")}")
+    rows.foreach { r =>
+      val t = r.getAs[Long]("threshold_ppm")
+      assert(t > 0 && t <= 1000000L)
+    }
+    // weights are a (floored) probability vector over ppm space
+    val wsum = rows.map(_.getAs[Long]("weight_ppm")).sum
+    assert(wsum > 900000L && wsum <= 1000000L, s"weight_ppm sum $wsum")
+  }
+
   test("text_repetition agrees with text_stats: n_2grams = n_tokens - 1") {
     val d = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._

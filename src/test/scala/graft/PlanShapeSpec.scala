@@ -250,13 +250,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n <= 3, s"dedup_simhash has $n hash exchanges (max 3):\n$p")
   }
 
-  test("sim_recall: ground truth broadcasts the query sample, no cartesian") {
-    val p = plan("sim_recall")
-    assert(!p.contains("CartesianProduct"), s"sim_recall has a cartesian product:\n$p")
-    // the exact-ground-truth pass must be corpus-scan × BROADCAST sample;
-    // a shuffled nested-loop here is the n² formulation coming back
-    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BroadcastExchange"),
-      s"exact ground truth no longer broadcasts the query sample:\n$p")
+  test("recall gates: ground truth broadcasts the query sample, no cartesian") {
+    for (q <- Seq("sim_recall", "sim_recall_pq")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      // the exact-ground-truth pass must be corpus-scan × BROADCAST sample;
+      // a shuffled nested-loop here is the n² formulation coming back
+      assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BroadcastExchange"),
+        s"$q: exact ground truth no longer broadcasts the query sample:\n$p")
+    }
+  }
+
+  test("sample_temperature: stats broadcast back, corpus never shuffled") {
+    val p = plan("sample_temperature")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"temperature rates must broadcast, never shuffle the corpus:\n$p")
+    // 3 = lang stats for rates + lang stats re-evaluated under the scalar
+    // (s_sum, budget) glue + final agg — the re-evaluated side is a
+    // |langs|-row relation off a pruned scan (the sample_mixture trade,
+    // documented there); anything beyond means the corpus itself shuffled
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 3, s"sample_temperature has $n hash exchanges:\n$p")
   }
 
   test("text_repetition: the doc_id window partitioning feeds both aggs — one real exchange") {

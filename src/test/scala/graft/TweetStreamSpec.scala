@@ -85,6 +85,38 @@ class TweetStreamSpec extends AnyFunSuite {
     assert(iocs.toSeq == Seq("5.5.5.5", "6.6.6.6"))
   }
 
+  test("streaming near-dup: SimHash-colliding texts collapse within the watermark") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    implicit val sq = spark.sqlContext
+    // 11 distinct tokens × 5 repeats: every SimHash bit's vote margin is
+    // ≥ 5 (odd distinct count → no zero margins), so ONE extra token
+    // (±1 per bit) cannot flip any bit — the near-dup collision is
+    // guaranteed by construction, not found by luck
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lam")
+    val base = Seq.fill(5)(words).flatten.mkString(" ")
+    val nearDup = base + " extra"
+    val other = "completely different spam about nothing interesting here today"
+    val sh = Seq(base, nearDup, other).toDF("text")
+      .select(graft.functions.TextStats.simhash(
+        graft.functions.TextStats.tokens(col("text"))).as("s"))
+      .collect().map(_.getString(0))
+    assert(sh(0) == sh(1), "near-identical texts must share a SimHash")
+    assert(sh(0) != sh(2), "distinct texts must differ")
+
+    val mem = MemoryStream[String]
+    mem.addData(tweet(50, base), tweet(51, nearDup), tweet(52, other))
+    val flat = TweetPipeline.flatten(mem.toDF())
+      .withColumn("created_at", to_timestamp(col("created_date")))
+    val q = TweetStream.nearDedupedStream(flat).writeStream.format("memory")
+      .queryName("neardup_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("neardup_out").select("id").collect()
+      .map(_.getString(0)).toSet
+    assert(ids.size == 2 && ids.contains("52"),
+      s"expected one survivor of the near-dup pair plus the distinct tweet, got $ids")
+  }
+
   test("ingest warnings surface as observed metrics (firehose.py:33-34,52-53)") {
     implicit val sq = spark.sqlContext
     val long = "x" * 150
