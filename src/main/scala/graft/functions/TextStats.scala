@@ -48,12 +48,18 @@ object TextStats {
   def qualityKeep(text: Column): Column =
     qualityScore(text) >= 0.5 && size(tokens(text)) >= 10
 
+  /** DuckDB twin of [[qualityScore]] over a `text` column — identical
+    * association order (shared by [[sqlQualityKeep]] and the
+    * quality-proportional sampler's oracle). */
+  private[graft] def sqlQualityScore: String =
+    s"(0.4 * least(CAST(${sqlCountIn(stopEn)} AS DOUBLE) / len($sqlToks) * 5.0, 1.0)" +
+      s" + 0.3 * greatest(0.0, 1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)) AS DOUBLE) / length(text) * 5.0)" +
+      s" + 0.3 * least(CAST(len($sqlToks) AS DOUBLE) / 100.0, 1.0))"
+
   /** DuckDB twin of [[qualityKeep]] over a `text` column — identical
     * association order. */
   private[graft] def sqlQualityKeep: String =
-    s"(0.4 * least(CAST(${sqlCountIn(stopEn)} AS DOUBLE) / len($sqlToks) * 5.0, 1.0)" +
-      s" + 0.3 * greatest(0.0, 1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)) AS DOUBLE) / length(text) * 5.0)" +
-      s" + 0.3 * least(CAST(len($sqlToks) AS DOUBLE) / 100.0, 1.0)) >= 0.5" +
+    s"$sqlQualityScore >= 0.5" +
       s" AND len($sqlToks) >= 10"
 
   /** 60-bit token hash as a zero-padded binary string (md5-derived so both

@@ -84,6 +84,26 @@ object Sampling {
         .orderBy(col("lang"))
     }),
 
+    // quality-proportional rejection sampling (the DCLM/FineWeb-style
+    // soft filter): instead of sample_stratified's hard strata or
+    // text_quality's binary keep-cut, every document is kept with
+    // probability equal to its quality score — high-quality docs almost
+    // always survive, low-quality docs are thinned, mid-band keeps its
+    // diversity. Determinism: the score is the SHARED [[TextStats
+    // .qualityScore]] formula (bit-stable cross-engine), floored to a
+    // per-doc ppm threshold, compared against the md5 hash bucket — no
+    // rand() — so retries and the oracle agree exactly. Per-row algebra:
+    // shuffle-free, the predicate fuses into the scan at any corpus size.
+    "sample_quality" -> ((s, d) => {
+      val q = graft.functions.TextStats.qualityScore(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          floor(q * 1000000).cast("long").as("keep_ppm"),
+          hashBucket(col("doc_id"), 1000000).as("bucket"))
+        .filter(col("bucket") < col("keep_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // temperature-scaled language mixing (the mT5/UniMax α-smoothing):
     // target weights w_i ∝ lang_toks^α with α = 1/2 — unlike
     // sample_mixture's GIVEN shares, the target composition here is
@@ -181,6 +201,16 @@ object Sampling {
          |      % 1000000 < threshold_ppm
          |GROUP BY 1, 2
          |ORDER BY lang""".stripMargin,
+    "sample_quality" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    CAST(floor(${graft.functions.TextStats.sqlQualityScore} * 1000000) AS BIGINT) AS keep_ppm,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, lang, keep_ppm, bucket
+         |FROM scored
+         |WHERE bucket < keep_ppm
+         |ORDER BY doc_id""".stripMargin,
     "sample_temperature" ->
       s"""WITH sized AS (
          |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks

@@ -179,6 +179,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(wsum > 900000L && wsum <= 1000000L, s"weight_ppm sum $wsum")
   }
 
+  test("sample_quality: thresholds equal text_quality's score; sampling really thins") {
+    val d = "/root/testdata/sf0.001"
+    val kept = SparkEntry.queries("sample_quality")(spark, d)
+    val tq = SparkEntry.queries("text_quality")(spark, d)
+      .select(col("doc_id"), col("quality"))
+    val divergent = kept.join(tq, "doc_id")
+      .filter(col("keep_ppm") =!= floor(col("quality") * 1000000).cast("long"))
+    assert(divergent.count() == 0,
+      "sample_quality's threshold must be the SHARED quality formula")
+    val total = graft.sources.Tables.documents(spark, d).count()
+    val k = kept.count()
+    assert(k > 0 && k < total, s"rejection sampling degenerate: $k of $total")
+  }
+
   test("text_repetition agrees with text_stats: n_2grams = n_tokens - 1") {
     val d = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._

@@ -261,6 +261,13 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_quality: per-row rejection sampling - no shuffle at all") {
+    val p = plan("sample_quality")
+    assert(!p.contains("Join"), s"sample_quality needs no join:\n$p")
+    assert(!"Exchange hashpartitioning".r.findAllIn(p).hasNext,
+      s"sample_quality gained a shuffle — per-row algebra lost:\n$p")
+  }
+
   test("sample_temperature: stats broadcast back, corpus never shuffled") {
     val p = plan("sample_temperature")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
