@@ -49,11 +49,15 @@ object GraftFunctions {
 
   private val arrayDotBuilder: Seq[Expression] => Expression =
     exprs => ArrayDot(exprs(0), exprs(1))
+  private val arrayL2Builder: Seq[Expression] => Expression =
+    exprs => graft.functions.ArrayL2(exprs(0), exprs(1))
 
   def register(spark: SparkSession): Unit = {
     sqlUdfs.foreach(spark.sql(_))
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("array_dot", arrayDotBuilder, "scala_udf")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("array_l2", arrayL2Builder, "scala_udf")
   }
 }
 
@@ -66,6 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("array_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "array_dot"),
       exprs => ArrayDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("array_l2"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "array_l2"),
+      exprs => graft.functions.ArrayL2(exprs(0), exprs(1))))
     // band joins written naively (abs(a.t - b.t) <= w, no equi key) become
     // bucketed equi-joins instead of BroadcastNestedLoopJoin
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)

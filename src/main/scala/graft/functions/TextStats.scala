@@ -245,6 +245,38 @@ object TextStats {
         .orderBy(col("doc_id"))
     }),
 
+    // Unigram-surprisal quality filter (the perplexity-proxy pass of an
+    // LLM corpus build): a document whose tokens are mostly corpus-rare is
+    // gibberish/code-soup, one whose tokens are all corpus-frequent is
+    // boilerplate — both tails get cut on average bits-per-token under the
+    // corpus unigram model. Determinism: true -log2 p needs ln (NOT
+    // correctly-rounded identically across engines), so surprisal is
+    // taken in WHOLE bits — floor(log2(total/freq)) computed exactly as
+    // length(bin(total div freq)) - 1, pure integer/string ops both
+    // engines share. Plan shape: ONE token explode, corpus frequency as a
+    // count-over-token-partition window on it (the text_tfidf df-as-window
+    // trick — no separate vocab relation, no join, no double evaluation
+    // of the explode), the scalar token total from a pruned second scan
+    // (the q22_idle glue pattern), then a doc-keyed roll-up: 2 real
+    // exchanges, Zipf-head window partitions absorbed the same way
+    // text_tfidf's df window is.
+    "text_surprisal" -> ((s, d) => {
+      val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+      val total = Tables.documents(s, d)
+        .agg(sum(size(tokens(col("text")))).cast("long").as("total_toks"))
+      val occ = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .withColumn("freq", count(lit(1)).over(wTok))
+        .crossJoin(broadcast(total))
+        .withColumn("bits",
+          (length(bin(expr("total_toks div freq"))) - 1).cast("long"))
+      occ.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("total_bits"))
+        .select(col("doc_id"), col("n_tokens"), col("total_bits"),
+          (col("total_bits").cast("double") / col("n_tokens")).as("avg_bits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition signals per document: duplicate word-2-gram
     // fraction and most-frequent-2-gram coverage — the self-repetition
     // filters (looping scrapes, keyword-stuffed spam) every LLM corpus
@@ -390,6 +422,22 @@ object TextStats {
         |  sh.simhash60
         |FROM documents d JOIN sh ON d.doc_id = sh.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "text_surprisal" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |tot AS (SELECT COUNT(*) AS total_toks FROM occ),
+        |wf AS (
+        |  SELECT doc_id, COUNT(*) OVER (PARTITION BY tok) AS freq FROM occ),
+        |bits AS (
+        |  SELECT doc_id,
+        |    CAST(length(bin(total_toks // freq)) - 1 AS BIGINT) AS bits
+        |  FROM wf CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(bits) AS BIGINT) AS total_bits,
+        |  CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS avg_bits
+        |FROM bits
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH occ AS (
         |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS gram

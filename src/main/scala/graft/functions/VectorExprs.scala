@@ -81,9 +81,83 @@ case class ArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance Σ(aᵢ−bᵢ)² — the PQ-encode/ADC hot path. Identical
+  * arithmetic and order to the HOF fold it replaces
+  * (`aggregate(zip_with(a,b,(x,y)=>(x−y)²),0,+)`): widen, subtract, square,
+  * accumulate left-to-right — so DuckDB's ordered `list_sum` oracle stays
+  * bit-identical. */
+case class ArrayL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_l2"
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"array_l2 requires array<float|double> inputs, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val dd = ctx.freshName("d")
+      def get(arr: String, float: Boolean) =
+        if (float) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $dd = ${get(a, elemIsFloat(left))} - ${get(b, elemIsFloat(right))};
+         |  $s += $dd * $dd;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Codegen'd dot product: same operand order as a sequential fold. */
   def array_dot(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd squared L2 distance: same operand order as the HOF fold. */
+  def array_l2(a: Column, b: Column): Column =
+    ColumnBridge.column(ArrayL2(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

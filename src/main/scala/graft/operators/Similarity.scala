@@ -43,9 +43,41 @@ object Similarity {
 
   /** Sign-random-projection bucket: for H pseudo-hyperplanes, the sign of
     * dot(v, h_j) where h_j components are ±1 derived from md5(j:i) parity —
-    * reproducible in SQL, no RNG. */
+    * reproducible in SQL, no RNG.
+    *
+    * The hyperplane matrix is CONSTANT — it depends only on (plane, dim) —
+    * so the md5 parities are computed once on the driver ([[srpSigns]])
+    * and each plane becomes one codegen [[graft.functions.ArrayDot]]
+    * against a ±1 literal vector; the expression formulation re-derived
+    * the matrix per ROW (Hyperplanes × dims md5 calls per vector — pure
+    * waste at any scale). Bit-equality with the md5-expression
+    * formulation (x·(±1.0) ≡ ±x in IEEE, same fold order) is asserted in
+    * OperatorsSpec, and the DuckDB oracle still derives the signs from
+    * md5 in SQL. */
   val Hyperplanes = 8
+
+  /** Embedding width (the PQ geometry covers it exactly: PqM·PqSub). */
+  val Dim = 64
+
+  /** ±1 hyperplane components: parity of the first hex digit of
+    * md5("j:i") — the identical derivation the oracle runs in SQL. */
+  private lazy val srpSigns: Array[Array[Double]] =
+    Array.tabulate(Hyperplanes, Dim) { (j, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
+    }
+
   def srpBucket(emb: Column): Column =
+    concat_ws("", (0 until Hyperplanes).map { j =>
+      when(dot(emb, lit(srpSigns(j))) > 0, "1").otherwise("0")
+    }: _*)
+
+  /** The md5-expression twin of [[srpBucket]] — kept as the reference
+    * formulation OperatorsSpec equality-checks the literal-matrix fast
+    * path against (and the shape the oracle mirrors). */
+  private[graft] def srpBucketExpr(emb: Column): Column =
     concat_ws("", transform(sequence(lit(0), lit(Hyperplanes - 1)), j => {
       val s = aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1),
@@ -298,10 +330,12 @@ object Similarity {
   private[graft] def pqSlice(v: Column, m: Column): Column =
     slice(v, m * PqSub + 1, lit(PqSub))
 
+  /** Squared L2 over subvector slices — backed by the codegen [[
+    * graft.functions.ArrayL2]] (identical arithmetic/order to the
+    * interpreted `aggregate(zip_with(...))` fold it replaced, equality
+    * asserted in OperatorsSpec; the HOF was the PQ-encode hot-path cost). */
   private def pqL2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => {
-      val dd = x.cast("double") - y.cast("double"); dd * dd
-    }), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExprs.array_l2(a, b)
 
   /** PQ codebook: the deterministic seed vectors, one row per seed. */
   private[graft] def pqSeeds(s: SparkSession, d: String): DataFrame =

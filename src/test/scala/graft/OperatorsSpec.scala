@@ -107,6 +107,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getDouble(0) / math.sqrt(r.getDouble(1) * r.getDouble(2)) == 1.0)
   }
 
+  test("array_l2 codegen expression equals the HOF fold, exact on known vectors") {
+    import graft.functions.VectorExprs
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(3.0f, 1.0f, 3.0f))).toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => {
+      val dd = x.cast("double") - y.cast("double"); dd * dd
+    }), lit(0.0), (acc, v) => acc + v)
+    val r = df.select(VectorExprs.array_l2(col("a"), col("b")).as("fast"), hof.as("ref")).head()
+    assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 5.0)
+    // corpus-wide bit-equality on real embeddings
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(200).select(col("embedding").as("a"),
+        reverse(col("embedding")).as("b"))
+    val diff = e.select(VectorExprs.array_l2(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => {
+        val dd = x.cast("double") - y.cast("double"); dd * dd
+      }), lit(0.0), (acc, v) => acc + v).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
+  test("srp bucket literal-matrix fast path equals the md5-expression formulation") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val diff = e.select(
+      Similarity.srpBucket(col("embedding")).as("fast"),
+      Similarity.srpBucketExpr(col("embedding")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
   test("srp bucket: fixed width, deterministic, parallel vectors share a bucket") {
     val df = Seq(Seq.fill(8)(0.5f), Seq.fill(8)(0.25f), Seq.fill(8)(-0.5f))
       .toDF("embedding").select(Similarity.srpBucket(col("embedding")).as("b"))
@@ -203,6 +232,19 @@ class OperatorsSpec extends AnyFunSuite {
     val joined = rep.join(st, "doc_id")
     assert(joined.count() > 0)
     assert(joined.filter(col("n_2grams") =!= col("n_tokens") - 1).count() == 0)
+  }
+
+  test("text_surprisal: token counts agree with text_stats; bits bounded by corpus size") {
+    val d = "/root/testdata/sf0.001"
+    val sur = SparkEntry.queries("text_surprisal")(spark, d)
+    val st = SparkEntry.queries("text_stats")(spark, d)
+      .select(col("doc_id"), col("n_tokens").as("st_tokens"))
+    val joined = sur.join(st, "doc_id")
+    assert(joined.filter(col("n_tokens") =!= col("st_tokens")).count() == 0)
+    // surprisal of any token is ≤ floor(log2(total)) bits
+    val totalToks = joined.agg(sum(col("n_tokens"))).head.getLong(0)
+    val maxBits = 63 - java.lang.Long.numberOfLeadingZeros(totalToks)
+    assert(sur.filter(col("avg_bits") > maxBits || col("avg_bits") < 0).count() == 0)
   }
 
   test("dedup_substring: exact-duplicate docs score dup_frac 1.0, singletons 0.0") {

@@ -261,6 +261,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("text_surprisal: frequency as window, no vocab join, two real exchanges") {
+    val p = plan("text_surprisal")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"surprisal regressed into a vocab join (double-evaluates the explode):\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 2, s"text_surprisal has $n hash exchanges (token window + doc agg):\n$p")
+  }
+
   test("sample_quality: per-row rejection sampling - no shuffle at all") {
     val p = plan("sample_quality")
     assert(!p.contains("Join"), s"sample_quality needs no join:\n$p")
