@@ -277,6 +277,41 @@ object TextStats {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram-LM surprisal — the CCNet/perplexity-filter signal one rung
+    // above `text_surprisal`'s unigram model: per-token cost under the
+    // corpus-trained conditional p(w2|w1) = c(w1,w2) / c(w1·), where
+    // c(w1·) counts w1 as a bigram CONTEXT (so the model is properly
+    // normalized and every observed bigram has p ≤ 1). Whole-bit
+    // discipline as text_surprisal: surprisal = floor(log2(c_ctx ÷
+    // c_big)) via bin-string length — integer-only until the final
+    // mean, so DuckDB reproduces it bit-for-bit with no ln() rounding
+    // risk. Plan: ONE doc_id exchange builds bigrams (posexplode +
+    // window lead), ONE w1 exchange carries BOTH count windows — the
+    // (w1, w2) window's clustering requirement is satisfied by the w1
+    // hash partitioning, so Catalyst inserts a sort, not a shuffle —
+    // then the per-doc roll-up. Low avg_bits = predictable/templated
+    // text, high = unusual token transitions; both tails get filtered.
+    "text_bigram_lm" -> ((s, d) => {
+      val byPos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val wCtx = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+      val wBig = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"), col("w2"))
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("w2", lead(col("tok"), 1).over(byPos))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+      grams
+        .withColumn("c_ctx", count(lit(1)).over(wCtx))
+        .withColumn("c_big", count(lit(1)).over(wBig))
+        .withColumn("bits", (length(bin(expr("c_ctx div c_big"))) - 1).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("total_bits"))
+        .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
+          (col("total_bits").cast("double") / col("n_bigrams")).as("avg_bits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition signals per document: duplicate word-2-gram
     // fraction and most-frequent-2-gram coverage — the self-repetition
     // filters (looping scrapes, keyword-stuffed spam) every LLM corpus
@@ -433,6 +468,23 @@ object TextStats {
         |    CAST(length(bin(total_toks // freq)) - 1 AS BIGINT) AS bits
         |  FROM wf CROSS JOIN tot)
         |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(bits) AS BIGINT) AS total_bits,
+        |  CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS avg_bits
+        |FROM bits
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS gram
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
+        |w AS (
+        |  SELECT doc_id,
+        |    COUNT(*) OVER (PARTITION BY string_split(gram, ' ')[1]) AS c_ctx,
+        |    COUNT(*) OVER (PARTITION BY gram) AS c_big
+        |  FROM occ),
+        |bits AS (
+        |  SELECT doc_id, CAST(length(bin(c_ctx // c_big)) - 1 AS BIGINT) AS bits FROM w)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  CAST(SUM(bits) AS BIGINT) AS total_bits,
         |  CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS avg_bits
         |FROM bits

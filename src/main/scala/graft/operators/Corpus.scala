@@ -59,6 +59,12 @@ object Corpus {
   /** Bloom probe count (k). FP rate ≈ (1 - e^(-k·n/m))^k. */
   val BloomK = 3
 
+  /** Per-source document ceiling for `docs_source_cap` — the
+    * source-diversity cap (RefinedWeb/C4 keep at most N pages per domain
+    * so one crawler-friendly site can't dominate the mixture). Deployment
+    * knob: scale with corpus size and the target mixture entropy. */
+  val SourceCap = 15
+
   /** k deterministic bloom positions for a shingle: the same two-md5-half
     * multiplicative family [[Dedup.mhashH1]] uses — one digest per
     * shingle, h1 + j·h2 probe spread (independence across j is irrelevant
@@ -147,6 +153,27 @@ object Corpus {
           count(when(col("cluster_id").isNull || col("cluster_id") === col("doc_id"), true))
             .as("n_dedup_survivors"))
         .orderBy(col("lang"))),
+
+    // source-diversity cap: keep at most [[SourceCap]] documents per
+    // source, chosen by a DETERMINISTIC md5 rank (an unbiased per-source
+    // sample, reproducible across engines and reruns — never rand()).
+    // One window keyed on `source`; per-partition volume is the cap
+    // rank's only state, so the window streams. At 100 TB the giant-domain
+    // skew (one source = billions of rows in one window partition) is
+    // handled by the two-phase variant documented in DEPLOYMENT.md: a
+    // per-source count agg picks an md5 keep-threshold per source, then a
+    // shuffle-free filter applies it — the window form here IS the exact
+    // semantics the two-phase form approximates.
+    "docs_source_cap" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Relational.sortedOnce(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("kept", col("rk") <= SourceCap),
+        col("doc_id"))
+    }),
 
     // benchmark decontamination: documents sharing any word 5-gram with
     // the benchmark set (here: doc_id < 10 stands in for an eval set).
@@ -259,6 +286,13 @@ object Corpus {
           |FROM q LEFT JOIN labels l ON l.doc_id = q.doc_id
           |GROUP BY lang
           |ORDER BY lang""".stripMargin),
+    "docs_source_cap" ->
+      s"""SELECT doc_id, source, rk, rk <= $SourceCap AS kept FROM (
+         |  SELECT doc_id, source,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "text_contamination" ->
       s"""WITH bench AS (
          |  SELECT DISTINCT unnest(s) AS shingle

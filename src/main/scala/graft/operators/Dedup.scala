@@ -130,6 +130,14 @@ object Dedup {
     * BucketCapSpec). */
   val MaxBucketSize = 64
 
+  /** SemDeDup cosine threshold: a vector is a semantic duplicate of a
+    * lower-id IVF cell-mate at or above this cosine. The paper sweeps
+    * this per-corpus (0.9+ for real encoder embeddings); the synthetic
+    * test embeddings are near-orthogonal, so the tested value sits where
+    * the decision actually bites at the tested SFs. Deployment knob —
+    * raise it toward 1.0 to drop only the tightest paraphrase clusters. */
+  val SemDeDupTau = 0.35
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup on a normalized content key: groups with >1 member.
@@ -225,6 +233,40 @@ object Dedup {
         .filter(col("cosine") >= 0.3)
         .select(col("id1"), col("id2"), col("cosine"))
         .orderBy(col("id1"), col("id2"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    // deduplication as a KEEP/DROP decision per vector — cluster the
+    // embedding space (the deterministic IVF coarse quantizer doubles as
+    // the paper's k-means step), then inside each cluster drop any vector
+    // whose cosine to a LOWER-ID cluster-mate exceeds [[SemDeDupTau]];
+    // the lowest id of each semantic group survives. Same within-cell
+    // candidate shape as dedup_embedding_cosine (pair join shuffles on
+    // `cell`, volume n·cellsize, never n²), but aggregated to the
+    // per-vector verdict a pipeline actually consumes, with the blame
+    // count carried for observability. The left join keeps singletons —
+    // every vector gets a row.
+    "dedup_semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.normSq(col("embedding")).as("nsq"))
+      val ea = e.join(Similarity.ivfAssign(s, d), Seq("vec_id"))
+      val a = ea.select(col("cell"), col("vec_id"),
+        col("embedding").as("e1"), col("nsq").as("n1"))
+      val b = ea.select(col("cell"), col("vec_id").as("id2"),
+        col("embedding").as("e2"), col("nsq").as("n2"))
+      val dups = a.join(b, Seq("cell")).filter(col("id2") < col("vec_id"))
+        .withColumn("cosine",
+          Similarity.dot(col("e1"), col("e2")) / sqrt(col("n1") * col("n2")))
+        .filter(col("cosine") >= SemDeDupTau)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_dups_lower"))
+      ea.select(col("vec_id"), col("cell"))
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("n_dups_lower"), lit(0L)).as("n_dups_lower"),
+          col("n_dups_lower").isNull.as("keep"))
+        .orderBy(col("vec_id"))
     }),
 
     // MinHash+LSH: md5 minima signature → band hashes → bucket join →
@@ -537,6 +579,21 @@ object Dedup {
           |FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id
           |WHERE list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, len(a.embedding)+1)]) / sqrt(a.nsq * b.nsq) >= 0.3
           |ORDER BY id1, id2""".stripMargin),
+    "dedup_semdedup" ->
+      (s"WITH ${Similarity.ivfCtes},\n" +
+        s"""ec AS (
+           |  SELECT e.vec_id, e.embedding, e.nsq, a.cell
+           |  FROM e JOIN assign a ON a.vec_id = e.vec_id),
+           |dups AS (
+           |  SELECT a.vec_id, COUNT(*) AS n_dups_lower
+           |  FROM ec a JOIN ec b ON a.cell = b.cell AND b.vec_id < a.vec_id
+           |  WHERE list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, len(a.embedding)+1)]) / sqrt(a.nsq * b.nsq) >= $SemDeDupTau
+           |  GROUP BY a.vec_id)
+           |SELECT ec.vec_id, ec.cell,
+           |  COALESCE(d.n_dups_lower, 0) AS n_dups_lower,
+           |  d.n_dups_lower IS NULL AS keep
+           |FROM ec LEFT JOIN dups d ON d.vec_id = ec.vec_id
+           |ORDER BY ec.vec_id""".stripMargin),
     "dedup_exact" ->
       """SELECT md5(substr(text, 1, 40)) AS content_key,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups

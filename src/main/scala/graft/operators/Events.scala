@@ -105,6 +105,39 @@ object Events {
         .orderBy(col("cohort"), col("day_offset"))
     }),
 
+    // SCD-2 dimension build from the event stream: per user, collapse
+    // consecutive same-type events into one state row (change-point
+    // compression — the step cdc_upsert's keep-latest skips), then stamp
+    // each state with its validity interval [valid_from, valid_to) and an
+    // is_current flag. Gaps-and-islands segmenting (lag + running sum),
+    // the segment roll-up, AND the valid_to lead all reuse the ONE
+    // user_id exchange: the roll-up groups on (user_id, seg) which the
+    // user_id hash already clusters, and the final window partitions on
+    // user_id again — Catalyst plans sorts, not new shuffles. The
+    // high-cardinality user key balances 1000 executors; no state ever
+    // joins back.
+    "events_scd2" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val seg = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(byUser).isNull ||
+            lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("seg",
+          sum(col("chg")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      val bySeg = Window.partitionBy(col("user_id")).orderBy(col("seg"))
+      seg.groupBy(col("user_id"), col("seg"))
+        .agg(min(col("ts")).as("valid_from"),
+          min(col("event_type")).as("event_type"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(bySeg))
+        .select(col("user_id"), col("seg"), col("event_type"),
+          col("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"), col("n_events"))
+        .orderBy(col("user_id"), col("seg"))
+    }),
+
     // per-user anomaly detection: z-score outliers (|value − μ| > 2σ)
     // against each user's own distribution. One shuffle: three window
     // aggregates (n, Σx, Σx²) share the user_id exchange. Determinism:
@@ -226,6 +259,27 @@ object Events {
         |FROM c
         |GROUP BY 1, 2
         |ORDER BY cohort, day_offset""".stripMargin,
+    "events_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                 IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e),
+        |s AS (
+        |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+        |  FROM m),
+        |iv AS (
+        |  SELECT user_id, seg, MIN(ts) AS valid_from, MIN(event_type) AS event_type,
+        |    COUNT(*) AS n_events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, seg, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg) IS NULL AS is_current,
+        |  n_events
+        |FROM iv
+        |ORDER BY user_id, seg""".stripMargin,
     "events_anomaly" ->
       """WITH w AS (
         |  SELECT user_id, event_id, value,

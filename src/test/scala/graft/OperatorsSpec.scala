@@ -284,4 +284,70 @@ class OperatorsSpec extends AnyFunSuite {
       (r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4))).toMap
     assert(out == again) // task-retry safety: pure function of bytes
   }
+
+  test("dedup_semdedup: total coverage, cell-minimum always kept, pair-consistent") {
+    val d = "/root/testdata/sf0.001"
+    val sem = SparkEntry.queries("dedup_semdedup")(spark, d)
+    val n = graft.sources.Tables.embeddings(spark, d).count()
+    assert(sem.count() == n, "every vector gets exactly one verdict row")
+    // the lowest vec_id of each cell has no lower-id mate, so it must survive
+    val cellMin = sem.groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
+    assert(sem.join(cellMin, Seq("cell", "vec_id")).filter(!col("keep")).count() == 0)
+    // consistency with the pair query: any pair at or above the SemDeDup
+    // threshold means its HIGHER id must have been dropped
+    val tau = Dedup.SemDeDupTau
+    val pairs = SparkEntry.queries("dedup_embedding_cosine")(spark, d)
+      .filter(col("cosine") >= tau).select(col("id2").as("vec_id")).distinct()
+    assert(pairs.join(sem.filter(col("keep")), "vec_id").count() == 0,
+      "a vector with a lower-id near-dup above tau survived")
+  }
+
+  test("docs_source_cap: rank is a 1..n permutation per source, kept = min(cap, n)") {
+    val d = "/root/testdata/sf0.001"
+    val capped = SparkEntry.queries("docs_source_cap")(spark, d)
+    val per = capped.groupBy(col("source")).agg(
+      count(lit(1)).as("n"), countDistinct(col("rk")).as("n_rk"),
+      min(col("rk")).as("lo"), max(col("rk")).as("hi"),
+      count(when(col("kept"), true)).as("n_kept"))
+    assert(per.filter(col("n_rk") =!= col("n") || col("lo") =!= 1 || col("hi") =!= col("n")).count() == 0,
+      "rk must be a dense 1..n permutation within every source")
+    val cap = graft.operators.Corpus.SourceCap
+    assert(per.filter(col("n_kept") =!= least(lit(cap.toLong), col("n"))).count() == 0)
+  }
+
+  test("text_bigram_lm: bigram counts agree with text_stats; conditional bits <= unigram corpus bound") {
+    val d = "/root/testdata/sf0.001"
+    val lm = SparkEntry.queries("text_bigram_lm")(spark, d)
+    val st = SparkEntry.queries("text_stats")(spark, d)
+      .select(col("doc_id"), col("n_tokens"))
+    val joined = lm.join(st, "doc_id")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("n_bigrams") =!= col("n_tokens") - 1).count() == 0)
+    // a conditional surprisal can never exceed floor(log2(total bigrams))
+    val total = lm.agg(sum(col("n_bigrams"))).head.getLong(0)
+    val maxBits = 63 - java.lang.Long.numberOfLeadingZeros(total)
+    assert(lm.filter(col("avg_bits") > maxBits || col("avg_bits") < 0).count() == 0)
+  }
+
+  test("events_scd2: one current state per user, events conserved, consecutive states differ") {
+    val d = "/root/testdata/sf0.001"
+    val scd = SparkEntry.queries("events_scd2")(spark, d)
+    val ev = graft.sources.Tables.events(spark, d)
+    // exactly one open interval per user
+    val cur = scd.groupBy(col("user_id")).agg(count(when(col("is_current"), true)).as("n_cur"))
+    assert(cur.filter(col("n_cur") =!= 1).count() == 0)
+    // change-point compression loses no events
+    assert(scd.agg(sum(col("n_events"))).head.getLong(0) == ev.count())
+    // compression is real: adjacent states never share a type, and
+    // intervals chain exactly (valid_to = next valid_from)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("seg"))
+    val chained = scd
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+    assert(chained.filter(col("next_type").isNotNull &&
+      col("next_type") === col("event_type")).count() == 0)
+    assert(chained.filter(col("next_from").isNotNull &&
+      col("valid_to") =!= col("next_from")).count() == 0)
+  }
 }
