@@ -286,6 +286,47 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, d) =>
       minhashPairs(s, d).orderBy(col("id1"), col("id2"))),
 
+    // MinHash estimator quality gate — the dedup analogue of sim_recall:
+    // for every LSH candidate pair, the signature-estimated Jaccard
+    // (matching positions / K) next to the EXACT shingle-set Jaccard and
+    // the signed error. This is how a deployment tunes K/Rows/Bands: the
+    // estimate's error distribution on served candidates tells you whether
+    // the signature is long enough BEFORE you commit a 100 TB dedup run to
+    // it. Cost shape: the candidate pair set (tiny — near-dups only) joins
+    // the signature relation twice (doc-keyed) and the intersection count
+    // rides a shingle-keyed join restricted to candidate docs; nothing
+    // quadratic, nothing corpus-wide beyond the passes the LSH already
+    // ran. Exact Jaccard over DISTINCT shingle sets (the standard
+    // definition) — ratios of small ints, bit-stable in both engines.
+    "dedup_minhash_est" -> ((s, d) => {
+      val sig = minhashSigCols(s, d).select(col("doc_id"),
+        array((0 until K).map(j => col(s"m$j")): _*).as("sig"))
+      val p = minhashPairs(s, d)
+      val sh = shingleRows(Tables.documents(s, d))
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = p
+        .join(sh.select(col("doc_id").as("id1"), col("shingle")), Seq("id1"))
+        .join(sh.select(col("doc_id").as("id2"), col("shingle")), Seq("id2", "shingle"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("ni"))
+      p.join(sig.select(col("doc_id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+        .join(sig.select(col("doc_id").as("id2"), col("sig").as("sig2")), Seq("id2"))
+        .join(inter, Seq("id1", "id2"), "left")
+        .join(sz.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+        .join(sz.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+        .withColumn("n_matches",
+          aggregate(zip_with(col("sig1"), col("sig2"),
+            (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L), (acc, x) => acc + x))
+        .withColumn("ni0", coalesce(col("ni"), lit(0L)))
+        .select(col("id1"), col("id2"), col("n_matches"),
+          (col("n_matches").cast("double") / K).as("est_jaccard"),
+          (col("ni0").cast("double") / (col("n1") + col("n2") - col("ni0")))
+            .as("jaccard"),
+          abs(col("n_matches").cast("double") / K -
+            col("ni0").cast("double") / (col("n1") + col("n2") - col("ni0")))
+            .as("abs_err"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // SimHash near-dup: 60-bit fingerprints banded into 4 × 15-bit chunks.
     // By pigeonhole, any pair within Hamming distance 3 has at least one
     // UNTOUCHED chunk, so the banded bucket join has PERFECT recall at this
@@ -478,16 +519,23 @@ object Dedup {
     * shared by pair generation ([[computeMinhashPairs]]) and the
     * bucket-overflow diagnostic (`dedup_bucket_overflow`). Mirrored by the
     * oracle's `mh_banded0` CTE. */
-  private[graft] def minhashBanded(s: SparkSession, d: String): DataFrame = {
-    // md5 evaluated ONCE per occurrence row in this projection; the K
-    // signature minima below are integer multiply-adds over its halves.
+  /** Per-document MinHash signature as K `m0..m{K-1}` columns — the one
+    * signature computation shared by banding ([[minhashBanded]]) and the
+    * estimator gate (`dedup_minhash_est`). md5 evaluated ONCE per
+    * occurrence row; the K minima are integer multiply-adds over its
+    * halves. */
+  private[graft] def minhashSigCols(s: SparkSession, d: String): DataFrame = {
     val hashed = shingleOccurrences(Tables.documents(s, d))
       .select(col("doc_id"),
         mhashH1(col("shingle")).as("h1"), mhashH2(col("shingle")).as("h2"))
-    val sig = hashed.groupBy(col("doc_id")).agg(
+    hashed.groupBy(col("doc_id")).agg(
       min(mhash(0, col("h1"), col("h2"))).as("m0"),
       (1 until K).map(j =>
         min(mhash(j, col("h1"), col("h2"))).as(s"m$j")): _*)
+  }
+
+  private[graft] def minhashBanded(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSigCols(s, d)
     sig.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b =>
         md5(concat_ws("|", (0 until Rows).map(r =>
@@ -624,6 +672,37 @@ object Dedup {
       s"""WITH $minhashPairCtes
          |SELECT id1, id2 FROM mh_pairs
          |ORDER BY id1, id2""".stripMargin,
+    "dedup_minhash_est" ->
+      (s"WITH $minhashPairCtes,\n" +
+        s"""sh AS (
+           |  SELECT DISTINCT doc_id, unnest(s) AS shingle
+           |  FROM (SELECT doc_id, $sqlShingles AS s
+           |        FROM (SELECT doc_id, $sqlToks AS t FROM documents))),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+           |inter AS (
+           |  SELECT p.id1, p.id2, COUNT(*) AS ni
+           |  FROM mh_pairs p
+           |  JOIN sh a ON a.doc_id = p.id1
+           |  JOIN sh b ON b.doc_id = p.id2 AND b.shingle = a.shingle
+           |  GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT p.id1, p.id2,
+           |    CAST(list_sum([CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END
+           |                   for j in range(1, $K + 1)]) AS BIGINT) AS n_matches,
+           |    COALESCE(i.ni, 0) AS ni0, za.n AS n1, zb.n AS n2
+           |  FROM mh_pairs p
+           |  JOIN sig sa ON sa.doc_id = p.id1
+           |  JOIN sig sb ON sb.doc_id = p.id2
+           |  LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+           |  JOIN sz za ON za.doc_id = p.id1
+           |  JOIN sz zb ON zb.doc_id = p.id2)
+           |SELECT id1, id2, n_matches,
+           |  CAST(n_matches AS DOUBLE) / $K AS est_jaccard,
+           |  CAST(ni0 AS DOUBLE) / (n1 + n2 - ni0) AS jaccard,
+           |  abs(CAST(n_matches AS DOUBLE) / $K
+           |    - CAST(ni0 AS DOUBLE) / (n1 + n2 - ni0)) AS abs_err
+           |FROM scored
+           |ORDER BY id1, id2""".stripMargin),
     "dedup_bucket_overflow" ->
       (s"WITH $minhashPairCtes,\n" +
         s"""m AS (

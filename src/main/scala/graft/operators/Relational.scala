@@ -37,6 +37,10 @@ object Relational {
     df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       .orderBy(keys: _*)
 
+  /** Equi-width histogram bucket count (`agg_histogram`) — resolution
+    * knob; the output stays (groups × buckets) rows at any corpus size. */
+  val HistogramBuckets = 16L
+
   /** revenue term: l_extendedprice * (1 - l_discount), exact decimal. */
   private def revenue: Column =
     sum(col("l_extendedprice").cast("decimal(12,2)") *
@@ -265,6 +269,31 @@ object Relational {
           expr("percentile(l_quantity, 0.5)").as("p50_qty"),
           expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
         .orderBy(col("l_returnflag"))),
+
+    // equi-width histogram with GLOBAL bounds shared across groups (so the
+    // per-priority distributions are comparable): one scalar min/max agg →
+    // one-row broadcast glue join (the q22_idle pattern — never a
+    // zero-partition window), then a single (group, bucket) aggregation.
+    // Bucket arithmetic is identical IEEE left-to-right in both engines
+    // ((x−lo)/(hi−lo)·NB, floored, clamped), and the reported per-bucket
+    // stats are count/min/max — no float summation, so the row set is
+    // bit-stable. Two exchanges at any scale; the histogram itself is
+    // (groups × buckets) rows, tiny forever.
+    "agg_histogram" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val bounds = o.agg(min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      o.select(col("o_orderpriority"), col("o_totalprice"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          least(floor((col("o_totalprice") - col("lo")) / (col("hi") - col("lo"))
+            * HistogramBuckets), lit(HistogramBuckets - 1L)).cast("long"))
+        .groupBy(col("o_orderpriority"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("bucket_min"),
+          max(col("o_totalprice")).as("bucket_max"))
+        .orderBy(col("o_orderpriority"), col("bucket"))
+    }),
 
     // sketch aggregate: KMV (bottom-k minimum values) distinct estimator.
     // Unlike HLL/KLL (engine-specific internals, no cross-engine oracle),
@@ -1063,6 +1092,18 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "agg_histogram" ->
+      s"""WITH bounds AS (
+         |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+         |SELECT o_orderpriority,
+         |  least(CAST(floor((o_totalprice - lo) / (hi - lo) * $HistogramBuckets) AS BIGINT),
+         |        ${HistogramBuckets - 1}) AS bucket,
+         |  COUNT(*) AS n,
+         |  MIN(o_totalprice) AS bucket_min,
+         |  MAX(o_totalprice) AS bucket_max
+         |FROM orders CROSS JOIN bounds
+         |GROUP BY 1, 2
+         |ORDER BY o_orderpriority, bucket""".stripMargin,
     // single-window KMV twin: the Spark side's salted two-stage bottom-k
     // yields EXACTLY the global bottom-k, so the simple formulation here
     // produces the identical h_k and estimate (integer arithmetic only)

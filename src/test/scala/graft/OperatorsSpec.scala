@@ -329,6 +329,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lm.filter(col("avg_bits") > maxBits || col("avg_bits") < 0).count() == 0)
   }
 
+  test("dedup_minhash_est: covers exactly the LSH pairs; identical docs estimate 1.0 exactly") {
+    val d = "/root/testdata/sf0.001"
+    val est = SparkEntry.queries("dedup_minhash_est")(spark, d)
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, d)
+    assert(est.count() == pairs.count(), "gate must score every candidate pair")
+    // bounds: both jaccards in [0,1]; error is |est - exact|
+    assert(est.filter(col("est_jaccard") < 0 || col("est_jaccard") > 1 ||
+      col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+    // an exact duplicate pair has identical signatures AND jaccard 1
+    val exact = est.filter(col("jaccard") === 1.0)
+    assert(exact.filter(col("n_matches") =!= graft.operators.Dedup.K).count() == 0,
+      "identical shingle sets must produce identical signatures")
+  }
+
+  test("agg_histogram: counts conserve rows, buckets within range, bounds nest") {
+    val d = "/root/testdata/sf0.001"
+    val h = SparkEntry.queries("agg_histogram")(spark, d)
+    val total = graft.sources.Tables.orders(spark, d).count()
+    assert(h.agg(sum(col("n"))).head.getLong(0) == total, "histogram lost rows")
+    val nb = graft.operators.Relational.HistogramBuckets
+    assert(h.filter(col("bucket") < 0 || col("bucket") >= nb).count() == 0)
+    assert(h.filter(col("bucket_min") > col("bucket_max")).count() == 0)
+  }
+
   test("events_scd2: one current state per user, events conserved, consecutive states differ") {
     val d = "/root/testdata/sf0.001"
     val scd = SparkEntry.queries("events_scd2")(spark, d)

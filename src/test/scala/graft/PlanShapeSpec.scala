@@ -336,4 +336,65 @@ class PlanShapeSpec extends AnyFunSuite {
     val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
     assert(!readSchema.contains("lang"), s"unpruned scan: $readSchema")
   }
+
+  test("single-exchange window ops: scd2/source_cap ride ONE key shuffle, no join") {
+    for (q <- Seq("events_scd2", "docs_source_cap")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      val n = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(n <= 1, s"$q has $n hash exchanges (the segment/rank chain " +
+        s"must reuse one key shuffle):\n$p")
+    }
+  }
+
+  test("text_bigram_lm: both count windows share the w1 exchange, no vocab join") {
+    val p = plan("text_bigram_lm")
+    assert(!p.contains("Join"), s"bigram LM regressed to a vocab join-back:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    // doc window + w1 window (shared by the (w1,w2) count) + doc roll-up
+    assert(n <= 3, s"text_bigram_lm has $n hash exchanges (max 3) — the " +
+      s"(w1, w2) window stopped reusing the w1 partitioning:\n$p")
+  }
+
+  test("agg_histogram: one-row bounds glue join, two real exchanges") {
+    val p = plan("agg_histogram")
+    assert(!p.contains("CartesianProduct"), s"histogram has a cartesian:\n$p")
+    assert(p.contains("BroadcastExchange"), s"bounds row not broadcast:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 2, s"agg_histogram has $n hash exchanges (max 2):\n$p")
+  }
+
+  test("dedup_minhash_est: candidate-restricted joins only, no cartesian") {
+    val p = plan("dedup_minhash_est")
+    assert(!p.contains("CartesianProduct"), s"estimator gate went quadratic:\n$p")
+  }
+
+  test("runtime bloom filter prunes the shuffled fact side of a selective join") {
+    // Spark's InjectRuntimeFilter is the 100 TB fact⋈selective-dim story
+    // when the dim does NOT broadcast: the dim's join keys compress to a
+    // bloom filter evaluated inside the fact scan, cutting the shuffled
+    // volume to ~the matching rows. Thresholds are sized for real tables,
+    // so force-enable them at test scale to pin the capability down.
+    val conf = spark.conf
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) => k -> conf.getOption(k) }
+    overrides.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val l = graft.sources.Tables.lineitem(spark, d)
+      val o = graft.sources.Tables.orders(spark, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter") ||
+        p.contains("might_contain"),
+        s"no runtime bloom filter injected on the fact side:\n$p")
+      assert(j.collect().map(_.getLong(1)).sum > 0)
+    } finally saved.foreach { case (k, ov) =>
+      ov.fold(conf.unset(k))(conf.set(k, _)) }
+  }
 }
