@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -102,6 +103,33 @@ object Sampling {
           hashBucket(col("doc_id"), 1000000).as("bucket"))
         .filter(col("bucket") < col("keep_ppm"))
         .orderBy(col("doc_id"))
+    }),
+
+    // per-language quality QUOTA: keep exactly the top fifth (by the
+    // SHARED quality score) of every language — the budgeted counterpart
+    // of sample_quality's probabilistic thinning. When a mixture spec
+    // fixes each language's document budget, curation takes the BEST
+    // docs up to that budget rather than a quality-proportional coin
+    // flip. One language-keyed window (rank over score desc, doc_id
+    // tie-break — doubles order identically in both engines) and the
+    // quota test is pure integers (rk·5 ≤ n ⇔ rk ≤ ⌊n/5⌋): no float
+    // thresholds, re-run- and retry-stable. At 100 TB the lang window
+    // partitions are corpus-language-sized — shard the key ((lang,
+    // doc_id % S) with per-shard quotas) exactly like docs_pack when one
+    // language dominates.
+    "sample_topk_quality" -> ((s, d) => {
+      val q = graft.functions.TextStats.qualityScore(col("text"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val wn = Window.partitionBy(col("lang"))
+      Relational.sortedOnce(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), q.as("score"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("n_lang", count(lit(1)).over(wn))
+          .withColumn("kept", col("rk") * 5 <= col("n_lang"))
+          .select(col("doc_id"), col("lang"), col("score"), col("rk"), col("kept")),
+        col("doc_id"))
     }),
 
     // temperature-scaled language mixing (the mT5/UniMax α-smoothing):
@@ -210,6 +238,19 @@ object Sampling {
          |SELECT doc_id, lang, keep_ppm, bucket
          |FROM scored
          |WHERE bucket < keep_ppm
+         |ORDER BY doc_id""".stripMargin,
+    "sample_topk_quality" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    ${graft.functions.TextStats.sqlQualityScore} AS score
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, lang, score,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n_lang
+         |  FROM scored)
+         |SELECT doc_id, lang, score, rk, rk * 5 <= n_lang AS kept
+         |FROM ranked
          |ORDER BY doc_id""".stripMargin,
     "sample_temperature" ->
       s"""WITH sized AS (

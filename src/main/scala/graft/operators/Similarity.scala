@@ -155,6 +155,28 @@ object Similarity {
           (col("sxq").cast("double") / (col("n") * lit(10000.0))).as("centroid"))
         .orderBy(col("label"), col("dim"))),
 
+    // Embedding-store health stats per label — the drift dashboard an ML
+    // platform reads after every re-embedding run (collapsed norms = a
+    // broken encoder; label-wise norm shifts = train/serve skew). One
+    // narrow pass + one |labels|-sized aggregation. Determinism: min/max
+    // are selections over the bit-stable norm; the MEAN goes through the
+    // same fixed-point trick as embed_label_centroids (floor(norm·10⁴)
+    // summed exactly as integers, one final division) because a float SUM's
+    // order is engine-dependent but an integer sum is not.
+    "embed_norm_stats" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), sqrt(normSq(col("embedding"))).as("norm"))
+        .withColumn("nq", floor(col("norm") * 10000).cast("long"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          min(col("norm")).as("min_norm"),
+          max(col("norm")).as("max_norm"),
+          sum(col("nq")).as("snq"))
+        .select(col("label"), col("n_vectors"), col("min_norm"), col("max_norm"),
+          (col("snq").cast("double") / (col("n_vectors") * lit(10000.0)))
+            .as("mean_norm"))
+        .orderBy(col("label"))),
+
     // Scalar int8 quantization of the embedding store — the 4× memory/IO
     // reduction a 100 TB embedding corpus applies before anything else.
     // Per-dimension [lo, hi] ranges come from ONE dim-keyed aggregation
@@ -506,6 +528,17 @@ object Similarity {
         |FROM ex
         |GROUP BY label, dim
         |ORDER BY label, dim""".stripMargin,
+    "embed_norm_stats" ->
+      s"""WITH normed AS (
+         |  SELECT label, sqrt($nsqSql) AS norm FROM embeddings),
+         |q AS (
+         |  SELECT label, norm, CAST(floor(norm * 10000) AS BIGINT) AS nq FROM normed)
+         |SELECT label, COUNT(*) AS n_vectors,
+         |  MIN(norm) AS min_norm, MAX(norm) AS max_norm,
+         |  CAST(SUM(nq) AS DOUBLE) / (COUNT(*) * 10000.0) AS mean_norm
+         |FROM q
+         |GROUP BY label
+         |ORDER BY label""".stripMargin,
     "sim_ivf_cells" ->
       (s"WITH $ivfCtes\n" +
         """SELECT cell, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id

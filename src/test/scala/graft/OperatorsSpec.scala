@@ -353,6 +353,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(h.filter(col("bucket_min") > col("bucket_max")).count() == 0)
   }
 
+  test("sample_topk_quality: per-language floor(n/5) quota, kept docs strictly outrank dropped") {
+    val d = "/root/testdata/sf0.001"
+    val t = SparkEntry.queries("sample_topk_quality")(spark, d)
+    val per = t.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"), count(when(col("kept"), true)).as("n_kept"),
+      max(when(col("kept"), col("rk"))).as("max_kept_rk"),
+      min(when(!col("kept"), col("rk"))).as("min_drop_rk"))
+    assert(per.filter(col("n_kept") =!= floor(col("n") / 5)).count() == 0,
+      "quota must be exactly floor(n/5) per language")
+    assert(per.filter(col("max_kept_rk") >= col("min_drop_rk")).count() == 0,
+      "every kept rank must precede every dropped rank")
+    // quota members agree with text_quality's score for the same docs
+    val q = SparkEntry.queries("text_quality")(spark, d).select(col("doc_id"), col("quality").as("tq"))
+    assert(t.join(q, "doc_id").filter(col("score") =!= col("tq")).count() == 0,
+      "the quota must rank by the SHARED quality score")
+  }
+
+  test("embed_norm_stats: labels partition the store; min <= mean <= max") {
+    val d = "/root/testdata/sf0.001"
+    val st = SparkEntry.queries("embed_norm_stats")(spark, d)
+    val total = graft.sources.Tables.embeddings(spark, d).count()
+    assert(st.agg(sum(col("n_vectors"))).head.getLong(0) == total)
+    // fixed-point mean floors each norm, so mean may sit up to 1e-4 below min
+    assert(st.filter(col("mean_norm") > col("max_norm") ||
+      col("mean_norm") < col("min_norm") - 0.0001).count() == 0)
+  }
+
   test("events_scd2: one current state per user, events conserved, consecutive states differ") {
     val d = "/root/testdata/sf0.001"
     val scd = SparkEntry.queries("events_scd2")(spark, d)

@@ -369,6 +369,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"estimator gate went quadratic:\n$p")
   }
 
+  test("sample_topk_quality: both lang windows share one exchange, no join") {
+    val p = plan("sample_topk_quality")
+    assert(!p.contains("Join"), s"quality quota grew a join:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 1, s"sample_topk_quality has $n hash exchanges (rank and " +
+      s"count windows must share the lang shuffle):\n$p")
+  }
+
+  test("embed_norm_stats: one aggregation, no join, no window") {
+    val p = plan("embed_norm_stats")
+    assert(!p.contains("Join") && !p.contains("Window"), s"norm stats " +
+      s"regressed from a plain agg:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 1, s"embed_norm_stats has $n hash exchanges (max 1):\n$p")
+  }
+
   test("runtime bloom filter prunes the shuffled fact side of a selective join") {
     // Spark's InjectRuntimeFilter is the 100 TB fact⋈selective-dim story
     // when the dim does NOT broadcast: the dim's join keys compress to a
