@@ -105,6 +105,32 @@ object Events {
         .orderBy(col("cohort"), col("day_offset"))
     }),
 
+    // Rolling 7-day distinct actives (the DAU/WAU dashboard) — the
+    // sliding-window COUNT DISTINCT, which no window frame computes
+    // directly. The scale pattern: reduce to distinct (user, day) FIRST
+    // (the only corpus-sized shuffle), then explode each active-day into
+    // the 7 window-end days it contributes to and run ONE plain
+    // distinct-count per window day. The 7× fan-out happens after the
+    // distinct, costs map-side rows only, and generalizes to any window
+    // length L as one distinct + L× fan-out + one agg — never a per-day
+    // self-join, never a quadratic frame. DAU rides the same distinct
+    // relation; days with spillover-only activity report dau = 0.
+    "events_wau" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      // DAU comes out of the SAME exploded relation (wday = day marks the
+      // offset-0 contribution) — a separate dau branch would re-scan and
+      // re-distinct the whole corpus for a number this pass already has
+      days
+        .withColumn("wday", explode(sequence(col("day"), date_add(col("day"), 6))))
+        .groupBy(col("wday"))
+        .agg(
+          countDistinct(when(col("wday") === col("day"), col("user_id"))).as("dau"),
+          countDistinct(col("user_id")).as("wau"))
+        .select(col("wday"), col("dau"), col("wau"))
+        .orderBy(col("wday"))
+    }),
+
     // SCD-2 dimension build from the event stream: per user, collapse
     // consecutive same-type events into one state row (change-point
     // compression — the step cdc_upsert's keep-latest skips), then stamp
@@ -259,6 +285,19 @@ object Events {
         |FROM c
         |GROUP BY 1, 2
         |ORDER BY cohort, day_offset""".stripMargin,
+    "events_wau" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |contrib AS (
+        |  SELECT user_id, day, CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |    CAST(day + 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS wday
+        |  FROM days)
+        |SELECT wday,
+        |  COUNT(DISTINCT CASE WHEN wday = day THEN user_id END) AS dau,
+        |  COUNT(DISTINCT user_id) AS wau
+        |FROM contrib
+        |GROUP BY wday
+        |ORDER BY wday""".stripMargin,
     "events_scd2" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -353,6 +353,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(h.filter(col("bucket_min") > col("bucket_max")).count() == 0)
   }
 
+  test("events_wau: wau >= dau everywhere; each day's window covers exactly its trailing week") {
+    val d = "/root/testdata/sf0.001"
+    val w = SparkEntry.queries("events_wau")(spark, d)
+    assert(w.filter(col("wau") < col("dau")).count() == 0)
+    // cross-check one window day against a direct trailing-7-day distinct
+    val days = graft.sources.Tables.events(spark, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val probe = w.orderBy(col("wau").desc, col("wday")).head
+    val wday = probe.getDate(0)
+    val direct = days.filter(col("day") <= lit(wday) &&
+        col("day") >= date_sub(lit(wday), 6))
+      .select(col("user_id")).distinct().count()
+    assert(probe.getLong(2) == direct,
+      s"wau(${wday}) = ${probe.getLong(2)} but direct trailing-week distinct = $direct")
+  }
+
   test("sample_topk_quality: per-language floor(n/5) quota, kept docs strictly outrank dropped") {
     val d = "/root/testdata/sf0.001"
     val t = SparkEntry.queries("sample_topk_quality")(spark, d)

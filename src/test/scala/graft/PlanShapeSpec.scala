@@ -369,6 +369,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"estimator gate went quadratic:\n$p")
   }
 
+  test("events_wau: ONE corpus scan, no join — dau rides the exploded relation") {
+    val p = plan("events_wau")
+    assert(!p.contains("Join"), s"wau regressed to a dau join-back (re-scans the corpus):\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"events_wau reads the events table $scans times:\n$p")
+  }
+
   test("sample_topk_quality: both lang windows share one exchange, no join") {
     val p = plan("sample_topk_quality")
     assert(!p.contains("Join"), s"quality quota grew a join:\n$p")

@@ -89,6 +89,46 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted.count() == plain.count())
   }
 
+  test("AQE splits the skewed partition of a shuffled join (skew=true at runtime)") {
+    // the built-in half of the skew story (saltedJoin above is the manual
+    // half): with AQE on, a hot shuffle partition is split into subtasks at
+    // RUNTIME from the actual map statistics — no code change, no salt.
+    // Thresholds are sized for real tables; force them down to pin the
+    // mechanism at test scale.
+    val conf = spark.conf
+    val overrides = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) => k -> conf.getOption(k) }
+    overrides.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      // one hot key carrying a wide payload vs a uniform build side. The
+      // consumer is a GLOBAL aggregate over the payload: a groupBy on the
+      // join key would pin the join's output partitioning and forbid the
+      // split (AQE won't trade a skew fix for an extra shuffle), and the
+      // payload must survive pruning or the hot partition has no bytes.
+      val fact = spark.range(60000).select(
+        (when(col("id") % 10 === 0, concat(lit("k"), col("id") % 50))
+          .otherwise(lit("hot"))).as("k"),
+        concat(lit("payload-"), col("id"), lit("-"), md5(col("id").cast("string"))).as("pay"))
+      val dimS = spark.range(51).select(
+        when(col("id") === 50, lit("hot")).otherwise(concat(lit("k"), col("id"))).as("k"),
+        col("id").as("v"))
+      val j = fact.join(dimS, Seq("k"))
+        .agg(count(lit(1)).as("n"), max(length(col("pay"))).as("w"))
+      // collect() (not head(): head builds a separate limit-plan
+      // QueryExecution) so THIS plan executes and AQE finalizes
+      assert(j.collect()(0).getLong(0) == 60000L)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n$p")
+    } finally saved.foreach { case (k, ov) =>
+      ov.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("bucketed tables: co-located equi-join plans with zero shuffle exchanges") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
