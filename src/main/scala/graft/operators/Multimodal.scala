@@ -93,7 +93,54 @@ object Multimodal {
       }(enc)
   }
 
+  private val embedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("e0", DoubleType), StructField("e1", DoubleType),
+    StructField("e2", DoubleType), StructField("e3", DoubleType)))
+
+  /** Micro-batch size for [[embedBatched]] — a real model server/GPU is
+    * fed fixed-size batches; the knob trades per-call overhead against
+    * batch latency and device memory. */
+  val EmbedBatch = 32
+
+  /** Batched embedding inference over binary payloads — the model-serving
+    * seam: one "model" per task (init amortized like [[decodeMeta]]'s
+    * decoder), payloads served in [[EmbedBatch]]-sized micro-batches via
+    * `grouped()`, exactly the shape a GPU embedder needs (swap the md5
+    * stand-in for an ONNX/JNI session and ONLY the inner function
+    * changes). Output must be a pure function of the bytes — batch
+    * boundaries and partitioning shift under AQE/retries, so nothing
+    * batch-dependent may leak into the result (asserted by the
+    * repartition-invariance test). */
+  def embedBatched(df: DataFrame, batch: Int = EmbedBatch): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(embedSchema)
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5") // per-task init
+        rows.grouped(batch).flatMap { b =>
+          b.iterator.map { r =>
+            val hex = md.digest(r.getAs[Array[Byte]]("payload"))
+              .map(x => f"$x%02x").mkString
+            def dim(i: Int): Double =
+              Integer.parseInt(hex.substring(i * 4, i * 4 + 4), 16) / 65536.0
+            Row(r.getLong(0), dim(0), dim(1), dim(2), dim(3))
+          }
+        }
+      }(enc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // batched inference as a first-class oracle query: the md5 stand-in
+    // model runs partition-local in fixed micro-batches; the oracle
+    // reproduces its arithmetic (md5 hex quarters / 2^16) in SQL. The
+    // embeddings land as narrow typed columns — the payload bytes never
+    // shuffle, the 100 TB rule for running any model over a media corpus.
+    "binary_embed" -> ((s, d) =>
+      Relational.sortedOnce(
+        embedBatched(graft.sources.Tables.documents(s, d)
+          .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))),
+        col("doc_id"))),
+
     // binary-column metadata over documents-as-payloads: the SQL-expressible
     // half of the multimodal surface (encode → binary, length, sha2 digest).
     "binary_meta" -> ((s, d) =>
@@ -144,6 +191,14 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "binary_embed" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(h, 1, 4)) AS INTEGER) / 65536.0 AS e0,
+        |  CAST(('0x' || substr(h, 5, 4)) AS INTEGER) / 65536.0 AS e1,
+        |  CAST(('0x' || substr(h, 9, 4)) AS INTEGER) / 65536.0 AS e2,
+        |  CAST(('0x' || substr(h, 13, 4)) AS INTEGER) / 65536.0 AS e3
+        |FROM (SELECT doc_id, md5(text) AS h FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

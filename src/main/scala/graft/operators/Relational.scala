@@ -295,6 +295,50 @@ object Relational {
         .orderBy(col("o_orderpriority"), col("bucket"))
     }),
 
+    // Histogram-interpolated median vs the exact percentile — the
+    // quantile-sketch quality gate (the agg-side sibling of sim_recall /
+    // dedup_minhash_est): exact per-group percentile() gathers every value
+    // of a group into one task, which is exactly what a 100 TB group can't
+    // do; the scale path answers quantiles from the (groups × buckets)
+    // equi-width histogram and THIS query measures what that costs. The
+    // estimate assumes uniformity inside the hit bucket (lo + (bucket +
+    // (rank − cum_before)/cnt)·width, all IEEE ops in identical
+    // association both engines); the exact side is affordable here at
+    // test scale — at 100 TB it runs on a sample, like the recall gates'
+    // fixed query set. Three passes (bounds, buckets, exact), all
+    // group-keyed; the histogram relation the estimate reads is tiny.
+    "agg_percentile_hist" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      val hist = li.select(col("l_returnflag"), col("l_extendedprice"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          least(floor((col("l_extendedprice") - col("lo")) / (col("hi") - col("lo"))
+            * HistogramBuckets), lit(HistogramBuckets - 1L)).cast("long"))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"), first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("bucket"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))
+      val est = hist
+        .withColumn("cum", sum(col("cnt")).over(wg))
+        .withColumn("n", sum(col("cnt")).over(wn))
+        .withColumn("med", (col("n") - 1).cast("double") / 2.0)
+        .filter(col("cum") - col("cnt") <= col("med") && col("med") < col("cum"))
+        .select(col("l_returnflag"), col("n"),
+          (col("lo") + (col("bucket").cast("double") +
+            (col("med") - (col("cum") - col("cnt")).cast("double")) / col("cnt"))
+            * ((col("hi") - col("lo")) / HistogramBuckets)).as("p50_hist"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+      est.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"), col("p50_exact"), col("p50_hist"),
+          abs(col("p50_hist") - col("p50_exact")).as("abs_err"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // sketch aggregate: KMV (bottom-k minimum values) distinct estimator.
     // Unlike HLL/KLL (engine-specific internals, no cross-engine oracle),
     // KMV over md5 is fully deterministic: keep the k smallest 48-bit hash
@@ -1092,6 +1136,37 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "agg_percentile_hist" ->
+      s"""WITH bounds AS (
+         |  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem),
+         |hist AS (
+         |  SELECT l_returnflag,
+         |    least(CAST(floor((l_extendedprice - lo) / (hi - lo) * $HistogramBuckets) AS BIGINT),
+         |          ${HistogramBuckets - 1}) AS bucket,
+         |    COUNT(*) AS cnt, MIN(lo) AS lo, MIN(hi) AS hi
+         |  FROM lineitem CROSS JOIN bounds
+         |  GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT l_returnflag, bucket, cnt, lo, hi,
+         |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM hist),
+         |est AS (
+         |  SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         |    lo + (CAST(bucket AS DOUBLE) +
+         |      (CAST(n - 1 AS DOUBLE) / 2.0 - CAST(cum - cnt AS DOUBLE)) / cnt)
+         |      * ((hi - lo) / $HistogramBuckets) AS p50_hist
+         |  FROM cum
+         |  WHERE cum - cnt <= CAST(n - 1 AS DOUBLE) / 2.0
+         |    AND CAST(n - 1 AS DOUBLE) / 2.0 < cum),
+         |exact AS (
+         |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50_exact
+         |  FROM lineitem GROUP BY 1)
+         |SELECT e.l_returnflag, e.n, x.p50_exact, e.p50_hist,
+         |  abs(e.p50_hist - x.p50_exact) AS abs_err
+         |FROM est e JOIN exact x ON x.l_returnflag = e.l_returnflag
+         |ORDER BY e.l_returnflag""".stripMargin,
     "agg_histogram" ->
       s"""WITH bounds AS (
          |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Dedup, Multimodal, Similarity}
@@ -274,6 +275,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(3L) == ((21L, 0L, 0.0)), s"disjoint doc must score zero: $r")
   }
 
+  test("embedBatched: partitioning- and batch-size-invariant; matches the md5 expression twin") {
+    val d = "/root/testdata/sf0.001"
+    val payloads = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().toSeq
+    // batch boundaries and partition layout must never leak into results
+    val base = canon(Multimodal.embedBatched(payloads))
+    assert(base == canon(Multimodal.embedBatched(payloads.repartition(7))))
+    assert(base == canon(Multimodal.embedBatched(payloads, batch = 3)))
+    // the task-local MessageDigest agrees with Spark's own md5 expression
+    val twin = payloads.select(col("doc_id"),
+      (conv(substring(md5(col("payload")), 1, 4), 16, 10).cast("double") / 65536.0).as("e0"))
+    val joined = Multimodal.embedBatched(payloads).select(col("doc_id"), col("e0"))
+      .join(twin.withColumnRenamed("e0", "t0"), "doc_id")
+    assert(joined.filter(col("e0") =!= col("t0")).count() == 0)
+  }
+
   test("multimodal decodeMeta: deterministic fake decode via mapPartitions") {
     val df = Seq((1L, "abc".getBytes), (2L, "longer payload bytes".getBytes))
       .toDF("doc_id", "payload")
@@ -341,6 +360,21 @@ class OperatorsSpec extends AnyFunSuite {
     val exact = est.filter(col("jaccard") === 1.0)
     assert(exact.filter(col("n_matches") =!= graft.operators.Dedup.K).count() == 0,
       "identical shingle sets must produce identical signatures")
+  }
+
+  test("agg_percentile_hist: estimate within one bucket width of exact; n agrees") {
+    val d = "/root/testdata/sf0.001"
+    val g = SparkEntry.queries("agg_percentile_hist")(spark, d)
+    val li = graft.sources.Tables.lineitem(spark, d)
+    val Row(lo: Double, hi: Double) = li.agg(min(col("l_extendedprice")),
+      max(col("l_extendedprice"))).head
+    val width = (hi - lo) / graft.operators.Relational.HistogramBuckets
+    // the uniform-within-bucket assumption can miss by at most one bucket
+    assert(g.filter(col("abs_err") > width).count() == 0,
+      s"estimate strayed beyond one bucket width ($width)")
+    val counts = li.groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g.collect().forall(r => counts(r.getString(0)) == r.getLong(1)))
   }
 
   test("agg_histogram: counts conserve rows, buckets within range, bounds nest") {
