@@ -418,6 +418,18 @@ object Dedup {
     "dedup_clusters" -> ((s, d) =>
       clusterLabels(s, d).orderBy(col("doc_id"))),
 
+    // Cluster-size distribution over the near-dup components — the dedup
+    // health report: a fat tail here means template/boilerplate families
+    // (or an LSH threshold set too loose) and predicts exactly how much
+    // the survivor pass will remove. Rides the MEMOIZED label map like
+    // dedup_keep/corpus_report — at scale this reads the persisted label
+    // table, two tiny aggregations, no corpus scan.
+    "dedup_cluster_stats" -> ((s, d) =>
+      clusterLabels(s, d)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))),
+
     // The dedup APPLICATION: which documents survive near-dup removal —
     // every unclustered document plus each cluster's canonical (min
     // doc_id) member — reported as per-language total/kept counts. The
@@ -771,7 +783,14 @@ object Dedup {
           |             THEN 1 END) AS n_kept
           |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
           |GROUP BY lang
-          |ORDER BY lang""".stripMargin)
+          |ORDER BY lang""".stripMargin),
+    "dedup_cluster_stats" ->
+      (s"WITH RECURSIVE $minhashPairCtes,\n$clusterCtes,\n" +
+        """sizes AS (
+          |  SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1)
+          |SELECT cluster_size, COUNT(*) AS n_clusters
+          |FROM sizes GROUP BY cluster_size
+          |ORDER BY cluster_size""".stripMargin)
   )
 
   /** Recursive-CTE connected components over `mh_pairs` → `labels(doc_id,

@@ -155,6 +155,18 @@ object Similarity {
           (col("sxq").cast("double") / (col("n") * lit(10000.0))).as("centroid"))
         .orderBy(col("label"), col("dim"))),
 
+    // Inverted-file balance report — the count-of-cell-sizes histogram.
+    // IVF probe cost and recall both assume roughly even cells; a drifting
+    // corpus concentrates into few cells (this report's tail grows) and
+    // the fix is retraining centroids, not more probes. Two tiny
+    // aggregations over the assignment relation; at 100 TB this reads the
+    // PERSISTED inverted file, so the report is seconds, not a scan.
+    "sim_ivf_balance" -> ((s, d) =>
+      ivfAssign(s, d)
+        .groupBy(col("cell")).agg(count(lit(1)).as("cell_size"))
+        .groupBy(col("cell_size")).agg(count(lit(1)).as("n_cells"))
+        .orderBy(col("cell_size"))),
+
     // Embedding-store health stats per label — the drift dashboard an ML
     // platform reads after every re-embedding run (collapsed norms = a
     // broken encoder; label-wise norm shifts = train/serve skew). One
@@ -539,6 +551,13 @@ object Similarity {
          |FROM q
          |GROUP BY label
          |ORDER BY label""".stripMargin,
+    "sim_ivf_balance" ->
+      (s"WITH $ivfCtes,\n" +
+        """sizes AS (
+          |  SELECT cell, COUNT(*) AS cell_size FROM assign GROUP BY cell)
+          |SELECT cell_size, COUNT(*) AS n_cells
+          |FROM sizes GROUP BY cell_size
+          |ORDER BY cell_size""".stripMargin),
     "sim_ivf_cells" ->
       (s"WITH $ivfCtes\n" +
         """SELECT cell, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id

@@ -293,6 +293,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(joined.filter(col("e0") =!= col("t0")).count() == 0)
   }
 
+  test("health reports: ivf balance and cluster stats conserve their populations") {
+    val d = "/root/testdata/sf0.001"
+    val bal = SparkEntry.queries("sim_ivf_balance")(spark, d)
+    val nVec = graft.sources.Tables.embeddings(spark, d).count()
+    assert(bal.agg(sum(col("cell_size") * col("n_cells"))).head.getLong(0) == nVec)
+    // count-of-counts agrees with the per-cell inventory query
+    val cells = SparkEntry.queries("sim_ivf_cells")(spark, d)
+      .groupBy(col("n_vectors").as("cell_size")).agg(count(lit(1)).as("n_cells"))
+    assert(bal.join(cells, Seq("cell_size"))
+      .filter(bal("n_cells") =!= cells("n_cells")).count() == 0)
+    val cs = SparkEntry.queries("dedup_cluster_stats")(spark, d)
+    val nLabeled = Dedup.clusterLabels(spark, d).count()
+    assert(cs.agg(sum(col("cluster_size") * col("n_clusters"))).head.getLong(0) == nLabeled)
+  }
+
   test("multimodal decodeMeta: deterministic fake decode via mapPartitions") {
     val df = Seq((1L, "abc".getBytes), (2L, "longer payload bytes".getBytes))
       .toDF("doc_id", "payload")
