@@ -445,8 +445,17 @@ object Similarity {
       .withColumn("dist", col("nsq") - lit(2.0) * dot(col("embedding"), col("se")) + col("snsq"))
   }
 
-  /** Nearest-centroid assignment: (vec_id, cell) — the inverted file. */
-  private[operators] def ivfAssign(s: SparkSession, d: String): DataFrame = {
+  /** Nearest-centroid assignment: (vec_id, cell) — the inverted file.
+    * MEMOIZED (localCheckpoint per session × dataset, [[graft.Memo]]):
+    * seven queries consume the assignment (both ANN searches, the cell
+    * inventory, the balance report, both recall gates, SemDeDup, and the
+    * embedding near-dup pass) — in production the inverted file is a
+    * PERSISTED table written once per index build and read by every
+    * search and report, exactly like the MinHash pair graph. */
+  private[operators] def ivfAssign(s: SparkSession, d: String): DataFrame =
+    graft.Memo("sim_ivf_assign", s, d)(computeIvfAssign(s, d).localCheckpoint())
+
+  private def computeIvfAssign(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("dist"), col("sid"))
     seedDists(s, d)
