@@ -36,6 +36,17 @@ object GraftFunctions {
       |  WHEN contains(x, '.') THEN 'url'
       |  WHEN x rlike '^[a-zA-Z0-9]{32,64}' THEN 'hash'
       |  ELSE 'unmatched' END""".stripMargin,
+    // the ONE quality formula (TextStats.qualityScore) as SQL — the
+    // samplers, the filter, the dashboard, and now any SQL consumer share
+    // byte-identical scoring (asserted against the Column version in
+    // SqlSurfaceSpec)
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_quality(x STRING) RETURNS DOUBLE
+      |RETURN 0.4D * least(cast(size(filter(split(lower(x), ' '),
+      |    t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE)
+      |  / size(split(lower(x), ' ')) * 5.0D, 1.0D)
+      |+ 0.3D * greatest(0.0D, 1.0D - cast(size(regexp_extract_all(x, '[^A-Za-z0-9\\s]', 0)) AS DOUBLE)
+      |  / length(x) * 5.0D)
+      |+ 0.3D * least(cast(size(split(lower(x), ' ')) AS DOUBLE) / 100.0D, 1.0D)""".stripMargin,
     """CREATE OR REPLACE TEMPORARY FUNCTION graft_simhash(x STRING) RETURNS STRING
       |RETURN concat_ws('', transform(
       |  aggregate(

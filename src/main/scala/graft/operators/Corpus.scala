@@ -154,6 +154,38 @@ object Corpus {
             .as("n_dedup_survivors"))
         .orderBy(col("lang"))),
 
+    // The capstone composition — the MATERIALIZED TRAINING MANIFEST: what
+    // actually ships to the trainer after the whole pipeline runs. One
+    // query chains the shared quality cut (TextStats.qualityKeep), the
+    // memoized dedup survivors (cluster canonical members), the
+    // per-source diversity cap (rank over survivors — the cap applies to
+    // what REMAINS, pipeline order matters), and the deterministic
+    // training shuffle ((shard, pos) addressing, Sampling.docs_shuffle's
+    // exact convention). Every stage is the SAME code its standalone
+    // query runs, so the manifest can never disagree with the
+    // dashboards; everything is md5-deterministic, so re-running the
+    // manifest after a crash yields byte-identical shard files.
+    "corpus_manifest" -> ((s, d) => {
+      val surv = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .join(Dedup.clusterLabels(s, d), Seq("doc_id"), "left")
+        .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+        .filter(graft.functions.TextStats.qualityKeep(col("text")))
+      val wSrc = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val h = md5(col("doc_id").cast("string"))
+      val wShard = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      surv
+        .withColumn("rk", row_number().over(wSrc))
+        .filter(col("rk") <= SourceCap)
+        .select(col("doc_id"), col("lang"), col("source"),
+          Sampling.hashBucket(col("doc_id"), Sampling.NumShards).as("shard"),
+          h.as("h"))
+        .withColumn("pos", row_number().over(wShard).cast("long"))
+        .select(col("doc_id"), col("lang"), col("source"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
     // source-diversity cap: keep at most [[SourceCap]] documents per
     // source, chosen by a DETERMINISTIC md5 rank (an unbiased per-source
     // sample, reproducible across engines and reruns — never rand()).
@@ -286,6 +318,28 @@ object Corpus {
           |FROM q LEFT JOIN labels l ON l.doc_id = q.doc_id
           |GROUP BY lang
           |ORDER BY lang""".stripMargin),
+    "corpus_manifest" ->
+      (s"WITH RECURSIVE ${Dedup.minhashPairCtes},\n${Dedup.clusterCtes},\n" +
+        s"""surv AS (
+           |  SELECT d.doc_id, d.lang, d.source
+           |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+           |  WHERE (l.cluster_id IS NULL OR l.cluster_id = d.doc_id)
+           |    AND ${graft.functions.TextStats.sqlQualityKeep}),
+           |capped AS (
+           |  SELECT doc_id, lang, source FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           |    FROM surv)
+           |  WHERE rk <= $SourceCap)
+           |SELECT doc_id, lang, source,
+           |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           |    % ${Sampling.NumShards} AS shard,
+           |  ROW_NUMBER() OVER (
+           |    PARTITION BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           |      % ${Sampling.NumShards}
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+           |FROM capped
+           |ORDER BY shard, pos""".stripMargin),
     "docs_source_cap" ->
       s"""SELECT doc_id, source, rk, rk <= $SourceCap AS kept FROM (
          |  SELECT doc_id, source,

@@ -293,6 +293,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(joined.filter(col("e0") =!= col("t0")).count() == 0)
   }
 
+  test("corpus_manifest: members pass quality, survive dedup, respect the cap; (shard,pos) dense") {
+    val d = "/root/testdata/sf0.001"
+    val m = SparkEntry.queries("corpus_manifest")(spark, d)
+    // quality: every manifest member is in text_quality's keep set
+    val q = SparkEntry.queries("text_quality")(spark, d).select(col("doc_id"), col("keep"))
+    assert(m.join(q, "doc_id").filter(!col("keep")).count() == 0)
+    // dedup: no member is a non-canonical cluster member
+    val lbl = Dedup.clusterLabels(spark, d)
+    assert(m.join(lbl, Seq("doc_id"))
+      .filter(col("cluster_id") =!= col("doc_id")).count() == 0)
+    // diversity: at most SourceCap docs per source
+    assert(m.groupBy(col("source")).count()
+      .filter(col("count") > graft.operators.Corpus.SourceCap).count() == 0)
+    // addressing: pos is a dense 1..n permutation within every shard
+    val per = m.groupBy(col("shard")).agg(count(lit(1)).as("n"),
+      countDistinct(col("pos")).as("np"), min(col("pos")).as("lo"), max(col("pos")).as("hi"))
+    assert(per.filter(col("np") =!= col("n") || col("lo") =!= 1 || col("hi") =!= col("n")).count() == 0)
+  }
+
   test("health reports: ivf balance and cluster stats conserve their populations") {
     val d = "/root/testdata/sf0.001"
     val bal = SparkEntry.queries("sim_ivf_balance")(spark, d)

@@ -35,6 +35,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql == viaDf && viaSql.length == 60)
   }
 
+  test("graft_quality over SQL is bit-identical to TextStats.qualityScore") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.createOrReplaceTempView("sql_quality_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_quality(text) AS q FROM sql_quality_docs")
+    val viaCol = docs.select(col("doc_id"),
+      graft.functions.TextStats.qualityScore(col("text")).as("c"))
+    val joined = viaSql.join(viaCol, "doc_id")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("q") =!= col("c")).count() == 0,
+      "SQL macro and Column formula diverged")
+  }
+
   test("GraftExtensions injects array_dot at session build") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
