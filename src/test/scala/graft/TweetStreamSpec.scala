@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 import graft.pipeline.TweetPipeline
 import graft.sinks.{FileTransport, RestBatchSink}
-import graft.streaming.TweetStream
+import graft.streaming.{DocsIngestStream, TweetStream}
 
 /** Streaming + sink specs: MemoryStream of raw tweet JSON through the shared
   * extraction core, checkpointed foreachBatch → batched REST sink with the
@@ -115,6 +115,39 @@ class TweetStreamSpec extends AnyFunSuite {
       .map(_.getString(0)).toSet
     assert(ids.size == 2 && ids.contains("52"),
       s"expected one survivor of the near-dup pair plus the distinct tweet, got $ids")
+  }
+
+
+  test("DocsIngestStream: quality gate + near-dedup admit the same docs streaming and batch") {
+    implicit val sq = spark.sqlContext
+    // 11 DISTINCT tokens (odd): every SimHash bit-sum is a nonzero
+    // multiple of the repeat count, so appending one extra token can
+    // never flip a bit — the same guarantee the near-dup spec above uses
+    val words = Seq("the", "a", "and", "of", "to", "in", "data", "spark",
+      "join", "sort", "merge")
+    // high-quality body (stopword-rich, long); a near-dup; junk that fails the gate
+    val good = Seq.fill(10)(words).flatten.mkString(" ")
+    val nearDup = good + " extra"
+    val junk = "@@@@ ##### !!!!"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val rows = Seq((1L, good, t0), (2L, nearDup, t0), (3L, junk, t0))
+
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    mem.addData(rows: _*)
+    val stream = DocsIngestStream.admitted(
+      mem.toDF().toDF("doc_id", "text", "ingest_ts"))
+    val q = stream.writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ingest_out").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+
+    val batch = DocsIngestStream.admitted(
+      rows.toDF("doc_id", "text", "ingest_ts"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(streamed == Set(1L), s"stream admitted $streamed")
+    assert(batch == streamed, s"batch twin admitted $batch, stream admitted $streamed")
   }
 
   test("ingest warnings surface as observed metrics (firehose.py:33-34,52-53)") {
