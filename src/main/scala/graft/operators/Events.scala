@@ -105,6 +105,28 @@ object Events {
         .orderBy(col("cohort"), col("day_offset"))
     }),
 
+    // Event-type transition matrix (path analysis) — where the funnel
+    // checks ONE fixed path, this counts every observed 2-step transition
+    // with its conditional probability p(next | current): the input to
+    // Sankey/flow dashboards and Markov-chain session models. One lag
+    // window and one (from, to) aggregation; the probability is a ratio
+    // of the two counts carried by a from-keyed window that reuses the
+    // agg's partitioning (exact small-integer ratio — bit-stable).
+    "events_paths" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wFrom = Window.partitionBy(col("from_type"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("from_type").isNotNull)
+        .select(col("from_type"), col("event_type").as("to_type"))
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_next",
+          col("n").cast("double") / sum(col("n")).over(wFrom))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // Rolling 7-day distinct actives (the DAU/WAU dashboard) — the
     // sliding-window COUNT DISTINCT, which no window frame computes
     // directly. The scale pattern: reduce to distinct (user, day) FIRST
@@ -285,6 +307,21 @@ object Events {
         |FROM c
         |GROUP BY 1, 2
         |ORDER BY cohort, day_offset""".stripMargin,
+    "events_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |steps AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM e),
+        |m AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n
+        |  FROM steps WHERE from_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p_next
+        |FROM m
+        |ORDER BY from_type, to_type""".stripMargin,
     "events_wau" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),

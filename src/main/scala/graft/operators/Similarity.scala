@@ -155,6 +155,40 @@ object Similarity {
           (col("sxq").cast("double") / (col("n") * lit(10000.0))).as("centroid"))
         .orderBy(col("label"), col("dim"))),
 
+    // 1-NN label agreement through the served IVF index — the embedding-
+    // QUALITY measurement (a kNN-classifier probe): if nearest neighbors
+    // don't share labels, the encoder (or the index's recall) is failing
+    // before any downstream model sees the vectors. Reuses the exact
+    // sim_cosine_topk machinery at k=1 and rolls up per label; accuracy
+    // is a small-integer ratio — bit-stable. Run next to sim_recall after
+    // every re-embedding: recall isolates the INDEX, this isolates the
+    // GEOMETRY.
+    "sim_knn_acc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+      val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nsq").as("qn"))
+      val byQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      val top1 = q.join(ivfProbes(s, d), Seq("qid"))
+        .join(ivfAssign(s, d), Seq("cell"))
+        .join(e.select(col("vec_id"), col("embedding").as("ne"), col("nsq").as("nn")), Seq("vec_id"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosine", dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")))
+        .withColumn("rank", row_number().over(byQ))
+        .filter(col("rank") === 1)
+        .select(col("qid"), col("vec_id").as("nid"))
+      top1
+        .join(lbl.select(col("vec_id").as("qid"), col("label").as("q_label")), Seq("qid"))
+        .join(lbl.select(col("vec_id").as("nid"), col("label").as("n_label")), Seq("nid"))
+        .groupBy(col("q_label"))
+        .agg(count(lit(1)).as("n_queries"),
+          count(when(col("q_label") === col("n_label"), true)).as("n_agree"))
+        .select(col("q_label"), col("n_queries"), col("n_agree"),
+          (col("n_agree").cast("double") / col("n_queries")).as("knn_acc"))
+        .orderBy(col("q_label"))
+    }),
+
     // Inverted-file balance report — the count-of-cell-sizes histogram.
     // IVF probe cost and recall both assume roughly even cells; a drifting
     // corpus concentrates into few cells (this report's tail grows) and
@@ -560,6 +594,33 @@ object Similarity {
          |FROM q
          |GROUP BY label
          |ORDER BY label""".stripMargin,
+    "sim_knn_acc" ->
+      (s"WITH $ivfCtes,\n" +
+        s"""probes AS (
+           |  SELECT vec_id AS qid, sid AS cell FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+           |    FROM dists)
+           |  WHERE rn <= 2),
+           |cands AS (
+           |  SELECT q.vec_id AS qid, x.vec_id AS nid,
+           |    ${dotSql("q", "x")} / sqrt(q.nsq * x.nsq) AS cosine
+           |  FROM e q
+           |  JOIN probes p ON p.qid = q.vec_id
+           |  JOIN assign a ON a.cell = p.cell
+           |  JOIN e x ON x.vec_id = a.vec_id AND x.vec_id <> q.vec_id),
+           |top1 AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+           |    FROM cands)
+           |  WHERE rank = 1)
+           |SELECT ql.label AS q_label, COUNT(*) AS n_queries,
+           |  COUNT(CASE WHEN ql.label = nl.label THEN 1 END) AS n_agree,
+           |  CAST(COUNT(CASE WHEN ql.label = nl.label THEN 1 END) AS DOUBLE) / COUNT(*) AS knn_acc
+           |FROM top1 t
+           |JOIN embeddings ql ON ql.vec_id = t.qid
+           |JOIN embeddings nl ON nl.vec_id = t.nid
+           |GROUP BY ql.label
+           |ORDER BY q_label""".stripMargin),
     "sim_ivf_balance" ->
       (s"WITH $ivfCtes,\n" +
         """sizes AS (

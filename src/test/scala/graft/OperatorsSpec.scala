@@ -421,6 +421,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(h.filter(col("bucket_min") > col("bucket_max")).count() == 0)
   }
 
+  test("events_paths: transitions conserve (events - users); p(next|from) sums to 1 per from") {
+    val d = "/root/testdata/sf0.001"
+    val p = SparkEntry.queries("events_paths")(spark, d)
+    val ev = graft.sources.Tables.events(spark, d)
+    // every event except each user's first contributes exactly one transition
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(p.agg(sum(col("n"))).head.getLong(0) == expected)
+    val sums = p.groupBy(col("from_type")).agg(sum(col("p_next")).as("s"))
+    assert(sums.filter(abs(col("s") - 1.0) > 1e-9).count() == 0)
+  }
+
+  test("sim_knn_acc: one verdict per vector; agreement bounded by counts") {
+    val d = "/root/testdata/sf0.001"
+    val a = SparkEntry.queries("sim_knn_acc")(spark, d)
+    val n = graft.sources.Tables.embeddings(spark, d).count()
+    assert(a.agg(sum(col("n_queries"))).head.getLong(0) == n,
+      "every vector is a query exactly once")
+    assert(a.filter(col("n_agree") > col("n_queries") || col("n_agree") < 0).count() == 0)
+    assert(a.filter(col("knn_acc") < 0 || col("knn_acc") > 1).count() == 0)
+  }
+
   test("events_wau: wau >= dau everywhere; each day's window covers exactly its trailing week") {
     val d = "/root/testdata/sf0.001"
     val w = SparkEntry.queries("events_wau")(spark, d)
