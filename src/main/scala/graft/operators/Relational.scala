@@ -910,6 +910,46 @@ object Relational {
     // plan for its check, glued by one-row broadcasts. At 100 TB this
     // runs as a post-load gate: cost ≈ one scan of the fact plus the
     // (pre-aggregated, tiny) key joins.
+    // Per-column profile — the PROFILING stage beside dq_checks'
+    // expectations: row count, null count, exact distinct count, and
+    // numeric min/max for every orders column, in ONE pass (a single
+    // wide aggregation; the 5 column-distincts plan as one Expand, the
+    // standard multi-distinct trade — at 100 TB swap the exact distincts
+    // for the KMV estimator agg_approx_sketch already ships). The wide
+    // row unpivots with stack() to the (column, metrics) long form every
+    // catalog tool ingests. Non-numeric columns carry null min/max —
+    // cross-engine double/timestamp STRING formatting is not portable,
+    // so the profile never stringifies values.
+    "dq_profile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def nn(c: String) = count(when(col(c).isNull, 1)).as(s"nn_$c")
+      def nd(c: String) = countDistinct(col(c)).as(s"nd_$c")
+      val wide = o.agg(
+        count(lit(1)).as("n_rows"),
+        nn("o_orderkey"), nd("o_orderkey"),
+        min(col("o_orderkey")).cast("double").as("mn_o_orderkey"),
+        max(col("o_orderkey")).cast("double").as("mx_o_orderkey"),
+        nn("o_custkey"), nd("o_custkey"),
+        min(col("o_custkey")).cast("double").as("mn_o_custkey"),
+        max(col("o_custkey")).cast("double").as("mx_o_custkey"),
+        nn("o_totalprice"), nd("o_totalprice"),
+        min(col("o_totalprice")).as("mn_o_totalprice"),
+        max(col("o_totalprice")).as("mx_o_totalprice"),
+        nn("o_orderstatus"), nd("o_orderstatus"),
+        nn("o_orderpriority"), nd("o_orderpriority"))
+      wide.selectExpr("n_rows",
+        """stack(5,
+          |'o_custkey', nn_o_custkey, nd_o_custkey, mn_o_custkey, mx_o_custkey,
+          |'o_orderkey', nn_o_orderkey, nd_o_orderkey, mn_o_orderkey, mx_o_orderkey,
+          |'o_orderpriority', nn_o_orderpriority, nd_o_orderpriority, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          |'o_orderstatus', nn_o_orderstatus, nd_o_orderstatus, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          |'o_totalprice', nn_o_totalprice, nd_o_totalprice, mn_o_totalprice, mx_o_totalprice
+          |) AS (column, n_null, n_distinct, min_d, max_d)""".stripMargin)
+        .select(col("column"), col("n_rows"), col("n_null"), col("n_distinct"),
+          col("min_d"), col("max_d"))
+        .orderBy(col("column"))
+    }),
+
     "dq_checks" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val rowChecks = li.agg(
@@ -1448,6 +1488,33 @@ object Relational {
         |SELECT key, bal, src = 1 AS updated, ver AS last_ver
         |FROM r WHERE rn = 1
         |ORDER BY key""".stripMargin,
+    "dq_profile" ->
+      """WITH w AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS nn_orderkey,
+        |    COUNT(DISTINCT o_orderkey) AS nd_orderkey,
+        |    CAST(MIN(o_orderkey) AS DOUBLE) AS mn_orderkey,
+        |    CAST(MAX(o_orderkey) AS DOUBLE) AS mx_orderkey,
+        |    COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS nn_custkey,
+        |    COUNT(DISTINCT o_custkey) AS nd_custkey,
+        |    CAST(MIN(o_custkey) AS DOUBLE) AS mn_custkey,
+        |    CAST(MAX(o_custkey) AS DOUBLE) AS mx_custkey,
+        |    COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS nn_totalprice,
+        |    COUNT(DISTINCT o_totalprice) AS nd_totalprice,
+        |    MIN(o_totalprice) AS mn_totalprice,
+        |    MAX(o_totalprice) AS mx_totalprice,
+        |    COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS nn_orderstatus,
+        |    COUNT(DISTINCT o_orderstatus) AS nd_orderstatus,
+        |    COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS nn_orderpriority,
+        |    COUNT(DISTINCT o_orderpriority) AS nd_orderpriority
+        |  FROM orders)
+        |SELECT 'o_custkey' AS "column", n_rows, nn_custkey AS n_null,
+        |  nd_custkey AS n_distinct, mn_custkey AS min_d, mx_custkey AS max_d FROM w
+        |UNION ALL SELECT 'o_orderkey', n_rows, nn_orderkey, nd_orderkey, mn_orderkey, mx_orderkey FROM w
+        |UNION ALL SELECT 'o_orderpriority', n_rows, nn_orderpriority, nd_orderpriority, NULL, NULL FROM w
+        |UNION ALL SELECT 'o_orderstatus', n_rows, nn_orderstatus, nd_orderstatus, NULL, NULL FROM w
+        |UNION ALL SELECT 'o_totalprice', n_rows, nn_totalprice, nd_totalprice, mn_totalprice, mx_totalprice FROM w
+        |ORDER BY "column"""".stripMargin,
     "dq_checks" ->
       """WITH rowchecks AS (
         |  SELECT COUNT(*) AS n_rows,

@@ -421,6 +421,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(h.filter(col("bucket_min") > col("bucket_max")).count() == 0)
   }
 
+  test("dq_profile: one row per column, counts consistent, keys unique where expected") {
+    val d = "/root/testdata/sf0.001"
+    val p = SparkEntry.queries("dq_profile")(spark, d)
+    val rows = p.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 5)
+    val n = graft.sources.Tables.orders(spark, d).count()
+    assert(rows.values.forall(_.getLong(1) == n))
+    // the primary key profiles as unique and non-null
+    val pk = rows("o_orderkey")
+    assert(pk.getLong(2) == 0 && pk.getLong(3) == n)
+    assert(rows.values.forall(r => r.getLong(3) <= n - r.getLong(2)))
+  }
+
   test("events_paths: transitions conserve (events - users); p(next|from) sums to 1 per from") {
     val d = "/root/testdata/sf0.001"
     val p = SparkEntry.queries("events_paths")(spark, d)
