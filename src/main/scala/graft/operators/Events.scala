@@ -105,6 +105,32 @@ object Events {
         .orderBy(col("cohort"), col("day_offset"))
     }),
 
+    // RFM segmentation — the classic customer-scoring roll-up: per user,
+    // recency (last event), frequency (event count), monetary (exact
+    // decimal value sum), then quintile scores per metric. ONE corpus
+    // aggregation on the high-cardinality user key; the three ntile
+    // windows run over the |users|-sized result (each fully tie-broken
+    // by user_id — ntile over a total order is engine-portable, and the
+    // SQL-standard remainder rule is identical in both engines). At
+    // 100 TB the windows' single-partition ORDER BY is over users, not
+    // events — if even that outgrows a task, bucket the metric first
+    // (the agg_histogram shape) and score from cumulative bucket counts.
+    "events_rfm" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"),
+          count(lit(1)).as("frequency"),
+          Relational.dsum(col("value")).as("monetary"))
+      def score(c: String) = ntile(5).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col(c).desc, col("user_id"))).cast("long")
+      perUser
+        .withColumn("r_score", score("last_ts"))
+        .withColumn("f_score", score("frequency"))
+        .withColumn("m_score", score("monetary"))
+        .orderBy(col("user_id"))
+    }),
+
     // Event-type transition matrix (path analysis) — where the funnel
     // checks ONE fixed path, this counts every observed 2-step transition
     // with its conditional probability p(next | current): the input to
@@ -307,6 +333,18 @@ object Events {
         |FROM c
         |GROUP BY 1, 2
         |ORDER BY cohort, day_offset""".stripMargin,
+    "events_rfm" ->
+      """WITH per_user AS (
+        |  SELECT user_id, MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, last_ts, frequency, monetary,
+        |  CAST(ntile(5) OVER (ORDER BY last_ts DESC, user_id) AS BIGINT) AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_score
+        |FROM per_user
+        |ORDER BY user_id""".stripMargin,
     "events_paths" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -434,6 +434,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.values.forall(r => r.getLong(3) <= n - r.getLong(2)))
   }
 
+  test("events_rfm: one row per user, balanced quintiles, frequency conserves events") {
+    val d = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("events_rfm")(spark, d)
+    val ev = graft.sources.Tables.events(spark, d)
+    assert(r.count() == ev.select(col("user_id")).distinct().count())
+    assert(r.agg(sum(col("frequency"))).head.getLong(0) == ev.count())
+    // SQL-standard ntile: bucket sizes differ by at most one
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      val sizes = r.groupBy(col(c)).count().collect().map(_.getLong(1))
+      assert(sizes.max - sizes.min <= 1, s"$c quintiles unbalanced: ${sizes.toSeq}")
+    }
+  }
+
   test("events_paths: transitions conserve (events - users); p(next|from) sums to 1 per from") {
     val d = "/root/testdata/sf0.001"
     val p = SparkEntry.queries("events_paths")(spark, d)
