@@ -392,6 +392,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n <= 1, s"embed_norm_stats has $n hash exchanges (max 1):\n$p")
   }
 
+  test("late round-5 ops: single-pass profiles and single-exchange roll-ups") {
+    // dq_profile: ONE wide aggregation (the Expand absorbs the five
+    // column-distincts) — a per-column loop of scans would read orders 5×
+    val prof = plan("dq_profile")
+    assert("Scan parquet".r.findAllIn(prof).size == 1,
+      s"dq_profile must profile every column in one pass:\n$prof")
+    assert(!prof.contains("Join"), s"dq_profile grew a join:\n$prof")
+    // events_rfm: one user-keyed exchange; the ntile windows order the
+    // |users|-sized aggregate, never the event stream
+    val rfm = plan("events_rfm")
+    assert("Scan parquet".r.findAllIn(rfm).size == 1, s"events_rfm re-scans:\n$rfm")
+    assert(!rfm.contains("Join"), s"events_rfm grew a join:\n$rfm")
+    // events_paths: lag window + (from,to) agg + from-keyed ratio window,
+    // no join-back for the denominator
+    val paths = plan("events_paths")
+    assert(!paths.contains("Join"),
+      s"events_paths denominator regressed to a join-back:\n$paths")
+  }
+
   test("runtime bloom filter prunes the shuffled fact side of a selective join") {
     // Spark's InjectRuntimeFilter is the 100 TB fact⋈selective-dim story
     // when the dim does NOT broadcast: the dim's join keys compress to a
