@@ -175,6 +175,28 @@ object Sampling {
     // the (shard, pos) pair is the deterministic address a loader seeks
     // to — resharding is a pure function of NumShards, no data movement
     // decision left to the engine.
+    // Multi-epoch training order: a NEW deterministic permutation per
+    // epoch from the same shard layout — the hash is salted with the
+    // epoch, so re-shuffling between epochs is a pure ORDER change (the
+    // loader re-sorts each shard's manifest slice; no rows move between
+    // shards, no corpus re-shuffle). Shard membership stays epoch-
+    // independent on purpose: shard files are written once, epochs only
+    // permute read order within them. Same md5 discipline as
+    // docs_shuffle: retries and engines agree byte-for-byte.
+    "sample_epoch" -> ((s, d) => {
+      val epochs = explode(sequence(lit(0), lit(1))).as("epoch")
+      val h = md5(concat(col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("epoch"), col("shard")).orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), hashBucket(col("doc_id"), NumShards).as("shard"), epochs)
+        .withColumn("h", h)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("epoch"), col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("epoch"), col("shard"), col("pos"))
+    }),
+
     "docs_shuffle" -> ((s, d) => {
       val h = md5(col("doc_id").cast("string"))
       val w = org.apache.spark.sql.expressions.Window
@@ -277,6 +299,20 @@ object Sampling {
          |      % 1000000 < threshold_ppm
          |GROUP BY 1, 2, 3, 4
          |ORDER BY lang""".stripMargin,
+    "sample_epoch" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $NumShards
+         |      AS shard
+         |  FROM documents),
+         |ep AS (
+         |  SELECT doc_id, shard, CAST(e.e AS INTEGER) AS epoch,
+         |    md5(CAST(e.e AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM sh, range(0, 2) e(e))
+         |SELECT epoch, doc_id, shard,
+         |  ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id) AS pos
+         |FROM ep
+         |ORDER BY epoch, shard, pos""".stripMargin,
     "docs_shuffle" ->
       s"""SELECT doc_id,
          |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $NumShards

@@ -421,6 +421,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(h.filter(col("bucket_min") > col("bucket_max")).count() == 0)
   }
 
+  test("sample_epoch: shard membership epoch-invariant, orders permuted between epochs") {
+    val d = "/root/testdata/sf0.001"
+    val e = SparkEntry.queries("sample_epoch")(spark, d)
+    // membership: every doc appears in the SAME shard in both epochs
+    val m = e.groupBy(col("doc_id"))
+      .agg(countDistinct(col("shard")).as("ns"), count(lit(1)).as("ne"))
+    assert(m.filter(col("ns") =!= 1 || col("ne") =!= 2).count() == 0)
+    // permutation: the two epochs order at least one shard differently
+    val e0 = e.filter(col("epoch") === 0).select(col("shard"), col("pos"), col("doc_id"))
+    val e1 = e.filter(col("epoch") === 1)
+      .select(col("shard"), col("pos"), col("doc_id").as("doc1"))
+    val moved = e0.join(e1, Seq("shard", "pos"))
+      .filter(col("doc_id") =!= col("doc1")).count()
+    assert(moved > 0, "epoch salt produced identical orders")
+  }
+
   test("dq_profile: one row per column, counts consistent, keys unique where expected") {
     val d = "/root/testdata/sf0.001"
     val p = SparkEntry.queries("dq_profile")(spark, d)
