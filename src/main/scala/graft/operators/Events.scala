@@ -259,7 +259,94 @@ object Events {
         .groupBy(col("event_type"))
         .agg(sum(col("k").cast("long")).as("sum_k"),
           count(col("k")).as("n_with_k"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // ---- customer-lifecycle trio: streaks, attribution, decayed value ----
+
+    // Longest consecutive-day activity streak per user — the canonical
+    // gaps-and-islands query (epoch_day − row_number is constant inside a
+    // run of consecutive days, so it names the island). Plan discipline:
+    // ONE user_id exchange serves everything after the (user, day)
+    // distinct — the rn window, the (user, anchor) aggregation
+    // (HashPartitioning(user) satisfies ClusteredDistribution(user,
+    // anchor)), and the best-streak rank window all reuse it. Ties on
+    // length break to the EARLIEST streak, so the answer is total.
+    "events_streaks" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val best = Window.partitionBy(col("user_id"))
+        .orderBy(col("streak_len").desc, col("streak_start"))
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .withColumn("rn", row_number().over(byUser))
+        .withColumn("anchor",
+          datediff(col("day"), lit("1970-01-01")).cast("long") - col("rn"))
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(count(lit(1)).as("streak_len"),
+          min(col("day")).as("streak_start"),
+          max(col("day")).as("streak_end"))
+        .withColumn("rk", row_number().over(best))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("streak_len"),
+          col("streak_start"), col("streak_end"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Last-touch attribution: each purchase is credited to the most
+    // recent PRIOR non-purchase event of the same user (the marketing
+    // question "what drove this purchase"). One user_id exchange: the
+    // carrying window is last(..., ignoreNulls) over an unbounded-
+    // preceding-to-1-preceding frame — no self-join, no per-user loop.
+    // Purchases with no prior touch land in the '(none)' channel so the
+    // credit total always equals the purchase count.
+    "events_attribution" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .withColumn("touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(byUser))
+        .filter(col("event_type") === "purchase")
+        .withColumn("touch_type", coalesce(col("touch"), lit("(none)")))
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          Relational.dsum(col("value")).as("sum_value"))
+        .orderBy(col("touch_type"))
+    }),
+
+    // Time-decayed customer value — the feature-store recency weighting,
+    // computed EXACTLY: spend is quantized to integer cents (the same
+    // DECIMAL(12,2) cast dsum uses), scaled to micro-units, and decayed
+    // by halving per whole week of age via an integer right-shift. No
+    // IEEE pow/exp anywhere, so both engines agree bit-for-bit at any
+    // partitioning. Age is measured against the user's own last active
+    // day (self-anchored — no global scalar to broadcast); the shift is
+    // capped at 40 (2^-40 of a micro-cent is 0 for any DECIMAL(12,2)
+    // spend, and uncapped shifts would hit Java's mod-64 semantics).
+    // One user_id exchange: the anchor window and the final aggregation
+    // share it. Sums stay in BIGINT: micro-cents bound each user's total
+    // by ~9.2e18/1e8 dollars — document the DECIMAL(38,0) escalation in
+    // DEPLOYMENT.md if a single user can exceed that.
+    "events_decay" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .filter(col("value") > 0.0)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+        .withColumn("last_day", max(col("day")).over(byUser))
+        .withColumn("wk",
+          least(expr("CAST(datediff(last_day, day) AS BIGINT) div 7"), lit(40L)))
+        .withColumn("decayed_micro",
+          expr("shiftright(cents * 1000000, CAST(wk AS INT))"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("cents_total"),
+          sum(col("decayed_micro")).as("decayed_micro"))
+        .orderBy(col("user_id"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -421,6 +508,57 @@ object Events {
         |  COUNT(json_extract_string(props, '$.k')) AS n_with_k
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+    "events_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |    CAST(day - DATE '1970-01-01' AS BIGINT)
+        |      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS anchor
+        |  FROM d),
+        |i AS (
+        |  SELECT user_id, anchor, COUNT(*) AS streak_len,
+        |    MIN(day) AS streak_start, MAX(day) AS streak_end
+        |  FROM r GROUP BY 1, 2),
+        |b AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY streak_len DESC, streak_start) AS rk
+        |  FROM i)
+        |SELECT user_id, streak_len, streak_start, streak_end
+        |FROM b WHERE rk = 1
+        |ORDER BY user_id""".stripMargin,
+    "events_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM events),
+        |t AS (
+        |  SELECT *,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM e)
+        |SELECT COALESCE(touch, '(none)') AS touch_type,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1
+        |ORDER BY touch_type""".stripMargin,
+    "events_decay" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value > 0),
+        |w AS (
+        |  SELECT user_id, cents,
+        |    LEAST(CAST(MAX(day) OVER (PARTITION BY user_id) - day AS BIGINT) // 7,
+        |      40) AS wk
+        |  FROM e)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_total,
+        |  CAST(SUM((cents * 1000000) >> CAST(wk AS INTEGER)) AS BIGINT) AS decayed_micro
+        |FROM w GROUP BY 1
+        |ORDER BY user_id""".stripMargin
   )
 }

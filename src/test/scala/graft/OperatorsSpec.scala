@@ -463,6 +463,50 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_streaks: one row per active user, streak span matches its length") {
+    val d = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("events_streaks")(spark, d)
+    val ev = graft.sources.Tables.events(spark, d)
+    assert(r.count() == ev.select(col("user_id")).distinct().count())
+    // a streak of n consecutive days spans exactly n-1 days start→end
+    assert(r.filter(
+      datediff(col("streak_end"), col("streak_start")) =!= col("streak_len") - 1
+    ).count() == 0)
+    // the streak is real: every day inside [start, end] was active
+    val days = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val covered = r.join(days, Seq("user_id"))
+      .filter(col("day").between(col("streak_start"), col("streak_end")))
+      .groupBy(col("user_id"), col("streak_len")).count()
+    assert(covered.filter(col("count") =!= col("streak_len")).count() == 0)
+  }
+
+  test("events_attribution: credit conserves the purchase count and spend") {
+    val d = "/root/testdata/sf0.001"
+    val a = SparkEntry.queries("events_attribution")(spark, d)
+    val ev = graft.sources.Tables.events(spark, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    assert(a.agg(sum(col("n_purchases"))).head.getLong(0) == purchases.count())
+    // purchases never credit themselves
+    assert(a.filter(col("touch_type") === "purchase").count() == 0)
+  }
+
+  test("events_decay: decayed value bounded by raw value, equal when all same-week") {
+    val d = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("events_decay")(spark, d)
+    // decay only shrinks: decayed_micro <= cents_total * 1e6
+    assert(r.filter(col("decayed_micro") > col("cents_total") * 1000000L).count() == 0)
+    assert(r.filter(col("decayed_micro") < 0).count() == 0)
+    // events in the anchor week carry full weight, so any user whose
+    // whole history fits in <7 days decays nothing
+    val ev = graft.sources.Tables.events(spark, d).filter(col("value") > 0.0)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val span = ev.groupBy(col("user_id"))
+      .agg(datediff(max(col("day")), min(col("day"))).as("span"))
+    val tight = r.join(span.filter(col("span") < 7), Seq("user_id"))
+    assert(tight.filter(col("decayed_micro") =!= col("cents_total") * 1000000L)
+      .count() == 0)
+  }
+
   test("events_paths: transitions conserve (events - users); p(next|from) sums to 1 per from") {
     val d = "/root/testdata/sf0.001"
     val p = SparkEntry.queries("events_paths")(spark, d)
