@@ -28,6 +28,11 @@ object Corpus {
     * of single-task memory. Scale with the corpus (DEPLOYMENT.md). */
   val PackShards = 4
 
+  /** RAG chunking: window size and stride in characters (overlap =
+    * ChunkSize − ChunkStride). */
+  val ChunkSize = 256
+  val ChunkStride = 192
+
   /** Word n-gram occurrence rows (doc_id, shingle) via the codegen
     * posexplode + window-leads path (see [[Dedup.shingleOccurrences]];
     * this is its n-ary generalization). */
@@ -266,6 +271,66 @@ object Corpus {
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("shingle")).as("n_bloom"))
         .orderBy(col("doc_id"))
+    }),
+
+    // RAG/context chunking: fixed-size overlapping character windows
+    // (size ChunkSize, stride ChunkStride — adjacent chunks share
+    // ChunkSize−ChunkStride chars so no retrieval boundary splits a
+    // passage without a copy that contains it whole). Pure per-row
+    // explode: the array of starts is arithmetic on length(text), the
+    // chunk is one substring — shuffle-free, fuses into the scan, and
+    // parallelism is inherited from input splits exactly like a loader's
+    // chunker. Chunks are emitted as (start, len, md5) — the hash is the
+    // retrieval-index key and keeps this result corpus-metadata-sized;
+    // the chunk text itself is recomputable from (doc_id, start).
+    "docs_chunk" -> ((s, d) => {
+      val chunk = col("text").substr(col("start"), lit(ChunkSize))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .filter(col("len") > 0)
+        .withColumn("start", explode(sequence(lit(1), col("len"), lit(ChunkStride))))
+        .select(col("doc_id"),
+          ((col("start") - 1) / ChunkStride).cast("long").as("chunk_id"),
+          col("start").cast("long").as("chunk_start"),
+          length(chunk).cast("long").as("chunk_len"),
+          md5(chunk).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Language-balanced training interleave — the ORDER half of data
+    // mixing (sample_mixture/sample_temperature decide HOW MUCH of each
+    // language; this decides WHEN): round-robin across languages, one
+    // document per language per round, in deterministic md5 order within
+    // each language. global_step = (rn−1)·n_langs + lang_rank−1 is pure
+    // arithmetic — rank within language × a broadcast 5-row language
+    // index — so there is NO global window: uniqueness is algebraic
+    // (distinct (rn, lang) ⇒ distinct step), and when a small language
+    // exhausts, its later slots are gaps the loader closes by sorting.
+    // One lang-partitioned window is the only corpus-sized sort, the
+    // same cost class as docs_shuffle's shard windows.
+    "docs_interleave" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // the language index is ONE extra corpus pass: distinct langs fold
+      // to a single sorted array, rank + n_langs are array algebra on
+      // that one row, posexplode restores the 5-row dimension. (A
+      // lang×lang rank self-join would re-scan the corpus per reference;
+      // a rank window over the distinct would be a partitionless
+      // WindowExec. This shape is both single-scan and warning-free.)
+      val idx = docs.select(col("lang")).distinct()
+        .agg(sort_array(collect_list(col("lang"))).as("ls"))
+        .select(size(col("ls")).cast("long").as("n_langs"),
+          posexplode(col("ls")).as(Seq("i", "lang")))
+        .select(col("lang"), (col("i") + 1).cast("long").as("lang_rank"),
+          col("n_langs"))
+      val byLang = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      docs.select(col("doc_id"), col("lang"))
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("rn", row_number().over(byLang).cast("long"))
+        .join(broadcast(idx), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("rn"),
+          ((col("rn") - 1) * col("n_langs") + col("lang_rank") - 1)
+            .cast("long").as("global_step"))
+        .orderBy(col("global_step"), col("doc_id"))
     })
   )
 
@@ -391,6 +456,37 @@ object Corpus {
          |FROM hits WHERE all_hit
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+    "docs_chunk" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, LENGTH(text) AS len
+         |  FROM documents WHERE LENGTH(text) > 0),
+         |s AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(1, len, $ChunkStride)) AS start
+         |  FROM d)
+         |SELECT doc_id,
+         |  CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,
+         |  CAST(start AS BIGINT) AS chunk_start,
+         |  CAST(LENGTH(SUBSTR(text, CAST(start AS INTEGER), $ChunkSize)) AS BIGINT)
+         |    AS chunk_len,
+         |  md5(SUBSTR(text, CAST(start AS INTEGER), $ChunkSize)) AS chunk_hash
+         |FROM s
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "docs_interleave" ->
+      """WITH dl AS (SELECT DISTINCT lang FROM documents),
+        |idx AS (
+        |  SELECT a.lang, COUNT(*) AS lang_rank
+        |  FROM dl a JOIN dl b ON b.lang <= a.lang GROUP BY a.lang),
+        |n AS (SELECT MAX(lang_rank) AS n_langs FROM idx),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, CAST(r.rn AS BIGINT) AS rn,
+        |  CAST((r.rn - 1) * n.n_langs + idx.lang_rank - 1 AS BIGINT) AS global_step
+        |FROM r JOIN idx ON idx.lang = r.lang CROSS JOIN n
+        |ORDER BY global_step, doc_id""".stripMargin
   )
 }

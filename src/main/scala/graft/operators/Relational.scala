@@ -969,6 +969,48 @@ object Relational {
       rowChecks.crossJoin(broadcast(dupKeys)).crossJoin(broadcast(orphans))
     }),
 
+    // Distribution drift between the two time-halves of the corpus — the
+    // monitoring check that catches a composition shift (a source dying,
+    // a bot flood) before it poisons training: split at the midpoint of
+    // the observed time range, compare each event type's share across
+    // halves in exact ppm. All integer arithmetic (counts, ppm = n·10⁶
+    // div total, |Δppm|) so both engines agree exactly — no IEEE ratio,
+    // no KL/PSI logs (whose IEEE evaluation order differs by engine; the
+    // |Δshare| statistic is the same monotone signal for a per-type
+    // threshold). Plan: two scalar aggs broadcast onto one corpus scan +
+    // one tiny per-type agg — nothing corpus-sized ever shuffles wide.
+    "dq_drift" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val m = e.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      val counts = e.crossJoin(broadcast(m))
+        .withColumn("half",
+          when(col("us") <= expr("(mn + mx) div 2"), lit("a")).otherwise(lit("b")))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("half") === "b", 1L).otherwise(0L)).as("n_b"))
+      // totals via pack-to-one-row + array fold, NOT a second reference to
+      // `counts` — a second reference would re-run its whole subtree
+      // (including the corpus scan); here the corpus is read exactly twice
+      // (min/max pass + counting pass), which is the floor for a
+      // data-dependent split point.
+      counts
+        .agg(collect_list(struct(col("event_type"), col("n_a"), col("n_b"))).as("cs"))
+        .withColumn("tot_a", expr("aggregate(cs, 0L, (acc, x) -> acc + x.n_a)"))
+        .withColumn("tot_b", expr("aggregate(cs, 0L, (acc, x) -> acc + x.n_b)"))
+        .select(col("tot_a"), col("tot_b"), explode(col("cs")).as("c"))
+        .select(col("c.event_type").as("event_type"),
+          col("c.n_a").as("n_a"), col("c.n_b").as("n_b"),
+          col("tot_a"), col("tot_b"))
+        .withColumn("ppm_a", expr("n_a * 1000000 div tot_a"))
+        .withColumn("ppm_b", expr("n_b * 1000000 div tot_b"))
+        .withColumn("drift_ppm", abs(col("ppm_a") - col("ppm_b")))
+        .withColumn("flagged", col("drift_ppm") > 10000)
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          col("ppm_a"), col("ppm_b"), col("drift_ppm"), col("flagged"))
+        .orderBy(col("event_type"))
+    }),
+
     // grouped stats incl. exact distinct count (partial agg + distinct expand).
     "agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1530,6 +1572,24 @@ object Relational {
         |  SELECT COUNT(*) AS orphan_lines FROM lineitem
         |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
         |SELECT * FROM rowchecks, dups, orph""".stripMargin,
+    "dq_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |m AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),
+        |c AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN us <= (mn + mx) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN us >  (mn + mx) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM e CROSS JOIN m GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+        |             CAST(SUM(n_b) AS BIGINT) AS tot_b FROM c)
+        |SELECT event_type, n_a, n_b,
+        |  CAST(n_a * 1000000 // tot_a AS BIGINT) AS ppm_a,
+        |  CAST(n_b * 1000000 // tot_b AS BIGINT) AS ppm_b,
+        |  CAST(abs(n_a * 1000000 // tot_a - n_b * 1000000 // tot_b) AS BIGINT) AS drift_ppm,
+        |  abs(n_a * 1000000 // tot_a - n_b * 1000000 // tot_b) > 10000 AS flagged
+        |FROM c CROSS JOIN t
+        |ORDER BY event_type""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,

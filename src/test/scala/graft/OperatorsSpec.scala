@@ -437,6 +437,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(moved > 0, "epoch salt produced identical orders")
   }
 
+  test("docs_chunk: chunk count/starts/lengths are exact arithmetic on doc length") {
+    val d = "/root/testdata/sf0.001"
+    val c = SparkEntry.queries("docs_chunk")(spark, d)
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), length(col("text")).as("len")).filter(col("len") > 0)
+    val j = c.join(docs, Seq("doc_id"))
+    // start follows the stride grid; length is min(ChunkSize, len - start + 1)
+    assert(j.filter(col("chunk_start") =!=
+      col("chunk_id") * operators.Corpus.ChunkStride + 1).count() == 0)
+    assert(j.filter(col("chunk_len") =!=
+      least(lit(operators.Corpus.ChunkSize), col("len") - col("chunk_start") + 1)
+    ).count() == 0)
+    // per-doc chunk count = 1 + (len-1) div stride
+    val n = c.groupBy(col("doc_id")).count().join(docs, Seq("doc_id"))
+    assert(n.filter(col("count") =!=
+      (col("len") - 1).divide(operators.Corpus.ChunkStride).cast("long") + 1
+    ).count() == 0)
+  }
+
+  test("docs_interleave: steps unique, per-lang arithmetic progression, round-robin head") {
+    val d = "/root/testdata/sf0.001"
+    val i = SparkEntry.queries("docs_interleave")(spark, d)
+    assert(i.select(col("global_step")).distinct().count() == i.count())
+    val nLangs = i.select(col("lang")).distinct().count()
+    // within a language, consecutive rn are exactly n_langs steps apart
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("rn"))
+    val gaps = i.withColumn("prev", lag(col("global_step"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .filter(col("global_step") - col("prev") =!= nLangs)
+    assert(gaps.count() == 0)
+    // the first round (steps 0..n_langs-1) holds one doc of each language
+    assert(i.filter(col("global_step") < nLangs)
+      .select(col("lang")).distinct().count() == nLangs)
+  }
+
+  test("dq_drift: halves conserve the corpus, ppm shares and drift agree") {
+    val d = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("dq_drift")(spark, d)
+    val total = graft.sources.Tables.events(spark, d).count()
+    val sums = r.agg(sum(col("n_a")).as("a"), sum(col("n_b")).as("b")).head
+    assert(sums.getLong(0) + sums.getLong(1) == total)
+    assert(sums.getLong(0) > 0 && sums.getLong(1) > 0)
+    // floor-ppm shares sum to within n_types of exactly 1e6
+    val nTypes = r.count()
+    val ppm = r.agg(sum(col("ppm_a")).as("pa"), sum(col("ppm_b")).as("pb")).head
+    for (p <- Seq(ppm.getLong(0), ppm.getLong(1)))
+      assert(p > 1000000L - nTypes && p <= 1000000L)
+    assert(r.filter(col("drift_ppm") =!= abs(col("ppm_a") - col("ppm_b"))).count() == 0)
+  }
+
   test("dq_profile: one row per column, counts consistent, keys unique where expected") {
     val d = "/root/testdata/sf0.001"
     val p = SparkEntry.queries("dq_profile")(spark, d)
