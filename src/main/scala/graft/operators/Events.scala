@@ -317,6 +317,35 @@ object Events {
         .orderBy(col("touch_type"))
     }),
 
+    // Per-type linear trend over daily volume — ordinary least squares
+    // with every moment an exact BIGINT (x = epoch day, y = daily count:
+    // n, Σx, Σy, Σxy, Σx² are integer sums, order-free). Only the final
+    // slope/intercept touch IEEE arithmetic, in one fixed expression
+    // (slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), intercept = (Σy−slope·Σx)/n) of
+    // correctly-rounded ops on exactly-representable integers — so both
+    // engines agree bit-for-bit. Two cheap aggs: corpus → (type, day),
+    // then (type, day) → per-type moments; the regression never leaves
+    // the executors.
+    "events_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("x"))
+        .agg(count(lit(1)).as("y"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope",
+          (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("intercept",
+          (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+            col("n_days").cast("double"))
+        .select(col("event_type"), col("n_days"), col("slope"), col("intercept"))
+        .orderBy(col("event_type"))
+    }),
+
     // Time-decayed customer value — the feature-store recency weighting,
     // computed EXACTLY: spend is quantized to integer cents (the same
     // DECIMAL(12,2) cast dsum uses), scaled to micro-units, and decayed
@@ -545,6 +574,26 @@ object Events {
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY 1
         |ORDER BY touch_type""".stripMargin,
+    "events_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1),
+        |s AS (
+        |  SELECT *, CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope
+        |  FROM m)
+        |SELECT event_type, n_days, slope,
+        |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n_days AS DOUBLE)
+        |    AS intercept
+        |FROM s
+        |ORDER BY event_type""".stripMargin,
     "events_decay" ->
       """WITH e AS (
         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -145,6 +145,57 @@ object Similarity {
     // partials absorb the 64× dimension fan-out before the shuffle, then
     // an exact integer-sum → IEEE division. The output is (labels × dims)
     // rows — tiny at any corpus size.
+    // One Lloyd refinement round of k-means (seed → assign → update →
+    // re-assign) — the index-training step IVF presupposes (`MaxCentroids`
+    // documents "train k-means offline"; this IS that trainer, expressed
+    // Spark-first). Every stage is the established bit-stable machinery:
+    // assignment is the exact-L2 argmin of the IVF path; the centroid
+    // update quantizes components to floor(x·10⁴) BEFORE summing (integer
+    // sums — order-free at any partitioning), and the mean sxq/(n·10⁴) is
+    // one correctly-rounded double division, so updated centroids are
+    // bit-identical in both engines. The K-row centroid table is
+    // localCheckpoint'ed (it feeds both the re-assignment broadcast and
+    // the fingerprint join — without the cut its corpus-wide subtree
+    // would run twice) — in production each iteration persists its
+    // centroids exactly like this. Per-iteration cost: 2 narrow corpus
+    // passes (assign, update partials) + a K×dim shuffle of partials;
+    // more rounds = the same query iterated, K scales like MaxCentroids.
+    "embed_kmeans" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+      def nearest(cents: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("dist"), col("sid"))
+        e.crossJoin(broadcast(cents))
+          .withColumn("dist",
+            col("nsq") - lit(2.0) * dot(col("embedding"), col("se")) + col("snsq"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("sid").as("cell"))
+      }
+      val seeds0 = e.filter(isSeed(KmeansK))
+        .select(col("vec_id").as("sid"), col("embedding").as("se"),
+          col("nsq").as("snsq"))
+      val upd = nearest(seeds0).join(e, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("xq", floor(col("x").cast("double") * 10000).cast("long"))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("xq")).as("sxq"), count(lit(1)).as("n"))
+        .withColumn("c", col("sxq").cast("double") / (col("n") * lit(10000.0)))
+      val cents1 = upd.groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("ds"),
+          sum(floor(col("c") * 1000000).cast("long")).as("centroid_fp"))
+        .select(col("cell").as("sid"),
+          transform(col("ds"), x => x("c")).as("se"), col("centroid_fp"))
+        .withColumn("snsq", normSq(col("se")))
+        .localCheckpoint()
+      nearest(cents1.select(col("sid"), col("se"), col("snsq")))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+        .join(broadcast(cents1.select(col("sid").as("cell"), col("centroid_fp"))),
+          Seq("cell"))
+        .orderBy(col("cell"))
+    }),
+
     "embed_label_centroids" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -385,6 +436,10 @@ object Similarity {
     * to correctness. */
   val MaxCentroids = 4096
 
+  /** k for the `embed_kmeans` Lloyd trainer — small here so the oracle's
+    * K×corpus distance CTE stays cheap; scales like [[MaxCentroids]]. */
+  val KmeansK = 16
+
   /** PQ geometry: [[PqM]] subspaces × [[PqSub]] dims (= the 64-dim
     * embedding), codebook of ≤ [[PqK]] centroids per subspace taken from
     * the deterministic seed vectors. K scales with corpus size like
@@ -572,6 +627,52 @@ object Similarity {
        |  GROUP BY c.qid, c.vec_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "embed_kmeans" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $nsqSql AS nsq
+         |  FROM embeddings),
+         |seeds AS (
+         |  SELECT vec_id AS sid, embedding, nsq AS snsq FROM e
+         |  WHERE vec_id % 64 = 0 AND vec_id < ${KmeansK * 64}),
+         |d1 AS (
+         |  SELECT v.vec_id, s.sid,
+         |    v.nsq - CAST(2.0 AS DOUBLE) * ${dotSql("v", "s")} + s.snsq AS dist
+         |  FROM e v CROSS JOIN seeds s),
+         |a1 AS (
+         |  SELECT vec_id, sid AS cell FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+         |    FROM d1) WHERE rn = 1),
+         |ex AS (
+         |  SELECT a1.cell,
+         |    CAST(generate_subscripts(e.embedding, 1) - 1 AS INTEGER) AS dim,
+         |    CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 10000) AS BIGINT) AS xq
+         |  FROM a1 JOIN e USING (vec_id)),
+         |upd AS (
+         |  SELECT cell, dim, CAST(SUM(xq) AS DOUBLE) / (COUNT(*) * 10000.0) AS c
+         |  FROM ex GROUP BY 1, 2),
+         |cn AS (
+         |  SELECT cell AS sid, list(c ORDER BY dim) AS ce,
+         |    CAST(SUM(CAST(floor(c * 1000000) AS BIGINT)) AS BIGINT) AS centroid_fp
+         |  FROM upd GROUP BY cell),
+         |cnn AS (
+         |  SELECT sid, ce, centroid_fp,
+         |    list_sum([ce[i] * ce[i] for i in range(1, len(ce)+1)]) AS snsq
+         |  FROM cn),
+         |d2 AS (
+         |  SELECT v.vec_id, c.sid,
+         |    v.nsq - CAST(2.0 AS DOUBLE) *
+         |      list_sum([CAST(v.embedding[i] AS DOUBLE) * c.ce[i]
+         |        for i in range(1, len(v.embedding)+1)]) + c.snsq AS dist
+         |  FROM e v CROSS JOIN cnn c),
+         |a2 AS (
+         |  SELECT vec_id, sid AS cell FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+         |    FROM d2) WHERE rn = 1)
+         |SELECT a2.cell, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id,
+         |  cnn.centroid_fp
+         |FROM a2 JOIN cnn ON cnn.sid = a2.cell
+         |GROUP BY a2.cell, cnn.centroid_fp
+         |ORDER BY cell""".stripMargin,
     "embed_label_centroids" ->
       """WITH ex AS (
         |  SELECT label,

@@ -558,6 +558,38 @@ class OperatorsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("events_trend: OLS line passes through the mean point; n_days consistent") {
+    val d = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("events_trend")(spark, d)
+    val ev = graft.sources.Tables.events(spark, d)
+    val nd = ev.groupBy(col("event_type"))
+      .agg(countDistinct(to_date(col("ts"))).as("nd"))
+    assert(r.join(nd, Seq("event_type"))
+      .filter(col("n_days") =!= col("nd")).count() == 0)
+    // OLS invariant: ŷ(x̄) = ȳ — check via recomputed exact moments
+    val daily = ev.groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("x"))
+      .agg(count(lit(1)).as("y"))
+    val m = daily.groupBy(col("event_type"))
+      .agg(avg(col("x")).as("mx"), avg(col("y")).as("my"))
+    val chk = r.join(m, Seq("event_type"))
+      .withColumn("pred", col("intercept") + col("slope") * col("mx"))
+      .filter(abs(col("pred") - col("my")) > abs(col("my")) * 1e-9)
+    assert(chk.count() == 0)
+  }
+
+  test("embed_kmeans: cells partition the corpus, fingerprints real, cells ⊆ seeds") {
+    val d = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("embed_kmeans")(spark, d)
+    val n = graft.sources.Tables.embeddings(spark, d).count()
+    assert(r.agg(sum(col("n_vectors"))).head.getLong(0) == n)
+    assert(r.filter(col("n_vectors") <= 0).count() == 0)
+    // every surviving cell is one of the deterministic seed ids
+    assert(r.filter(col("cell") % 64 =!= 0 ||
+      col("cell") >= operators.Similarity.KmeansK * 64).count() == 0)
+    assert(r.filter(col("centroid_fp").isNull).count() == 0)
+  }
+
   test("events_paths: transitions conserve (events - users); p(next|from) sums to 1 per from") {
     val d = "/root/testdata/sf0.001"
     val p = SparkEntry.queries("events_paths")(spark, d)
