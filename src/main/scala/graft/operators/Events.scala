@@ -317,6 +317,49 @@ object Events {
         .orderBy(col("touch_type"))
     }),
 
+    // A/B experiment readout — the two-proportion z-test a growth team
+    // runs daily: users hash deterministically into arms (the md5-bucket
+    // convention every sampler here uses — assignment is reproducible and
+    // needs no stored mapping), conversion = did the user ever purchase.
+    // Counts are exact BIGINTs from ONE user-keyed agg + one tiny fold;
+    // rates, pooled p and the z statistic are a fixed chain of correctly-
+    // rounded IEEE ops on exactly-representable integers — bit-identical
+    // in both engines, like events_trend's slope.
+    "events_ab_test" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("converted"))
+        .withColumn("arm",
+          when(Sampling.hashBucket(col("user_id"), 2) === 0, "a").otherwise("b"))
+      perUser.agg(
+          sum(when(col("arm") === "a", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === "a", col("converted").cast("long"))
+            .otherwise(0L)).as("conv_a"),
+          sum(when(col("arm") === "b", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === "b", col("converted").cast("long"))
+            .otherwise(0L)).as("conv_b"))
+        .withColumn("rate_a",
+          when(col("n_a") > 0, col("conv_a").cast("double") / col("n_a").cast("double")))
+        .withColumn("rate_b",
+          when(col("n_b") > 0, col("conv_b").cast("double") / col("n_b").cast("double")))
+        .withColumn("p_pool",
+          (col("conv_a") + col("conv_b")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double"))
+        // degenerate readouts (an empty arm, or 0%/100% pooled conversion,
+        // where the variance term is 0) report a NULL z, not a crash — both
+        // engines use the identical guard
+        .withColumn("z_den",
+          when(col("n_a") > 0 && col("n_b") > 0,
+            sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+              (lit(1.0) / col("n_a").cast("double") +
+                lit(1.0) / col("n_b").cast("double")))))
+        .withColumn("z_score",
+          when(col("z_den") > 0.0, (col("rate_a") - col("rate_b")) / col("z_den")))
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          col("rate_a"), col("rate_b"), col("z_score"))
+    }),
+
     // Per-type linear trend over daily volume — ordinary least squares
     // with every moment an exact BIGINT (x = epoch day, y = daily count:
     // n, Σx, Σy, Σxy, Σx² are integer sums, order-free). Only the final
@@ -574,6 +617,34 @@ object Events {
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY 1
         |ORDER BY touch_type""".stripMargin,
+    "events_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+        |      THEN 'a' ELSE 'b' END AS arm
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 'a' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN arm = 'b' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM pu),
+        |r AS (
+        |  SELECT *,
+        |    CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS rate_a,
+        |    CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS rate_b,
+        |    CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p_pool
+        |  FROM c),
+        |z AS (
+        |  SELECT *,
+        |    CASE WHEN n_a > 0 AND n_b > 0 THEN sqrt(p_pool * (1.0 - p_pool)
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) END AS z_den
+        |  FROM r)
+        |SELECT n_a, conv_a, n_b, conv_b, rate_a, rate_b,
+        |  CASE WHEN z_den > 0.0 THEN (rate_a - rate_b) / z_den END AS z_score
+        |FROM z""".stripMargin,
     "events_trend" ->
       """WITH daily AS (
         |  SELECT event_type,

@@ -1011,6 +1011,29 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // Market-basket co-occurrence: for every part pair, how many orders
+    // contain both — the frequently-bought-together miner. NOT a self-join
+    // (which would scan the fact table twice and shuffle it twice): one
+    // orderkey aggregation folds each basket to its sorted distinct part
+    // list, pairs explode from pure array algebra (i<j upper triangle),
+    // and the pair count is a second agg. Fan-out is bounded by
+    // basket-size² — baskets are small by nature (TPC-H ≤7 lines); a
+    // pathological giant basket is capped upstream the same way
+    // MaxShingleDf caps hot shingles. Support threshold ≥2 keeps the
+    // result the interesting-pair set, not the pair universe.
+    "basket_pairs" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"
+        )).as("p"))
+        .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .orderBy(col("part_a"), col("part_b"))),
+
     // grouped stats incl. exact distinct count (partial agg + distinct expand).
     "agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1590,6 +1613,14 @@ object Relational {
         |  abs(n_a * 1000000 // tot_a - n_b * 1000000 // tot_b) > 10000 AS flagged
         |FROM c CROSS JOIN t
         |ORDER BY event_type""".stripMargin,
+    "basket_pairs" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  COUNT(*) AS n_orders
+        |FROM lp a JOIN lp b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY part_a, part_b""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,

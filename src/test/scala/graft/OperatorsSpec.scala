@@ -558,6 +558,34 @@ class OperatorsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("basket_pairs: ordered pairs, support threshold, spot-checked count") {
+    val d = "/root/testdata/sf0.001"
+    val b = SparkEntry.queries("basket_pairs")(spark, d)
+    assert(b.filter(col("part_a") >= col("part_b")).count() == 0)
+    assert(b.filter(col("n_orders") < 2).count() == 0)
+    // spot-check the top pair against a direct distinct-order intersection
+    val top = b.orderBy(col("n_orders").desc, col("part_a"), col("part_b")).head
+    val li = graft.sources.Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val direct = li.filter(col("l_partkey") === top.get(0)).select(col("l_orderkey"))
+      .intersect(li.filter(col("l_partkey") === top.get(1)).select(col("l_orderkey")))
+      .count()
+    assert(direct == top.getLong(2), s"pair $top vs direct $direct")
+  }
+
+  test("events_ab_test: arms partition users, z sign tracks the rate difference") {
+    val d = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("events_ab_test")(spark, d).head
+    val users = graft.sources.Tables.events(spark, d)
+      .select(col("user_id")).distinct().count()
+    assert(r.getLong(0) + r.getLong(2) == users)
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(3) <= r.getLong(2))
+    if (!r.isNullAt(6)) {
+      val diff = r.getDouble(4) - r.getDouble(5)
+      assert(math.signum(r.getDouble(6)) == math.signum(diff))
+    }
+  }
+
   test("events_trend: OLS line passes through the mean point; n_days consistent") {
     val d = "/root/testdata/sf0.001"
     val r = SparkEntry.queries("events_trend")(spark, d)
