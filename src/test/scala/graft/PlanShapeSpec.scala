@@ -411,6 +411,60 @@ class PlanShapeSpec extends AnyFunSuite {
       s"events_paths denominator regressed to a join-back:\n$paths")
   }
 
+  test("lifecycle trio: one user-keyed exchange serves the whole chain, no joins") {
+    // events_streaks: distinct + rn window + island agg + best-rank window
+    // all cluster on user_id — two hash exchanges max ((user,day) distinct
+    // + user), and never a join
+    val st = plan("events_streaks")
+    assert(!st.contains("Join"), s"events_streaks grew a join:\n$st")
+    assert("Exchange hashpartitioning".r.findAllIn(st).size <= 2,
+      s"events_streaks lost the shared user partitioning:\n$st")
+    // events_attribution: the carrying window IS the attribution — no
+    // purchase×touch self-join
+    val at = plan("events_attribution")
+    assert(!at.contains("Join"), s"events_attribution regressed to a self-join:\n$at")
+    assert("Scan parquet".r.findAllIn(at).size == 1, s"events_attribution re-scans:\n$at")
+    // events_decay: anchor window + final agg share the user exchange
+    val de = plan("events_decay")
+    assert(!de.contains("Join"), s"events_decay grew a join:\n$de")
+    assert("Exchange hashpartitioning".r.findAllIn(de).size <= 1,
+      s"events_decay lost the shared user partitioning:\n$de")
+  }
+
+  test("basket_pairs: array-algebra pair explode, never a fact self-join") {
+    val p = plan("basket_pairs")
+    assert(!p.contains("Join"), s"basket_pairs regressed to a self-join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"basket_pairs scans the fact table more than once:\n$p")
+  }
+
+  test("docs_interleave / dq_drift: small sides broadcast, bounded corpus scans") {
+    // interleave: the lang index is a broadcast; corpus-sized work is one
+    // lang window — and the corpus is read at most twice (docs + lang pass)
+    val il = plan("docs_interleave")
+    assert(il.contains("BroadcastExchange"), s"lang index not broadcast:\n$il")
+    assert("Scan parquet".r.findAllIn(il).size <= 2,
+      s"docs_interleave re-scans the corpus:\n$il")
+    assert(!il.contains("CartesianProduct"))
+    // drift: two corpus passes (min/max + counts) are the floor; the totals
+    // fold must NOT re-run the counting subtree
+    val dr = plan("dq_drift")
+    assert("Scan parquet".r.findAllIn(dr).size <= 2,
+      s"dq_drift totals re-run the counting pass:\n$dr")
+    // docs_chunk is scan-fused: no shuffle before the output sort
+    val ch = plan("docs_chunk")
+    assert(!"Exchange hashpartitioning".r.findAllIn(ch).hasNext,
+      s"docs_chunk grew a shuffle:\n$ch")
+  }
+
+  test("events_ab_test / events_trend: agg chains, no window, no join") {
+    for (q <- Seq("events_ab_test", "events_trend")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      assert(!p.contains("Window"), s"$q grew a window:\n$p")
+    }
+  }
+
   test("runtime bloom filter prunes the shuffled fact side of a selective join") {
     // Spark's InjectRuntimeFilter is the 100 TB fact⋈selective-dim story
     // when the dim does NOT broadcast: the dim's join keys compress to a
