@@ -33,6 +33,11 @@ object Corpus {
   val ChunkSize = 256
   val ChunkStride = 192
 
+  /** Document-frequency threshold above which a 5-gram counts as
+    * boilerplate (`text_boilerplate`). Scale with corpus size — at 100 TB
+    * set it from the DF histogram tail, like [[graft.operators.Dedup.MaxShingleDf]]. */
+  val BoilerplateDf = 3
+
   /** Word n-gram occurrence rows (doc_id, shingle) via the codegen
     * posexplode + window-leads path (see [[Dedup.shingleOccurrences]];
     * this is its n-ary generalization). */
@@ -273,6 +278,32 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-document boilerplate measurement — the C4/RefinedWeb cleaning
+    // signal text_repetition can't see (repetition is WITHIN a doc;
+    // boilerplate is the same 5-gram across MANY docs: headers, footers,
+    // cookie banners). Phase 1 is one shingle-keyed agg for document
+    // frequency; shingles at DF ≥ BoilerplateDf form the boilerplate set,
+    // which is small BY DEFINITION (high-DF strings are the Zipf head) and
+    // broadcasts — the corpus-side occurrence stream never shuffles on the
+    // shingle, exactly the text_contamination discipline. Phase 2 is a
+    // per-doc fold: boilerplate fraction in exact ppm. At 100 TB persist
+    // the occurrence relation once per snapshot (DEPLOYMENT.md) — DF, the
+    // vocab, contamination, and this gate all read it.
+    "text_boilerplate" -> ((s, d) => {
+      val occ = shingleOccurrencesN(Tables.documents(s, d), 5)
+      val boiler = occ.groupBy(col("shingle"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= BoilerplateDf)
+        .select(col("shingle"), lit(1).as("is_b"))
+      occ.join(broadcast(boiler), Seq("shingle"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("is_b"), lit(0))).as("n_boiler"))
+        .withColumn("boiler_ppm", expr("n_boiler * 1000000 div n_shingles"))
+        .withColumn("flagged", col("boiler_ppm") > 500000)
+        .orderBy(col("doc_id"))
+    }),
+
     // RAG/context chunking: fixed-size overlapping character windows
     // (size ChunkSize, stride ChunkStride — adjacent chunks share
     // ChunkSize−ChunkStride chars so no retrieval boundary splits a
@@ -457,6 +488,28 @@ object Corpus {
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
     },
+    "text_boilerplate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |occ AS (
+         |  SELECT doc_id, unnest([array_to_string(toks[i:i+4], ' ')
+         |    for i in range(1, greatest(len(toks)-4, 0)+1)]) AS shingle
+         |  FROM t),
+         |bdf AS (
+         |  SELECT shingle FROM (
+         |    SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY 1)
+         |  WHERE df >= $BoilerplateDf),
+         |pd AS (
+         |  SELECT o.doc_id, COUNT(*) AS n_shingles,
+         |    CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_boiler
+         |  FROM occ o LEFT JOIN bdf b USING (shingle)
+         |  GROUP BY 1)
+         |SELECT doc_id, n_shingles, n_boiler,
+         |  CAST(n_boiler * 1000000 // n_shingles AS BIGINT) AS boiler_ppm,
+         |  n_boiler * 1000000 // n_shingles > 500000 AS flagged
+         |FROM pd
+         |ORDER BY doc_id""".stripMargin,
     "docs_chunk" ->
       s"""WITH d AS (
          |  SELECT doc_id, text, LENGTH(text) AS len

@@ -488,6 +488,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.filter(col("drift_ppm") =!= abs(col("ppm_a") - col("ppm_b"))).count() == 0)
   }
 
+  test("text_boilerplate: shingle accounting exact, fraction consistent") {
+    val d = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("text_boilerplate")(spark, d)
+    assert(r.filter(col("n_boiler") > col("n_shingles")).count() == 0)
+    assert(r.filter(col("boiler_ppm") =!=
+      expr("n_boiler * 1000000 div n_shingles")).count() == 0)
+    // every doc with >= 5 tokens appears, with exactly len(toks)-4 shingles
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).as("nt"))
+      .filter(col("nt") >= 5)
+    val j = r.join(docs, Seq("doc_id"), "full")
+    assert(j.filter(col("nt").isNull || col("n_shingles").isNull).count() == 0)
+    assert(j.filter(col("n_shingles") =!= col("nt") - 4).count() == 0)
+    // the threshold binds: some boilerplate exists at this SF, nothing is
+    // boilerplate in a doc whose shingles are all unique corpus-wide
+    assert(r.agg(sum(col("n_boiler"))).head.getLong(0) > 0)
+  }
+
   test("dq_profile: one row per column, counts consistent, keys unique where expected") {
     val d = "/root/testdata/sf0.001"
     val p = SparkEntry.queries("dq_profile")(spark, d)
