@@ -317,6 +317,32 @@ object Events {
         .orderBy(col("touch_type"))
     }),
 
+    // Incremental view maintenance, stated as a query the oracle can
+    // hash-check: the corpus splits into base and delta segments (by the
+    // same midpoint dq_drift uses), each segment folds to PARTIAL
+    // aggregates (count + exact decimal sum — both mergeable), and the
+    // view is the MERGE of partials, never a recompute. The DuckDB twin
+    // is the plain single-pass GROUP BY — so a green hash here IS the
+    // proof that merge-of-partials ≡ full recompute, which is the 100 TB
+    // refresh story: yesterday's view is a persisted partial, today's
+    // delta folds in segment-local, and only partials (|types| rows per
+    // segment) ever move. Exact decimal accumulation is what makes the
+    // merge associative — a double running sum would drift per re-merge.
+    "agg_incremental" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+      val m = e.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      val parts = e.crossJoin(broadcast(m))
+        .withColumn("is_base", col("us") <= expr("(mn + mx) div 2"))
+        .groupBy(col("event_type"), col("is_base"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).as("sv"))
+      parts.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_events"),
+          sum(col("sv")).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // A/B experiment readout — the two-proportion z-test a growth team
     // runs daily: users hash deterministically into arms (the md5-bucket
     // convention every sampler here uses — assignment is reproducible and
@@ -617,6 +643,12 @@ object Events {
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY 1
         |ORDER BY touch_type""".stripMargin,
+    "agg_incremental" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "events_ab_test" ->
       """WITH pu AS (
         |  SELECT user_id,

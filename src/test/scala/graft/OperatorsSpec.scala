@@ -591,6 +591,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(direct == top.getLong(2), s"pair $top vs direct $direct")
   }
 
+  test("agg_incremental: the merge is real (both segments non-empty) and exact") {
+    val d = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("agg_incremental")(spark, d)
+    val ev = graft.sources.Tables.events(spark, d)
+    // direct single-pass recompute must match the merged partials exactly
+    val direct = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+    assert(r.exceptAll(direct).count() == 0 && direct.exceptAll(r).count() == 0)
+    // the time split actually produces two segments (else the test is vacuous)
+    val us = ev.select(unix_micros(col("ts")).as("us"))
+    val mm = us.agg(min(col("us")).as("mn"), max(col("us")).as("mx")).head
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    assert(us.filter(col("us") <= mid).count() > 0)
+    assert(us.filter(col("us") > mid).count() > 0)
+  }
+
   test("events_ab_test: arms partition users, z sign tracks the rate difference") {
     val d = "/root/testdata/sf0.001"
     val r = SparkEntry.queries("events_ab_test")(spark, d).head
