@@ -88,5 +88,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // band joins written naively (abs(a.t - b.t) <= w, no equi key) become
     // bucketed equi-joins instead of BroadcastNestedLoopJoin
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // the whole-operator extension: plans graft.plans.TopKPerKey logical
+    // nodes as the sort-free bounded-heap TopKPerKeyExec
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

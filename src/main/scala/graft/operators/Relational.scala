@@ -151,6 +151,26 @@ object Relational {
         .orderBy(col("l_suppkey"), col("rn"))
     }),
 
+    // Third formulation of the same top-k result, through the custom
+    // WHOLE-OPERATOR Catalyst extension (logical TopKPerKey node +
+    // SparkStrategy + TopKPerKeyExec physical plan, graft.plans): same
+    // single hash exchange as the window, but NO SORT — one streaming
+    // bounded-heap pass, O(n log k) and never a spillable sort buffer.
+    // The three formulations (window / typed Aggregator / custom exec)
+    // share one oracle answer, so the physical-plan escalation ladder is
+    // hash-checked end to end.
+    "window_topk_heap" -> ((s, d) =>
+      graft.plans.TopKPerKey.topK(
+        Tables.lineitem(s, d)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")),
+        keys = Seq("l_suppkey"),
+        order = Seq(("l_extendedprice", false), ("l_orderkey", true),
+          ("l_linenumber", true)),
+        k = 3)
+        .orderBy(col("l_suppkey"), col("l_extendedprice").desc,
+          col("l_orderkey"), col("l_linenumber"))),
+
     // running per-user total over events (exact decimal running sum).
     "window_running" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -1161,6 +1181,15 @@ object Relational {
         |  FROM lineitem)
         |WHERE rn <= 3
         |ORDER BY l_suppkey, rn""".stripMargin,
+    // the custom-exec formulation emits the rows, not the rank column
+    "window_topk_heap" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
     "window_running" ->
       """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id

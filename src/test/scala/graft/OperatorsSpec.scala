@@ -621,6 +621,13 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("window_topk_heap: custom exec returns exactly the window formulation's rows") {
+    val d = "/root/testdata/sf0.001"
+    val heap = SparkEntry.queries("window_topk_heap")(spark, d)
+    val win = SparkEntry.queries("window_topk")(spark, d).drop("rn")
+    assert(heap.exceptAll(win).count() == 0 && win.exceptAll(heap).count() == 0)
+  }
+
   test("events_trend: OLS line passes through the mean point; n_days consistent") {
     val d = "/root/testdata/sf0.001"
     val r = SparkEntry.queries("events_trend")(spark, d)

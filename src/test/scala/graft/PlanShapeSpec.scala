@@ -465,6 +465,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("window_topk_heap: custom exec plans sort-free below the heap, one exchange") {
+    // string-position assertions: AQE's AdaptiveSparkPlanExec hides the
+    // inner plan from collect(), but children always PRINT below their
+    // parent — so "no sort below the heap" = no Sort after the node's
+    // line in the plan string
+    val s = SparkEntry.queries("window_topk_heap")(spark, d)
+      .queryExecution.executedPlan.toString
+    val i = s.indexOf("TopKPerKey")
+    assert(i >= 0, s"TopKPerKeyExec not planned:\n$s")
+    // the whole point: NO sort anywhere under the heap operator (the
+    // window formulation sorts every partition)
+    assert(!s.substring(i).contains("Sort "), s"sort below TopKPerKeyExec:\n$s")
+    assert(!s.contains("WindowGroupLimit") && !s.contains("Window "),
+      s"window crept back in:\n$s")
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      s"top-k heap needs exactly one hash exchange:\n$s")
+  }
+
   test("runtime bloom filter prunes the shuffled fact side of a selective join") {
     // Spark's InjectRuntimeFilter is the 100 TB fact⋈selective-dim story
     // when the dim does NOT broadcast: the dim's join keys compress to a
