@@ -1054,6 +1054,46 @@ object Relational {
         .filter(col("n_orders") >= 2)
         .orderBy(col("part_a"), col("part_b"))),
 
+    // EXACT per-group quantiles at scale — the two-pass bucket-narrowing
+    // selection: `percentile()` gathers a whole group into one task and
+    // `agg_percentile_hist` prices the approximation; this computes the
+    // true order statistic with NO per-group gather. Pass A folds the
+    // corpus to (group, $1000-bucket) counts — a bucket-resolution
+    // histogram whose cumulative sums locate, for each target rank
+    // k = ⌈q·n⌉ (integer ppm ceil — no FP rank), the one bucket holding
+    // it and the rank offset inside. Pass B re-scans with the ~9-row
+    // target table BROADCAST, keeps only rows in target buckets (a
+    // n/buckets sliver), and row_numbers within (group, q) — partitions
+    // are bucket-population-sized, never group-sized. Duplicate values
+    // make tie order irrelevant: the k-th smallest VALUE is unique.
+    "agg_exact_quantile" -> ((s, d) => {
+      val bw = 100000L // $1000 buckets: selectivity knob of the pass-B sliver
+      val c = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      val bucketed = c.withColumn("bucket", expr(s"cents div $bw"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("flag")).orderBy(col("bucket"))
+      val cum = bucketed.groupBy(col("flag"), col("bucket"))
+        .agg(count(lit(1)).as("bn"))
+        .withColumn("cum", sum(col("bn")).over(wf))
+        .withColumn("n", sum(col("bn")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("flag"))))
+      val targets = cum
+        .withColumn("qppm", explode(array(lit(500000L), lit(900000L), lit(990000L))))
+        .withColumn("rank_k", expr("(n * qppm + 999999) div 1000000"))
+        .filter(col("cum") >= col("rank_k") && col("cum") - col("bn") < col("rank_k"))
+        .select(col("flag"), col("bucket"), col("qppm"), col("n"), col("rank_k"),
+          (col("rank_k") - (col("cum") - col("bn"))).as("k_in_bucket"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("flag"), col("qppm")).orderBy(col("cents"))
+      bucketed.join(broadcast(targets), Seq("flag", "bucket"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") === col("k_in_bucket"))
+        .select(col("flag").as("l_returnflag"), col("qppm"), col("n"),
+          col("rank_k"), (col("cents").cast("double") / 100.0).as("value"))
+        .orderBy(col("l_returnflag"), col("qppm"))
+    }),
+
     // grouped stats incl. exact distinct count (partial agg + distinct expand).
     "agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1642,6 +1682,25 @@ object Relational {
         |  abs(n_a * 1000000 // tot_a - n_b * 1000000 // tot_b) > 10000 AS flagged
         |FROM c CROSS JOIN t
         |ORDER BY event_type""".stripMargin,
+    "agg_exact_quantile" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem),
+        |nn AS (SELECT flag, COUNT(*) AS n FROM c GROUP BY 1),
+        |q AS (SELECT unnest([500000, 900000, 990000]) AS qppm),
+        |k AS (
+        |  SELECT flag, CAST(qppm AS BIGINT) AS qppm, n,
+        |    (n * qppm + 999999) // 1000000 AS rank_k
+        |  FROM nn CROSS JOIN q),
+        |r AS (
+        |  SELECT flag, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cents) AS rk
+        |  FROM c)
+        |SELECT k.flag AS l_returnflag, k.qppm, k.n, k.rank_k,
+        |  CAST(r.cents AS DOUBLE) / 100.0 AS value
+        |FROM k JOIN r ON r.flag = k.flag AND r.rk = k.rank_k
+        |ORDER BY l_returnflag, qppm""".stripMargin,
     "basket_pairs" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

@@ -576,6 +576,25 @@ class OperatorsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("agg_exact_quantile: equals the direct full-sort order statistic") {
+    val d = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("agg_exact_quantile")(spark, d)
+    val c = graft.sources.Tables.lineitem(spark, d)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("cents"))
+    val direct = c.withColumn("rk", row_number().over(w))
+    // every reported (group, rank) must be the value the full sort puts there
+    val j = r.join(direct,
+      r("l_returnflag") === direct("l_returnflag") && r("rank_k") === direct("rk"))
+    assert(j.count() == r.count())
+    assert(j.filter(r("value") =!= direct("cents").cast("double") / 100.0).count() == 0)
+    // the integer-ppm rank is the ceiling rank
+    assert(r.filter(col("rank_k") =!=
+      expr("(n * qppm + 999999) div 1000000")).count() == 0)
+  }
+
   test("basket_pairs: ordered pairs, support threshold, spot-checked count") {
     val d = "/root/testdata/sf0.001"
     val b = SparkEntry.queries("basket_pairs")(spark, d)
