@@ -143,6 +143,28 @@ object Multimodal {
 
     // binary-column metadata over documents-as-payloads: the SQL-expressible
     // half of the multimodal surface (encode → binary, length, sha2 digest).
+    // Content-addressed media dedup — the first stage of any multimodal
+    // pipeline: identical BYTES under different ids (the same image
+    // re-crawled from mirrors) collapse on (sha256, n_bytes) before any
+    // expensive decode or perceptual pass runs. One key-hash aggregation
+    // (dedup_exact's shape on the binary surface); the payload itself
+    // never shuffles — only the 32-byte digest and the keeper id move.
+    // At 100 TB this is why decode cost scales with UNIQUE media, not
+    // crawled media. The query emits the full content-address map (every
+    // digest, its keeper, its copy count) — that map IS the artifact a
+    // media pipeline persists: decode/embed stages join it and process
+    // keepers only. (This synthetic corpus happens to be collision-free,
+    // so n_copies = 1 throughout — the map is still the contract, and
+    // the spec asserts its invariants hold for any input.)
+    "binary_dedup" -> ((s, d) =>
+      graft.sources.Tables.documents(s, d)
+        .select(col("doc_id"),
+          sha2(col("text").cast("binary"), 256).as("sha256"),
+          octet_length(to_binary(col("text"), lit("utf-8"))).cast("long").as("n_bytes"))
+        .groupBy(col("sha256"), col("n_bytes"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("sha256"))),
+
     "binary_meta" -> ((s, d) =>
       Relational.sortedOnce(graft.sources.Tables.documents(s, d)
         .select(
@@ -199,6 +221,13 @@ object Multimodal {
         |  CAST(('0x' || substr(h, 13, 4)) AS INTEGER) / 65536.0 AS e3
         |FROM (SELECT doc_id, md5(text) AS h FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "binary_dedup" ->
+      """SELECT sha256(text) AS sha256,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY sha256""".stripMargin,
     "binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

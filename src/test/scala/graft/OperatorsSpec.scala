@@ -506,6 +506,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.agg(sum(col("n_boiler"))).head.getLong(0) > 0)
   }
 
+  test("binary_dedup: content map covers the corpus; duplicates collapse") {
+    val d = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("binary_dedup")(spark, d)
+    val docs = graft.sources.Tables.documents(spark, d)
+    assert(r.agg(sum(col("n_copies"))).head.getLong(0) == docs.count())
+    assert(r.select(col("sha256")).distinct().count() == r.count())
+    // the collapse is real: doubling the corpus halves nothing but copies
+    val doubled = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .groupBy(sha2(col("text").cast("binary"), 256).as("sha256"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    assert(doubled.filter(col("n_copies") =!= 2).count() == 0)
+    // keepers keep their ORIGINAL id (min over the group)
+    assert(doubled.filter(col("keep_id") >= 1000000L).count() == 0)
+  }
+
   test("dq_profile: one row per column, counts consistent, keys unique where expected") {
     val d = "/root/testdata/sf0.001"
     val p = SparkEntry.queries("dq_profile")(spark, d)
