@@ -317,6 +317,25 @@ object Events {
         .orderBy(col("touch_type"))
     }),
 
+    // Cohort-week LTV triangle — events_retention counts HEADS per
+    // (cohort, offset); this accumulates REVENUE: the lifetime-value
+    // matrix finance reads diagonally. Same one-shuffle discipline (the
+    // cohort window carries min-day onto event rows, no join-back), week
+    // offsets are exact integer division, revenue is exact decimal
+    // accumulation cast to double once.
+    "events_ltv" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+        .withColumn("cohort", min(col("day")).over(byUser))
+        .withColumn("week_offset",
+          expr("CAST(datediff(day, cohort) AS BIGINT) div 7"))
+        .groupBy(col("cohort"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"),
+          Relational.dsum(col("value")).as("revenue"))
+        .orderBy(col("cohort"), col("week_offset"))
+    }),
+
     // Incremental view maintenance, stated as a query the oracle can
     // hash-check: the corpus splits into base and delta segments (by the
     // same midpoint dq_drift uses), each segment folds to PARTIAL
@@ -643,6 +662,20 @@ object Events {
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY 1
         |ORDER BY touch_type""".stripMargin,
+    "events_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, day, value,
+        |    MIN(day) OVER (PARTITION BY user_id) AS cohort
+        |  FROM e)
+        |SELECT cohort, CAST(day - cohort AS BIGINT) // 7 AS week_offset,
+        |  COUNT(DISTINCT user_id) AS n_active,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM c
+        |GROUP BY 1, 2
+        |ORDER BY cohort, week_offset""".stripMargin,
     "agg_incremental" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value

@@ -643,6 +643,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(us.filter(col("us") > mid).count() > 0)
   }
 
+  test("events_ltv: triangle conserves total revenue; offset-0 heads = cohort sizes") {
+    val d = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("events_ltv")(spark, d)
+    val ev = graft.sources.Tables.events(spark, d)
+    val total = ev.agg(sum(col("value").cast("decimal(12,2)")).cast("double")).head.getDouble(0)
+    assert(r.agg(sum(col("revenue"))).head.getDouble(0) == total)
+    // week 0 actives of each cohort = number of users whose first day is in it
+    val firsts = ev.groupBy(col("user_id")).agg(to_date(min(col("ts"))).as("cohort"))
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n_new"))
+    val w0 = r.filter(col("week_offset") === 0)
+    assert(w0.join(firsts, Seq("cohort"))
+      .filter(col("n_active") =!= col("n_new")).count() == 0)
+  }
+
   test("events_ab_test: arms partition users, z sign tracks the rate difference") {
     val d = "/root/testdata/sf0.001"
     val r = SparkEntry.queries("events_ab_test")(spark, d).head
