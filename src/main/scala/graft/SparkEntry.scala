@@ -66,6 +66,30 @@ object SparkEntry {
     // (processed message count + per-type IOC counters, h-isac.py:125-139,
     // 170-179). One pass over the pipeline output + one count of filtered
     // messages (zero-IOC messages count as processed but emit no rows).
+    // Data-loss audit for the email ETL — where the ledger reports what
+    // came OUT, this accounts for every email that went IN: subject-filter
+    // rejects (P1), processed emails that yielded zero IOCs (the plain-
+    // explode drop, X1), and emitters. Production ETLs live or die on
+    // this accounting — a regex regression shows up as n_zero_ioc jumping
+    // while the output counts still look plausible. Two scalar aggs (one
+    // over emails, one over the ETL output) glued by a broadcast — the
+    // regex pipeline itself runs exactly once.
+    "ioc_etl_audit" -> ((s, d) => {
+      val t = Tables.emails(s, d).agg(
+        count(lit(1)).as("n_emails"),
+        sum(when(lower(col("subject")).contains("indicator"), 1L)
+          .otherwise(0L)).as("n_processed"))
+      val e = EmailPipeline(Tables.emails(s, d), DateAdded)
+        .agg(countDistinct(col("id")).as("n_emitting"),
+          count(lit(1)).as("n_iocs"))
+      t.crossJoin(broadcast(e))
+        .select(col("n_emails"),
+          (col("n_emails") - col("n_processed")).as("n_subject_reject"),
+          col("n_processed"),
+          (col("n_processed") - col("n_emitting")).as("n_zero_ioc"),
+          col("n_emitting"), col("n_iocs"))
+    }),
+
     "ioc_run_ledger" -> ((s, d) => {
       val processed = Tables.emails(s, d)
         .filter(lower(col("subject")).contains("indicator"))
@@ -158,6 +182,16 @@ object SparkEntry {
         |""".stripMargin +
         OracleViews.classifySql("token") + " AS type\n" +
         "FROM toks\nORDER BY event_id, token"),
+    "ioc_etl_audit" ->
+      (s"WITH ${OracleViews.emailEtlCtes(DateAdded)},\n" +
+        s"base AS (\n${OracleViews.emailEtlSelect(DateAdded)}\n),\n" +
+        """t AS (SELECT COUNT(*) AS n_emails,
+          |  CAST(SUM(CASE WHEN lower(subject) LIKE '%indicator%' THEN 1 ELSE 0 END) AS BIGINT) AS n_processed
+          |  FROM emails),
+          |e AS (SELECT COUNT(DISTINCT id) AS n_emitting, COUNT(*) AS n_iocs FROM base)
+          |SELECT n_emails, n_emails - n_processed AS n_subject_reject, n_processed,
+          |  n_processed - n_emitting AS n_zero_ioc, n_emitting, n_iocs
+          |FROM t, e""".stripMargin),
     "ioc_run_ledger" ->
       (s"WITH ${OracleViews.emailEtlCtes(DateAdded)},\n" +
         s"base AS (\n${OracleViews.emailEtlSelect(DateAdded)}\n),\n" +

@@ -548,6 +548,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ioc_etl_audit: stage accounting conserves emails and matches the ledger") {
+    val d = "/root/testdata/sf0.001"
+    val a = SparkEntry.queries("ioc_etl_audit")(spark, d).head
+    val (nEmails, nReject, nProc, nZero, nEmit, nIocs) =
+      (a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4), a.getLong(5))
+    assert(nReject + nProc == nEmails)
+    assert(nZero + nEmit == nProc)
+    assert(nEmit <= nProc && nIocs >= nEmit)
+    // ledger agreement: processed_emails and total ioc count line up
+    val l = SparkEntry.queries("ioc_run_ledger")(spark, d).head
+    assert(l.getLong(0) == nProc)
+    assert(l.getLong(1) + l.getLong(2) + l.getLong(3) + l.getLong(4) == nIocs)
+  }
+
   test("events_streaks: one row per active user, streak span matches its length") {
     val d = "/root/testdata/sf0.001"
     val r = SparkEntry.queries("events_streaks")(spark, d)
