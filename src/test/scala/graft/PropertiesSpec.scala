@@ -96,6 +96,38 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: TopKPerKeyExec ≡ window row_number filter on adversarial data") {
+    // the custom physical operator must agree with the reference window
+    // formulation on: duplicate keys, duplicate order-values (ties broken
+    // by the id column), k larger than some groups, single-row groups,
+    // and keys scattered across input partitions before the exchange
+    val rows = Gen.listOfN(400, for {
+      key <- Gen.choose(0, 7)
+      v <- Gen.choose(0, 5) // few distinct values → heavy ties
+      id <- Gen.choose(0, 1000000)
+    } yield (key, v, id)).sample.get.distinctBy(_._3)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)), 7),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType))))
+    for (k <- Seq(1, 3, 50)) {
+      val heap = graft.plans.TopKPerKey.topK(df, Seq("key"),
+        Seq(("v", false), ("id", true)), k)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("v").desc, col("id"))
+      val win = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+      assert(heap.exceptAll(win).count() == 0 && win.exceptAll(heap).count() == 0,
+        s"k=$k: custom exec diverges from window formulation")
+    }
+    // empty input → empty output, no crash
+    val empty = df.filter(col("key") < 0)
+    assert(graft.plans.TopKPerKey.topK(empty, Seq("key"),
+      Seq(("v", true)), 3).count() == 0)
+  }
+
   test("property: hash regex is greedy — exactly one match per hash token") {
     val hashes = Gen.listOfN(60, hashGen).sample.get
     val matches = hashes.map(h => s"sample $h end").toDF("b")
