@@ -922,6 +922,37 @@ object Relational {
         col("key"))
     }),
 
+    // CDC merge with DELETE tombstones — the other half of change-feed
+    // semantics cdc_upsert leaves open: a key's LAST operation decides
+    // its fate (error events stand in for the feed's delete records —
+    // the op column is what a Debezium-style feed carries natively).
+    // Same single key shuffle and one window pass; the tombstone filter
+    // is a post-window predicate, so deletes cost nothing extra. At
+    // 100 TB deletes MUST ride the merge — a separate anti-join pass
+    // over the snapshot would double the shuffle for the rare-op case.
+    "cdc_tombstone" -> ((s, d) => {
+      val snap = Tables.customer(s, d).select(
+        col("c_custkey").as("key"), col("c_acctbal").as("bal"),
+        lit(0).as("src"), lit(null).cast("timestamp").as("ver"),
+        lit(null).cast("long").as("change_id"), lit("U").as("op"))
+      val chg = Tables.events(s, d).select(
+        col("user_id").as("key"), col("value").as("bal"),
+        lit(1).as("src"), col("ts").as("ver"),
+        col("event_id").cast("long").as("change_id"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key"))
+        .orderBy(col("src").desc, col("ver").desc_nulls_last,
+          col("change_id").desc_nulls_last)
+      sortedOnce(snap.unionByName(chg)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .filter(col("op") =!= "D")
+        .select(col("key"), col("bal"),
+          (col("src") === 1).as("updated"), col("ver").as("last_ver")),
+        col("key"))
+    }),
+
     // data-quality validation report (the "expectations" stage of a
     // production ETL): null keys, range violations, duplicate natural
     // keys, and referential orphans in ONE report row. One full-scan
@@ -1621,6 +1652,23 @@ object Relational {
         |  FROM merged)
         |SELECT key, bal, src = 1 AS updated, ver AS last_ver
         |FROM r WHERE rn = 1
+        |ORDER BY key""".stripMargin,
+    "cdc_tombstone" ->
+      """WITH merged AS (
+        |  SELECT c_custkey AS key, c_acctbal AS bal, 0 AS src,
+        |    CAST(NULL AS TIMESTAMP) AS ver, CAST(NULL AS BIGINT) AS change_id,
+        |    'U' AS op
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT user_id, value, 1, CAST(ts AS TIMESTAMP), event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END
+        |  FROM events),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+        |    ORDER BY src DESC, ver DESC NULLS LAST, change_id DESC NULLS LAST) AS rn
+        |  FROM merged)
+        |SELECT key, bal, src = 1 AS updated, ver AS last_ver
+        |FROM r WHERE rn = 1 AND op <> 'D'
         |ORDER BY key""".stripMargin,
     "dq_profile" ->
       """WITH w AS (

@@ -437,6 +437,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(moved > 0, "epoch salt produced identical orders")
   }
 
+  test("cdc_tombstone: removes exactly the keys whose LAST change is a delete") {
+    val d = "/root/testdata/sf0.001"
+    val up = SparkEntry.queries("cdc_upsert")(spark, d)
+    val tb = SparkEntry.queries("cdc_tombstone")(spark, d)
+    // tombstone output is the upsert output minus the deleted keys
+    assert(tb.select(col("key")).exceptAll(up.select(col("key"))).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val lastOp = graft.sources.Tables.events(spark, d)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id").as("key"), (col("event_type") === "error").as("del"))
+    val deleted = lastOp.filter(col("del")).select(col("key"))
+    assert(up.count() - tb.count() == deleted.count())
+    assert(tb.join(deleted, Seq("key")).count() == 0)
+  }
+
   test("docs_chunk: chunk count/starts/lengths are exact arithmetic on doc length") {
     val d = "/root/testdata/sf0.001"
     val c = SparkEntry.queries("docs_chunk")(spark, d)
