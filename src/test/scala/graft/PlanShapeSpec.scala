@@ -483,6 +483,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-k heap needs exactly one hash exchange:\n$s")
   }
 
+  test("late additions: broadcast-glued plans, no sort-merge joins, bounded scans") {
+    // cdc_tombstone: same one-window merge as cdc_upsert — never a join
+    val tb = plan("cdc_tombstone")
+    assert(!tb.contains("SortMergeJoin") && !tb.contains("BroadcastHashJoin"),
+      s"cdc_tombstone deletes regressed to a join pass:\n$tb")
+    // events_ltv: single scan, cohort rides the window — no join-back
+    val ltv = plan("events_ltv")
+    assert(!ltv.contains("Join"), s"events_ltv grew a join:\n$ltv")
+    assert("Scan parquet".r.findAllIn(ltv).size == 1, s"events_ltv re-scans:\n$ltv")
+    // agg_exact_quantile: pass-B restriction must be a BROADCAST hash join
+    // (the target table is ~9 rows); a sort-merge join would shuffle the
+    // corpus on (flag, bucket) for nothing
+    val q = plan("agg_exact_quantile")
+    assert(q.contains("BroadcastHashJoin") && !q.contains("SortMergeJoin"),
+      s"quantile targets not broadcast:\n$q")
+    assert("Scan parquet".r.findAllIn(q).size <= 2, s"quantile re-scans:\n$q")
+    // text_boilerplate: the boilerplate set broadcasts; the corpus side
+    // must never shuffle on the shingle for the probe
+    val bp = plan("text_boilerplate")
+    assert(bp.contains("BroadcastHashJoin") && !bp.contains("SortMergeJoin"),
+      s"boilerplate set not broadcast:\n$bp")
+    // embed_kmeans / ioc_etl_audit: broadcast glue only, no cartesian
+    for (qn <- Seq("embed_kmeans", "ioc_etl_audit")) {
+      val p = plan(qn)
+      assert(!p.contains("CartesianProduct"), s"$qn has a cartesian:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$qn shuffles a broadcast-sized side:\n$p")
+    }
+  }
+
   test("runtime bloom filter prunes the shuffled fact side of a selective join") {
     // Spark's InjectRuntimeFilter is the 100 TB fact⋈selective-dim story
     // when the dim does NOT broadcast: the dim's join keys compress to a
