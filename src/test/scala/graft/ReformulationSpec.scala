@@ -287,6 +287,27 @@ class ReformulationSpec extends AnyFunSuite {
     assertSameRows(fast.select(col("lang"), col("n_kept"), col("kept_tokens")), naive)
   }
 
+  test("incremental merge is segmentation-invariant: 2, 4, or 16 segments ≡ recompute") {
+    // the agg_incremental contract generalized: partial aggregates merged
+    // over ANY segmentation equal the single-pass recompute — this is what
+    // makes daily/hourly/backfill refresh schedules interchangeable
+    val e = Tables.events(spark, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val direct = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+    for (segments <- Seq(2, 4, 16)) {
+      val merged = e.withColumn("seg", col("event_id") % segments)
+        .groupBy(col("event_type"), col("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).as("sv"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_events"),
+          sum(col("sv")).cast("double").as("sum_value"))
+      assertSameRows(merged, direct)
+    }
+  }
+
   test("docs_shuffle emits a contiguous per-shard permutation of the whole corpus") {
     val out = SparkEntry.queries("docs_shuffle")(spark, d)
     val nDocs = Tables.documents(spark, d).count()
