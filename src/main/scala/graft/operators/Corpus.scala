@@ -278,6 +278,32 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // Train/test split-leakage gate — decontamination's eval-hygiene
+    // application: the SAME 5-gram overlap machinery as
+    // text_contamination, but the "benchmark" is the held-out test split,
+    // and the split assignment is character-for-character
+    // `sample_split`'s hash rule — splitter and gate share one
+    // definition, so they can never disagree about which side a document
+    // is on. Per train doc: shingle count, overlap with ANY test-split
+    // shingle, leakage in exact ppm. Same scale shape: the test-split
+    // shingle set broadcasts (test is the small split by construction);
+    // the train side never shuffles on the shingle; the bloom bitmap is
+    // the documented escalation when test outgrows a broadcast.
+    "dq_split_leakage" -> ((s, d) => {
+      val split = Sampling.hashBucket(col("doc_id"), 10)
+      val docs = Tables.documents(s, d)
+      val testShingles = shingleOccurrencesN(docs.filter(split >= 9), 5)
+        .select(col("shingle")).distinct()
+        .select(col("shingle"), lit(1).as("leak"))
+      shingleOccurrencesN(docs.filter(split < 9), 5)
+        .join(broadcast(testShingles), Seq("shingle"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("leak"), lit(0))).as("n_leaked"))
+        .withColumn("leak_ppm", expr("n_leaked * 1000000 div n_shingles"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cross-document boilerplate measurement — the C4/RefinedWeb cleaning
     // signal text_repetition can't see (repetition is WITHIN a doc;
     // boilerplate is the same 5-gram across MANY docs: headers, footers,
@@ -488,6 +514,27 @@ object Corpus {
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
     },
+    "dq_split_leakage" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10
+         |      AS bucket
+         |  FROM documents),
+         |occ AS (
+         |  SELECT doc_id, bucket, unnest([array_to_string(toks[i:i+4], ' ')
+         |    for i in range(1, greatest(len(toks)-4, 0)+1)]) AS shingle
+         |  FROM t),
+         |test_sh AS (
+         |  SELECT DISTINCT shingle FROM occ WHERE bucket >= 9)
+         |SELECT o.doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN ts.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_leaked,
+         |  CAST(CAST(SUM(CASE WHEN ts.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS leak_ppm
+         |FROM occ o LEFT JOIN test_sh ts USING (shingle)
+         |WHERE o.bucket < 9
+         |GROUP BY o.doc_id
+         |ORDER BY o.doc_id""".stripMargin,
     "text_boilerplate" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

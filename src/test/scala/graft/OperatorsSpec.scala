@@ -504,6 +504,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.filter(col("drift_ppm") =!= abs(col("ppm_a") - col("ppm_b"))).count() == 0)
   }
 
+  test("dq_split_leakage: covers exactly the train split, agrees with sample_split") {
+    val d = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("dq_split_leakage")(spark, d)
+    // one row per train-split doc with >= 5 tokens — the same hash rule
+    // sample_split uses, so the gate and the splitter partition identically
+    val docs = graft.sources.Tables.documents(spark, d)
+      .withColumn("b", operators.Sampling.hashBucket(col("doc_id"), 10))
+      .withColumn("nt", size(split(lower(col("text")), " ")))
+    val trainBig = docs.filter(col("b") < 9 && col("nt") >= 5)
+    assert(r.count() == trainBig.count())
+    assert(r.join(docs.filter(col("b") >= 9), Seq("doc_id")).count() == 0)
+    assert(r.filter(col("n_leaked") > col("n_shingles")).count() == 0)
+    assert(r.filter(col("leak_ppm") =!=
+      expr("n_leaked * 1000000 div n_shingles")).count() == 0)
+  }
+
   test("text_boilerplate: shingle accounting exact, fraction consistent") {
     val d = "/root/testdata/sf0.001"
     val r = SparkEntry.queries("text_boilerplate")(spark, d)
