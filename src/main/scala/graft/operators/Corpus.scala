@@ -278,6 +278,42 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // Span-corruption plan (T5/UL2 objective preprocessing): which token
+    // spans each document masks, decided BEFORE training and stored — so
+    // every epoch, retry, and re-shard masks identically (the
+    // reproducibility property rand() can never give). Candidate starts
+    // are md5(doc:pos) hash draws (≈8% of positions), each covering 3
+    // tokens; overlapping candidates merge into maximal spans via the
+    // gaps-and-islands pass (position − row_number names the island —
+    // events_streaks' machinery on synthetic intervals). Everything is
+    // per-doc integer algebra: one doc-keyed window, no corpus joins.
+    "docs_spans" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(lower(col("text")), " "))
+          .as(Seq("pos", "tok")))
+        .withColumn("n_toks", count(lit(1)).over(
+          Window.partitionBy(col("doc_id"))))
+      val cand = toks.filter(
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string"))), 1, 8), 16, 10).cast("long") % 100 < 8)
+      val covered = cand
+        .select(col("doc_id"),
+          explode(sequence(col("pos"),
+            least(col("pos") + 2, col("n_toks") - 1))).as("cpos"))
+        .distinct()
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("cpos"))
+      val spans = covered
+        .withColumn("anchor", col("cpos") - row_number().over(byDoc))
+        .groupBy(col("doc_id"), col("anchor"))
+        .agg(min(col("cpos")).cast("long").as("span_start"),
+          count(lit(1)).as("span_len"))
+      spans
+        .withColumn("span_id", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("span_start"))).cast("long"))
+        .select(col("doc_id"), col("span_id"), col("span_start"), col("span_len"))
+        .orderBy(col("doc_id"), col("span_id"))
+    }),
+
     // Train/test split-leakage gate — decontamination's eval-hygiene
     // application: the SAME 5-gram overlap machinery as
     // text_contamination, but the "benchmark" is the held-out test split,
@@ -514,6 +550,32 @@ object Corpus {
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
     },
+    "docs_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(string_split(lower(text), ' ')) AS n_toks,
+        |    unnest(range(0, len(string_split(lower(text), ' ')))) AS pos
+        |  FROM documents),
+        |cand AS (
+        |  SELECT doc_id, pos, n_toks FROM toks
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 8),
+        |covered AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(range(pos, least(pos + 3, n_toks))) AS cpos
+        |  FROM cand),
+        |isl AS (
+        |  SELECT doc_id, cpos,
+        |    cpos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cpos) AS anchor
+        |  FROM covered),
+        |spans AS (
+        |  SELECT doc_id, anchor, CAST(MIN(cpos) AS BIGINT) AS span_start,
+        |    COUNT(*) AS span_len
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY span_start) AS span_id,
+        |  span_start, span_len
+        |FROM spans
+        |ORDER BY doc_id, span_id""".stripMargin,
     "dq_split_leakage" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(lower(text), ' ') AS toks,

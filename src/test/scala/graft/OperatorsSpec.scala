@@ -504,6 +504,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.filter(col("drift_ppm") =!= abs(col("ppm_a") - col("ppm_b"))).count() == 0)
   }
 
+  test("docs_spans: spans are maximal, disjoint, in-bounds, ~8%-start coverage") {
+    val d = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("docs_spans")(spark, d)
+    assert(r.filter(col("span_len") < 1 || col("span_start") < 0).count() == 0)
+    // disjoint AND maximal: next span starts at least 2 past this one's end
+    // (adjacent spans would have merged into one island)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("span_id"))
+    val gaps = r.withColumn("prev_end",
+        lag(col("span_start") + col("span_len"), 1).over(w))
+      .filter(col("prev_end").isNotNull)
+      .filter(col("span_start") <= col("prev_end"))
+    assert(gaps.count() == 0, "overlapping or touching spans did not merge")
+    // spans stay inside the token range
+    val nt = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).as("n_toks"))
+    assert(r.join(nt, Seq("doc_id"))
+      .filter(col("span_start") + col("span_len") > col("n_toks")).count() == 0)
+    // masked fraction lands near the 8%·3-token design point (loose bounds)
+    val masked = r.agg(sum(col("span_len"))).head.getLong(0).toDouble
+    val total = nt.agg(sum(col("n_toks"))).head.getLong(0).toDouble
+    assert(masked / total > 0.08 && masked / total < 0.40,
+      s"masked fraction ${masked / total} far from design point")
+  }
+
   test("dq_split_leakage: covers exactly the train split, agrees with sample_split") {
     val d = "/root/testdata/sf0.001"
     val r = SparkEntry.queries("dq_split_leakage")(spark, d)
