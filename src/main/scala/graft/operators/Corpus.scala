@@ -278,6 +278,36 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // Snapshot diff — the incremental-crawl primitive every refresh
+    // pipeline starts from: which documents were added, removed, or
+    // changed between corpus snapshots. Snapshot B is synthesized
+    // deterministically from the table (docs ≡0 mod 11 removed, ≡0 mod 7
+    // re-crawled with changed text, ≡0 mod 13 re-appear as new ids) so
+    // the oracle sees the identical pair. The diff itself is the scale
+    // pattern: project each side to (doc_id, md5) FIRST, full-outer join
+    // on the id — only 16-byte digests ever shuffle, never document
+    // bodies; at 100 TB this is a co-partitioned merge of two manifest
+    // tables, and `agg_incremental`-style partials refresh only the
+    // 'added'/'changed' slice downstream.
+    "corpus_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.select(col("doc_id"), md5(col("text")).as("h_a"))
+      val bOld = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h_b"))
+      val bNew = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), md5(col("text")).as("h_b"))
+      a.join(bOld.unionByName(bNew), Seq("doc_id"), "full")
+        .withColumn("status",
+          when(col("h_a").isNull, "added")
+            .when(col("h_b").isNull, "removed")
+            .when(col("h_a") =!= col("h_b"), "changed")
+            .otherwise("unchanged"))
+        .select(col("doc_id"), col("status"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Span-corruption plan (T5/UL2 objective preprocessing): which token
     // spans each document masks, decided BEFORE training and stored — so
     // every epoch, retry, and re-shard masks identically (the
@@ -550,6 +580,22 @@ object Corpus {
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
     },
+    "corpus_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, md5(text) AS h_a FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h_b
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 13 = 0)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN h_a <> h_b THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "docs_spans" ->
       """WITH toks AS (
         |  SELECT doc_id, len(string_split(lower(text), ' ')) AS n_toks,

@@ -504,6 +504,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.filter(col("drift_ppm") =!= abs(col("ppm_a") - col("ppm_b"))).count() == 0)
   }
 
+  test("corpus_snapshot_diff: statuses match the synthesis rules exactly") {
+    val d = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("corpus_snapshot_diff")(spark, d)
+    val ids = graft.sources.Tables.documents(spark, d).select(col("doc_id"))
+    val n = ids.count()
+    val nRemoved = ids.filter(col("doc_id") % 11 === 0).count()
+    val nAdded = ids.filter(col("doc_id") % 13 === 0).count()
+    val nChanged = ids.filter(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0).count()
+    val counts = r.groupBy(col("status")).count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(counts("removed") == nRemoved)
+    assert(counts("added") == nAdded)
+    assert(counts("changed") == nChanged)
+    assert(counts.values.sum == n + nAdded)
+    assert(counts("unchanged") == n - nRemoved - nChanged)
+  }
+
   test("docs_spans: spans are maximal, disjoint, in-bounds, ~8%-start coverage") {
     val d = "/root/testdata/sf0.001"
     val r = SparkEntry.queries("docs_spans")(spark, d)
