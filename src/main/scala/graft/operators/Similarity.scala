@@ -117,6 +117,39 @@ object Similarity {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // FILTERED vector search — ANN under a metadata predicate (here:
+    // neighbors must share the query's label, the "similar items in my
+    // category" query every vector store now fields). The filter is a
+    // PRE-filter: applied to candidates before ranking, so the top-k are
+    // the best k *qualifying* neighbors — a post-filter would return
+    // fewer than k whenever the filter is selective. Same IVF probe
+    // machinery and cost; the selectivity trap is documented in
+    // DEPLOYMENT.md (a 1%-selective filter needs ~100× more probes for
+    // the same effective k — probe count must scale with 1/selectivity).
+    // First 50 queries (the sim_recall sample discipline) keep the
+    // oracle's candidate CTE cheap.
+    "sim_filtered_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          normSq(col("embedding")).as("nsq"), col("label"))
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nsq").as("qn"), col("label").as("q_label"))
+      val byQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      q.join(ivfProbes(s, d), Seq("qid"))
+        .join(ivfAssign(s, d), Seq("cell"))
+        .join(e.select(col("vec_id"), col("embedding").as("ne"),
+          col("nsq").as("nn"), col("label").as("n_label")), Seq("vec_id"))
+        .filter(col("vec_id") =!= col("qid") && col("n_label") === col("q_label"))
+        .withColumn("cosine", dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")))
+        .withColumn("rank", row_number().over(byQ).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("vec_id").as("nid"),
+          col("n_label").as("label"), col("cosine"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // scale path: SRP-LSH bucket assignment + bucket population.
     "sim_lsh_buckets" -> ((s, d) =>
       Tables.embeddings(s, d)
@@ -767,6 +800,29 @@ object Similarity {
            |  JOIN assign a ON a.cell = p.cell
            |  JOIN e x ON x.vec_id = a.vec_id AND x.vec_id <> q.vec_id)
            |SELECT qid, nid, cosine, rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+           |  FROM cands)
+           |WHERE rank <= $TopK
+           |ORDER BY qid, rank""".stripMargin),
+    "sim_filtered_topk" ->
+      (s"WITH $ivfCtes,\n" +
+        s"""probes AS (
+           |  SELECT vec_id AS qid, sid AS cell FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+           |    FROM dists)
+           |  WHERE rn <= 2),
+           |lab AS (SELECT vec_id, label FROM embeddings),
+           |cands AS (
+           |  SELECT q.vec_id AS qid, x.vec_id AS nid, lx.label AS label,
+           |    ${dotSql("q", "x")} / sqrt(q.nsq * x.nsq) AS cosine
+           |  FROM e q
+           |  JOIN lab lq ON lq.vec_id = q.vec_id
+           |  JOIN probes p ON p.qid = q.vec_id
+           |  JOIN assign a ON a.cell = p.cell
+           |  JOIN e x ON x.vec_id = a.vec_id AND x.vec_id <> q.vec_id
+           |  JOIN lab lx ON lx.vec_id = x.vec_id AND lx.label = lq.label
+           |  WHERE q.vec_id < 50)
+           |SELECT qid, nid, label, cosine, CAST(rank AS BIGINT) AS rank FROM (
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
            |  FROM cands)
            |WHERE rank <= $TopK

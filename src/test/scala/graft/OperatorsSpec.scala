@@ -504,6 +504,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.filter(col("drift_ppm") =!= abs(col("ppm_a") - col("ppm_b"))).count() == 0)
   }
 
+  test("sim_filtered_topk: all neighbors qualify; filtering never beats unfiltered") {
+    val d = "/root/testdata/sf0.001"
+    val f = SparkEntry.queries("sim_filtered_topk")(spark, d)
+    val lbl = graft.sources.Tables.embeddings(spark, d)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"))
+    // every returned neighbor carries the query's own label (pre-filter)
+    assert(f.join(lbl, Seq("qid"))
+      .filter(col("label") =!= col("q_label")).count() == 0)
+    // ranks are 1..k contiguous per query
+    val rk = f.groupBy(col("qid"))
+      .agg(min(col("rank")).as("lo"), max(col("rank")).as("hi"), count(lit(1)).as("n"))
+    assert(rk.filter(col("lo") =!= 1 || col("hi") =!= col("n")).count() == 0)
+    // the constrained best can never exceed the unconstrained best
+    val best = SparkEntry.queries("sim_cosine_topk")(spark, d)
+      .filter(col("rank") === 1 && col("qid") < 50)
+      .select(col("qid"), col("cosine").as("best_any"))
+    val bestF = f.filter(col("rank") === 1).select(col("qid"), col("cosine").as("best_f"))
+    assert(bestF.join(best, Seq("qid"))
+      .filter(col("best_f") > col("best_any")).count() == 0)
+  }
+
   test("corpus_snapshot_diff: statuses match the synthesis rules exactly") {
     val d = "/root/testdata/sf0.001"
     val r = SparkEntry.queries("corpus_snapshot_diff")(spark, d)
