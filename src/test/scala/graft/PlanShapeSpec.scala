@@ -18,8 +18,8 @@ class PlanShapeSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
 
   test("ANN / embedding-dedup plans contain no cartesian product") {
-    for (q <- Seq("sim_cosine_topk", "sim_ivf_probe", "sim_ivf_cells",
-                  "dedup_embedding_cosine")) {
+    for (q <- Seq("sim_cosine_topk", "sim_filtered_topk", "sim_ivf_probe",
+                  "sim_ivf_cells", "dedup_embedding_cosine")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plan has a cartesian product:\n$p")
       // the only nested-loop join allowed is the broadcast centroid pass
