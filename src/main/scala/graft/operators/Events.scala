@@ -88,6 +88,34 @@ object Events {
         .orderBy(col("user_id"))
     }),
 
+    // Time-boxed funnel — events_funnel with the conversion-window
+    // constraint real product analytics uses (a click must land within
+    // 7 days of the view, the purchase within 7 days of the click):
+    // unbounded funnels silently count year-later conversions as funnel
+    // successes. Identical plan shape to the fixed funnel (user-keyed
+    // mins + small joins); the interval predicate rides the same join —
+    // zero extra cost for the correct semantics.
+    "events_funnel_windowed" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("INTERVAL 7 DAYS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + expr("INTERVAL 7 DAYS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+            + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("stage"))
+        .orderBy(col("user_id"))
+    }),
+
     // cohort retention: users grouped by first-seen day, actives counted
     // per (cohort, day-offset) — the product-analytics retention matrix.
     // The per-user first day is a window min that shares the user_id
@@ -520,6 +548,30 @@ object Events {
         |  SELECT ev.user_id, MIN(ts) AS t_purchase
         |  FROM ev JOIN c ON c.user_id = ev.user_id
         |  WHERE event_type = 'purchase' AND ts > t_click
+        |  GROUP BY ev.user_id)
+        |SELECT v.user_id, t_view, t_click, t_purchase,
+        |  CAST(1 + CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin,
+    "events_funnel_windowed" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT ev.user_id, MIN(ts) AS t_click
+        |  FROM ev JOIN v ON v.user_id = ev.user_id
+        |  WHERE event_type = 'click' AND ts > t_view
+        |    AND ts <= t_view + INTERVAL 7 DAY
+        |  GROUP BY ev.user_id),
+        |p AS (
+        |  SELECT ev.user_id, MIN(ts) AS t_purchase
+        |  FROM ev JOIN c ON c.user_id = ev.user_id
+        |  WHERE event_type = 'purchase' AND ts > t_click
+        |    AND ts <= t_click + INTERVAL 7 DAY
         |  GROUP BY ev.user_id)
         |SELECT v.user_id, t_view, t_click, t_purchase,
         |  CAST(1 + CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END

@@ -657,6 +657,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(l.getLong(1) + l.getLong(2) + l.getLong(3) + l.getLong(4) == nIocs)
   }
 
+  test("events_funnel_windowed: a strictly tighter funnel than the unbounded one") {
+    val d = "/root/testdata/sf0.001"
+    val wf = SparkEntry.queries("events_funnel_windowed")(spark, d)
+    val uf = SparkEntry.queries("events_funnel")(spark, d)
+    assert(wf.count() == uf.count()) // stage-1 entry (a view) is identical
+    // windowing can only LOWER each user's stage, never raise it
+    val j = wf.select(col("user_id"), col("stage").as("s_w"))
+      .join(uf.select(col("user_id"), col("stage").as("s_u")), Seq("user_id"))
+    assert(j.filter(col("s_w") > col("s_u")).count() == 0)
+    // the 7-day bound actually holds on every reported conversion
+    assert(wf.filter(col("t_click").isNotNull &&
+      col("t_click") > col("t_view") + expr("INTERVAL 7 DAYS")).count() == 0)
+    assert(wf.filter(col("t_purchase").isNotNull &&
+      col("t_purchase") > col("t_click") + expr("INTERVAL 7 DAYS")).count() == 0)
+  }
+
   test("events_streaks: one row per active user, streak span matches its length") {
     val d = "/root/testdata/sf0.001"
     val r = SparkEntry.queries("events_streaks")(spark, d)
