@@ -135,27 +135,82 @@ object Events {
 
     // RFM segmentation — the classic customer-scoring roll-up: per user,
     // recency (last event), frequency (event count), monetary (exact
-    // decimal value sum), then quintile scores per metric. ONE corpus
-    // aggregation on the high-cardinality user key; the three ntile
-    // windows run over the |users|-sized result (each fully tie-broken
-    // by user_id — ntile over a total order is engine-portable, and the
-    // SQL-standard remainder rule is identical in both engines). At
-    // 100 TB the windows' single-partition ORDER BY is over users, not
-    // events — if even that outgrows a task, bucket the metric first
-    // (the agg_histogram shape) and score from cumulative bucket counts.
+    // decimal value sum), then quintile scores per metric. A naive
+    // ntile(5) over a global ORDER BY forces every user row through ONE
+    // task; instead the quintiles are computed distributively with the
+    // bucket-cumulative shape: unpivot the three metrics into
+    // (metric, mval) rows, range-bucket each metric into 1024 cells,
+    // broadcast the tiny per-bucket count table with its cumulative
+    // prefix (computed by a B×B self-join on ≤3·1024 rows — no global
+    // window anywhere), then recover each row's EXACT global rank as
+    // cum-count-of-higher-buckets + row_number within its bucket (the
+    // only windows partition on (metric, bucket) — ~n/1024 rows each).
+    // The SQL-standard ntile remainder rule is then pure arithmetic on
+    // (rank, n): first n%5 tiles hold ceil(n/5) rows. Hash-matching the
+    // oracle's real ntile(5) proves the distributed form exact. Every
+    // metric rides ONE double column order-isomorphically: unix_micros
+    // is exact in double (<2^53), frequency is a small long, monetary
+    // is already a double (dsum).
+    //
+    // The per-user profile is the branch root of BOTH the bucket-count
+    // side and the scoring side; without materialization Catalyst would
+    // re-execute the corpus aggregation once per reference. In production
+    // the per-user profile IS a persisted table (computed once per corpus
+    // snapshot); the memoized localCheckpoint is that table's single-
+    // process stand-in, same as the MinHash pair graph ([[graft.Memo]]).
+    // The offset windows partition by `metric` over the ≤3·1024-row
+    // bucket-count table — bounded by construction, never corpus-sized.
     "events_rfm" -> ((s, d) => {
-      val perUser = Tables.events(s, d)
-        .groupBy(col("user_id"))
-        .agg(max(col("ts")).as("last_ts"),
-          count(lit(1)).as("frequency"),
-          Relational.dsum(col("value")).as("monetary"))
-      def score(c: String) = ntile(5).over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col(c).desc, col("user_id"))).cast("long")
-      perUser
-        .withColumn("r_score", score("last_ts"))
-        .withColumn("f_score", score("frequency"))
-        .withColumn("m_score", score("monetary"))
+      val B = 1024
+      val perUser = graft.Memo("events_rfm_per_user", s, d)(
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(max(col("ts")).as("last_ts"),
+            count(lit(1)).as("frequency"),
+            Relational.dsum(col("value")).as("monetary"))
+          .localCheckpoint())
+      val longForm = perUser.select(
+        col("user_id"), col("last_ts"), col("frequency"), col("monetary"),
+        expr("""stack(3,
+          'r', CAST(unix_micros(last_ts) AS DOUBLE),
+          'f', CAST(frequency AS DOUBLE),
+          'm', monetary) AS (metric, mval)"""))
+      val bounds = longForm.groupBy(col("metric"))
+        .agg(min(col("mval")).as("lo"), max(col("mval")).as("hi"))
+      val bucketed = longForm.join(broadcast(bounds), Seq("metric"))
+        .withColumn("bucket",
+          when(col("hi") === col("lo"), lit(0))
+            .otherwise(least(lit(B - 1),
+              floor((col("mval") - col("lo")) / (col("hi") - col("lo")) * B)
+                .cast("int"))))
+        .drop("lo", "hi")
+      // rows rank DESC by mval: everything in a HIGHER bucket precedes
+      val byMetricDesc = Window.partitionBy(col("metric"))
+        .orderBy(col("bucket").desc)
+      val offsets = bucketed.groupBy(col("metric"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum_before", coalesce(sum(col("cnt")).over(
+          byMetricDesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("metric"))))
+        .drop("cnt")
+      val byBucket = Window.partitionBy(col("metric"), col("bucket"))
+        .orderBy(col("mval").desc, col("user_id"))
+      val scored = bucketed
+        .join(broadcast(offsets), Seq("metric", "bucket"))
+        .withColumn("rnk", col("cum_before") + row_number().over(byBucket))
+        .withColumn("score",
+          when(col("rnk") <= (col("n") % 5) * (expr("n DIV 5") + 1),
+            expr("(rnk - 1) DIV (n DIV 5 + 1) + 1"))
+            .otherwise(expr(
+              "n % 5 + (rnk - (n % 5) * (n DIV 5 + 1) - 1) DIV (n DIV 5) + 1"))
+            .cast("long"))
+      scored.groupBy(col("user_id"))
+        .agg(max(col("last_ts")).as("last_ts"),
+          max(col("frequency")).as("frequency"),
+          max(col("monetary")).as("monetary"),
+          max(when(col("metric") === "r", col("score"))).as("r_score"),
+          max(when(col("metric") === "f", col("score"))).as("f_score"),
+          max(when(col("metric") === "m", col("score"))).as("m_score"))
         .orderBy(col("user_id"))
     }),
 
@@ -223,8 +278,9 @@ object Events {
       val seg = Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
         .withColumn("chg",
-          when(lag(col("event_type"), 1).over(byUser).isNull ||
-            lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1)
+          // null-safe (<=>) to match the oracle's IS DISTINCT FROM: a NULL
+          // event_type must open a new segment, not extend the previous one
+          when(!(lag(col("event_type"), 1).over(byUser) <=> col("event_type")), 1)
             .otherwise(0))
         .withColumn("seg",
           sum(col("chg")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))

@@ -399,11 +399,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(prof).size == 1,
       s"dq_profile must profile every column in one pass:\n$prof")
     assert(!prof.contains("Join"), s"dq_profile grew a join:\n$prof")
-    // events_rfm: one user-keyed exchange; the ntile windows order the
-    // |users|-sized aggregate, never the event stream
+    // events_rfm: distributed bucket-cumulative quintiles off the
+    // checkpointed per-user profile — zero parquet re-scans (all branches
+    // read the materialized RDD), broadcast-only glue joins, and every
+    // window partitioned (the whole-inventory sweep pins that globally)
     val rfm = plan("events_rfm")
-    assert("Scan parquet".r.findAllIn(rfm).size == 1, s"events_rfm re-scans:\n$rfm")
-    assert(!rfm.contains("Join"), s"events_rfm grew a join:\n$rfm")
+    assert("Scan parquet".r.findAllIn(rfm).isEmpty,
+      s"events_rfm re-scans parquet instead of the checkpointed profile:\n$rfm")
+    assert(!rfm.contains("SortMergeJoin"),
+      s"events_rfm shuffles a broadcast-sized side:\n$rfm")
+    assert("Exchange hashpartitioning".r.findAllIn(rfm).size <= 6,
+      s"events_rfm exchange pile-up:\n$rfm")
     // events_paths: lag window + (from,to) agg + from-keyed ratio window,
     // no join-back for the denominator
     val paths = plan("events_paths")
@@ -539,5 +545,29 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(j.collect().map(_.getLong(1)).sum > 0)
     } finally saved.foreach { case (k, ov) =>
       ov.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
+  test("whole-inventory sweep: no cartesian, no partitionless Window in any plan") {
+    // The class-of-bug guard the per-query shape pins can't give: EVERY
+    // query's physical plan is traversed (tree nodes, not string match)
+    // and fails on (a) a CartesianProduct anywhere, (b) a WindowExec with
+    // an empty partitionSpec — Spark's "No Partition Defined for Window"
+    // single-task global sort, the scale-killer events_rfm shipped with
+    // in r5. A window over data this engine KNOWS is bounded must still
+    // partition (by a constant bucket column if nothing else) or be
+    // rewritten as an aggregation — no exemption list, by design.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val bad = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      fn(spark, d).queryExecution.executedPlan.foreach {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          bad += s"$name: partitionless Window (${w.windowExpression.mkString(",").take(80)})"
+        case _: CartesianProductExec => bad += s"$name: CartesianProduct"
+        case _ => ()
+      }
+    }
+    assert(bad.isEmpty,
+      s"scale-killer plan shapes found:\n  ${bad.mkString("\n  ")}")
   }
 }
