@@ -296,8 +296,11 @@ object Corpus {
         .select(col("doc_id"),
           md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text"))).as("h_b"))
+      // synthetic "new" ids live in the negative namespace — disjoint from
+      // any real (non-negative) doc_id at EVERY corpus size, where an
+      // additive offset would collide once the corpus outgrows it
       val bNew = docs.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), md5(col("text")).as("h_b"))
+        .select((-col("doc_id") - 1L).as("doc_id"), md5(col("text")).as("h_b"))
       a.join(bOld.unionByName(bNew), Seq("doc_id"), "full")
         .withColumn("status",
           when(col("h_a").isNull, "added")
@@ -588,7 +591,7 @@ object Corpus {
         |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h_b
         |  FROM documents WHERE doc_id % 11 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 13 = 0)
+        |  SELECT -doc_id - 1, md5(text) FROM documents WHERE doc_id % 13 = 0)
         |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
         |  CASE WHEN a.doc_id IS NULL THEN 'added'
         |       WHEN b.doc_id IS NULL THEN 'removed'

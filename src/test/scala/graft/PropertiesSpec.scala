@@ -126,6 +126,35 @@ class PropertiesSpec extends AnyFunSuite {
     val empty = df.filter(col("key") < 0)
     assert(graft.plans.TopKPerKey.topK(empty, Seq("key"),
       Seq(("v", true)), 3).count() == 0)
+    // cap neutrality: force the flush-and-merge fallback (live-heap cap
+    // far below the 8-key domain → many mid-partition flushes) and the
+    // kept set must be IDENTICAL — the cap bounds memory, never results
+    val saved = graft.plans.TopKPerKeyExec.MaxHeapKeys
+    graft.plans.TopKPerKeyExec.MaxHeapKeys = 3
+    try {
+      for (k <- Seq(1, 3, 50)) {
+        val heap = graft.plans.TopKPerKey.topK(df, Seq("key"),
+          Seq(("v", false), ("id", true)), k)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("v").desc, col("id"))
+        val win = df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).drop("rn")
+        assert(heap.exceptAll(win).count() == 0 && win.exceptAll(heap).count() == 0,
+          s"k=$k: capped exec diverges from window formulation")
+      }
+    } finally graft.plans.TopKPerKeyExec.MaxHeapKeys = saved
+  }
+
+  test("property: TopKPerKey.topK rejects ambiguous and missing columns") {
+    val df = spark.range(4).select(col("id").as("a"), col("id").as("b"))
+    val dup = df.join(spark.range(4).select(col("id").as("a"), col("id").as("c")), "a")
+      .select(col("a"), col("b"), col("c"), col("b").as("c"))
+    intercept[IllegalArgumentException] {
+      graft.plans.TopKPerKey.topK(dup, Seq("a"), Seq(("c", true)), 2)
+    }
+    intercept[IllegalArgumentException] {
+      graft.plans.TopKPerKey.topK(df, Seq("nope"), Seq(("b", true)), 2)
+    }
   }
 
   test("property: hash regex is greedy — exactly one match per hash token") {
