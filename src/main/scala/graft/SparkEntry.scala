@@ -42,6 +42,18 @@ object SparkEntry {
       sortedOnce(TweetPipeline.extract(Tables.tweets(s, d)),
         col("id").cast("long"), col("type"), col("ioc"))),
 
+    // X4/§1.1: the canonical unified indicator store — the reference's
+    // whole point (README.md:13-29) is ONE table both feeds land in.
+    // Explicit unionByName on the 8-column schema (platform and the
+    // date_received=created_at fill are applied inside each pipeline);
+    // at scale this is a metadata-only union of two independently
+    // partitioned ETL outputs — no shuffle beyond the final total order.
+    "ioc_unified" -> ((s, d) =>
+      sortedOnce(
+        EmailPipeline(Tables.emails(s, d), DateAdded)
+          .unionByName(TweetPipeline.extract(Tables.tweets(s, d))),
+        col("platform"), col("id"), col("type"), col("ioc"))),
+
     // A1: per-type counts (h-isac.py:171-174) — one hash agg, not 4 scans.
     "ioc_type_counts" -> ((s, d) =>
       EmailPipeline(Tables.emails(s, d), DateAdded)
@@ -155,6 +167,14 @@ object SparkEntry {
   private val parityOracle: Map[String, String] = Map(
     "ioc_email_etl" -> OracleViews.emailEtlSql(DateAdded),
     "ioc_tweet_etl" -> OracleViews.tweetEtlSql,
+    // both feed SQLs wrap as CTEs whole (their inner WITHs nest; the
+    // ioc_type_counts oracle proves the pattern) — their private CTE
+    // names (typed, filtered, live) never collide this way
+    "ioc_unified" ->
+      (s"WITH e AS (\n${OracleViews.emailEtlSql(DateAdded)}\n),\n" +
+        s"t AS (\n${OracleViews.tweetEtlSql}\n)\n" +
+        "SELECT * FROM e UNION ALL SELECT * FROM t\n" +
+        "ORDER BY platform, id, type, ioc"),
     "ioc_type_counts" ->
       (s"WITH base AS (\n${OracleViews.emailEtlSql(DateAdded)}\n)\n" +
         "SELECT type, count(*) AS count FROM base GROUP BY type ORDER BY type"),
