@@ -5,6 +5,14 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Accumulated per-user funnel evidence for the streaming twin of
+  * events_funnel_windowed: ALL event timestamps per type (epoch micros),
+  * so late/out-of-order arrivals can re-derive the exact funnel — an
+  * earlier view arriving late changes which click qualifies. Production
+  * bounds this state with a watermark TTL; the spec keeps it whole to
+  * assert exact batch parity. */
+case class FunnelAcc(views: Seq[Long], clicks: Seq[Long], purchases: Seq[Long])
+
 /** Streaming window semantics (SURVEY.md §2.9 extensions): tumbling window
   * aggregation and session windows with watermarks over a memory stream —
   * the streaming twins of the batch `events_tumbling` / `events_sessionize`
@@ -117,6 +125,75 @@ class StreamingWindowsSpec extends AnyFunSuite {
       .select(col("ad"), col("view_ts").cast("string"), col("click_ts").cast("string"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(rows == Set((1L, "2024-01-01 10:00:00", "2024-01-01 10:03:00")))
+  }
+
+  test("windowed funnel: mapGroupsWithState streaming twin ≡ batch query") {
+    // stream≡batch parity for events_funnel_windowed, the same discipline
+    // DocsIngestStream asserts for corpus admission: the REAL sf0.001
+    // events table is replayed through a MemoryStream in several batches
+    // (so state genuinely folds across triggers, with cross-batch
+    // ordering preserved only per arrival), a per-user
+    // mapGroupsWithState accumulates evidence, and the derived
+    // (t_view, t_click, t_purchase, stage) rows must equal the batch
+    // query's — same 7-day window rule, same strict inequalities.
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val week = 7L * 86400L * 1000000L // micros
+    val events = graft.sources.Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"))
+      .as[(Long, String, Long)].collect()
+
+    val mem = MemoryStream[(Long, String, Long)]
+    def funnel(acc: FunnelAcc): (Option[Long], Option[Long], Option[Long]) = {
+      val tv = acc.views.minOption
+      val tc = tv.flatMap(v =>
+        acc.clicks.filter(c => c > v && c <= v + week).minOption)
+      val tp = tc.flatMap(c =>
+        acc.purchases.filter(p => p > c && p <= c + week).minOption)
+      (tv, tc, tp)
+    }
+    val updates = mem.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelAcc, (Long, Option[Long], Option[Long], Option[Long], Long)](
+        GroupStateTimeout.NoTimeout) { case (uid, it, state) =>
+        val prev = state.getOption.getOrElse(FunnelAcc(Nil, Nil, Nil))
+        val acc = it.foldLeft(prev) { case (a, (_, typ, t)) => typ match {
+          case "view" => a.copy(views = a.views :+ t)
+          case "click" => a.copy(clicks = a.clicks :+ t)
+          case "purchase" => a.copy(purchases = a.purchases :+ t)
+          case _ => a
+        }}
+        state.update(acc)
+        val (tv, tc, tp) = funnel(acc)
+        (uid, tv, tc, tp,
+          1L + tc.map(_ => 1L).getOrElse(0L) + tp.map(_ => 1L).getOrElse(0L))
+      }
+    // update-mode memory sink keeps EVERY intermediate row; capture the
+    // last write per user via foreachBatch instead (batches are ordered)
+    val last = scala.collection.mutable.Map
+      .empty[Long, (Option[Long], Option[Long], Option[Long], Long)]
+    val q = updates.writeStream.outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[(Long, Option[Long], Option[Long], Option[Long], Long)], _: Long) =>
+        ds.collect().foreach(r => last.synchronized { last(r._1) = (r._2, r._3, r._4, r._5) })
+      }.start()
+    events.grouped(math.max(1, events.length / 5)).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = last.toMap.collect {
+      case (uid, (Some(tv), tc, tp, stage)) => (uid, tv, tc, tp, stage)
+    }.toSet // users with no view never enter the batch funnel
+    val batch = SparkEntry.queries("events_funnel_windowed")(spark, d)
+      .select(col("user_id"), unix_micros(col("t_view")),
+        unix_micros(col("t_click")), unix_micros(col("t_purchase")), col("stage"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4))).toSet
+    assert(streamed == batch,
+      s"stream/batch funnel divergence: stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
   }
 
   test("session windows (5-minute gap) split on inactivity") {
