@@ -54,6 +54,23 @@ object SparkEntry {
           .unionByName(TweetPipeline.extract(Tables.tweets(s, d))),
         col("platform"), col("id"), col("type"), col("ioc"))),
 
+    // The unified store's primary lookup: per-indicator sighting history
+    // — first/last seen, sighting count, distinct sources and platforms.
+    // "Have we seen this IOC before, where, and how often" is the
+    // question a TI team asks the canonical table; one hash agg on the
+    // high-cardinality (ioc, type) key over the merged feed (dates are
+    // yyyy-MM-dd strings, so string min/max IS chronological min/max).
+    "ioc_first_seen" -> ((s, d) =>
+      EmailPipeline(Tables.emails(s, d), DateAdded)
+        .unionByName(TweetPipeline.extract(Tables.tweets(s, d)))
+        .groupBy(col("ioc"), col("type"))
+        .agg(min(col("date_received")).as("first_seen"),
+          max(col("date_received")).as("last_seen"),
+          count(lit(1)).as("n_sightings"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("platform")).as("n_platforms"))
+        .orderBy(col("ioc"), col("type"))),
+
     // A1: per-type counts (h-isac.py:171-174) — one hash agg, not 4 scans.
     "ioc_type_counts" -> ((s, d) =>
       EmailPipeline(Tables.emails(s, d), DateAdded)
@@ -175,6 +192,16 @@ object SparkEntry {
         s"t AS (\n${OracleViews.tweetEtlSql}\n)\n" +
         "SELECT * FROM e UNION ALL SELECT * FROM t\n" +
         "ORDER BY platform, id, type, ioc"),
+    "ioc_first_seen" ->
+      (s"WITH e AS (\n${OracleViews.emailEtlSql(DateAdded)}\n),\n" +
+        s"t AS (\n${OracleViews.tweetEtlSql}\n),\n" +
+        "u AS (SELECT * FROM e UNION ALL SELECT * FROM t)\n" +
+        "SELECT ioc, type, MIN(date_received) AS first_seen,\n" +
+        "  MAX(date_received) AS last_seen, COUNT(*) AS n_sightings,\n" +
+        "  COUNT(DISTINCT source) AS n_sources,\n" +
+        "  COUNT(DISTINCT platform) AS n_platforms\n" +
+        "FROM u GROUP BY ioc, type\n" +
+        "ORDER BY ioc, type"),
     "ioc_type_counts" ->
       (s"WITH base AS (\n${OracleViews.emailEtlSql(DateAdded)}\n)\n" +
         "SELECT type, count(*) AS count FROM base GROUP BY type ORDER BY type"),

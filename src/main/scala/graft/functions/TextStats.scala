@@ -105,6 +105,24 @@ object TextStats {
         .orderBy(col("doc_id"))
     }),
 
+    // readability signals next to text_stats' token counts: words per
+    // sentence and chars per word — the Flesch-style inputs — kept in
+    // EXACT integer ppm (no IEEE division) so both engines agree
+    // bit-for-bit. Sentence count = '.' occurrences via translate-diff
+    // (floor 1 to guard headlines), word chars exclude spaces. Pure
+    // per-row projection: fuses into the scan, shuffle-free.
+    "text_readability" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        greatest(lit(1L), size(split(col("text"), " ")).cast("long")).as("n_words"),
+        greatest(lit(1L), (length(col("text")) -
+          length(translate(col("text"), ".", ""))).cast("long")).as("n_sentences"),
+        length(translate(col("text"), " ", "")).cast("long").as("n_word_chars"))
+        .withColumn("cpw_ppm", expr("n_word_chars * 1000000 DIV n_words"))
+        .withColumn("wps_ppm", expr("n_words * 1000000 DIV n_sentences"))
+        .orderBy(col("doc_id"))
+    }),
+
     // language-ID: stopword-marker scoring with fixed precedence en>es>de.
     "text_langid" -> ((s, d) => {
       val toks = tokens(col("text"))
@@ -364,6 +382,18 @@ object TextStats {
          |  length(text) AS len_chars
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+    "text_readability" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    greatest(1, len(string_split(text, ' '))) AS n_words,
+        |    greatest(1, length(text) - length(replace(text, '.', ''))) AS n_sentences,
+        |    length(replace(text, ' ', '')) AS n_word_chars
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_word_chars,
+        |  n_word_chars * 1000000 // n_words AS cpw_ppm,
+        |  n_words * 1000000 // n_sentences AS wps_ppm
+        |FROM base
+        |ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id, lang,
          |  ${sqlCountIn(stopEn)} AS score_en,

@@ -271,6 +271,25 @@ object Events {
         .orderBy(col("wday"))
     }),
 
+    // DAU/MAU stickiness — the engagement-intensity dashboard one rung
+    // up from WAU: the SAME distinct-first + explode-to-window-days
+    // scale pattern with L=28, and the ratio reported in EXACT ppm
+    // (integer div) so both engines agree bit-for-bit with no IEEE
+    // division anywhere. The 28× fan-out costs map-side rows only,
+    // strictly after the one corpus-sized (user, day) distinct.
+    "events_stickiness" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      days
+        .withColumn("wday", explode(sequence(col("day"), date_add(col("day"), 27))))
+        .groupBy(col("wday"))
+        .agg(
+          countDistinct(when(col("wday") === col("day"), col("user_id"))).as("dau"),
+          countDistinct(col("user_id")).as("mau"))
+        .withColumn("stickiness_ppm", expr("dau * 1000000 DIV mau"))
+        .orderBy(col("wday"))
+    }),
+
     // SCD-2 dimension build from the event stream: per user, collapse
     // consecutive same-type events into one state row (change-point
     // compression — the step cdc_upsert's keep-latest skips), then stamp
@@ -560,6 +579,22 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_stickiness" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |contrib AS (
+        |  SELECT user_id, day, CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |    CAST(day + 27 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS wday
+        |  FROM days),
+        |agg AS (
+        |  SELECT wday,
+        |    COUNT(DISTINCT CASE WHEN wday = day THEN user_id END) AS dau,
+        |    COUNT(DISTINCT user_id) AS mau
+        |  FROM contrib
+        |  GROUP BY wday)
+        |SELECT wday, dau, mau, dau * 1000000 // mau AS stickiness_ppm
+        |FROM agg
+        |ORDER BY wday""".stripMargin,
     "events_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
         |  COUNT(*) AS n,
