@@ -448,8 +448,54 @@ object Similarity {
         .select(col("qid"), col("n_hits"),
           (col("n_hits").cast("double") / lit(TopK)).as("recall"))
         .orderBy(col("qid"))
+    }),
+
+    // The nprobe TUNING CURVE: mean recall@k of the served index at
+    // 1, 2 and 4 probes in one report — how the probes knob gets set
+    // before a deploy (DEPLOYMENT.md: more probes = linearly more
+    // candidate volume for logarithmically more recall). Exact ground
+    // truth is the SAME one-pass corpus × broadcast-sample join
+    // sim_recall uses; the three levels differ only in the tiny probe
+    // table, and hit counting rides one inner join + per-level agg.
+    "sim_probe_sweep" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+      val q = e.filter(col("vec_id") < RecallQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nsq").as("qn"))
+      val byQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      val exact = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosine", dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nsq")))
+        .withColumn("rank", row_number().over(byQ))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("vec_id").as("nid"))
+      val approxAll = ProbeSweepLevels.map { p =>
+        q.join(ivfProbes(s, d, p).filter(col("qid") < RecallQueries), Seq("qid"))
+          .join(ivfAssign(s, d), Seq("cell"))
+          .join(e.select(col("vec_id"), col("embedding").as("ne"), col("nsq").as("nn")),
+            Seq("vec_id"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cosine", dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")))
+          .withColumn("rank", row_number().over(byQ))
+          .filter(col("rank") <= TopK)
+          .select(col("qid"), col("vec_id").as("nid"), lit(p).as("n_probes"))
+      }.reduce(_ unionByName _)
+      val hits = exact.join(approxAll, Seq("qid", "nid"))
+        .groupBy(col("n_probes")).agg(count(lit(1)).as("n_hits"))
+      ProbeSweepLevels.toDF("n_probes")
+        .join(broadcast(hits), Seq("n_probes"), "left")
+        .select(col("n_probes"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") /
+            lit(RecallQueries * TopK)).as("recall"))
+        .orderBy(col("n_probes"))
     })
   )
+
+  /** Probe counts measured by the `sim_probe_sweep` tuning curve. */
+  val ProbeSweepLevels = Seq(1, 2, 4)
 
   /** Size of the fixed recall-measurement query sample (`sim_recall`). The
     * deployment knob trades ground-truth cost (one corpus scan × sample
@@ -586,11 +632,11 @@ object Similarity {
   }
 
   /** 2-probe list: each vector's 2 nearest cells, (qid, cell). */
-  private def ivfProbes(s: SparkSession, d: String): DataFrame = {
+  private def ivfProbes(s: SparkSession, d: String, probes: Int = 2): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("dist"), col("sid"))
     seedDists(s, d)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= probes)
       .select(col("vec_id").as("qid"), col("sid").as("cell"))
   }
 
@@ -914,6 +960,45 @@ object Similarity {
            |LEFT JOIN approx a ON a.qid = g.qid AND a.nid = g.nid
            |GROUP BY g.qid
            |ORDER BY g.qid""".stripMargin),
+    "sim_probe_sweep" ->
+      (s"WITH $ivfCtes,\n" +
+        s"""probes AS (
+           |  SELECT vec_id AS qid, sid AS cell, rn FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+           |    FROM dists WHERE vec_id < $RecallQueries)
+           |  WHERE rn <= ${ProbeSweepLevels.max}),
+           |levels AS (SELECT unnest([${ProbeSweepLevels.mkString(",")}]) AS n_probes),
+           |apx_cands AS (
+           |  SELECT l.n_probes, q.vec_id AS qid, x.vec_id AS nid,
+           |    ${dotSql("q", "x")} / sqrt(q.nsq * x.nsq) AS cosine
+           |  FROM e q
+           |  JOIN probes p ON p.qid = q.vec_id
+           |  JOIN levels l ON p.rn <= l.n_probes
+           |  JOIN assign a ON a.cell = p.cell
+           |  JOIN e x ON x.vec_id = a.vec_id AND x.vec_id <> q.vec_id),
+           |approx AS (
+           |  SELECT n_probes, qid, nid FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY n_probes, qid ORDER BY cosine DESC, nid) AS rank
+           |    FROM apx_cands)
+           |  WHERE rank <= $TopK),
+           |ex_cands AS (
+           |  SELECT q.vec_id AS qid, x.vec_id AS nid,
+           |    ${dotSql("q", "x")} / sqrt(q.nsq * x.nsq) AS cosine
+           |  FROM e q CROSS JOIN e x
+           |  WHERE q.vec_id < $RecallQueries AND x.vec_id <> q.vec_id),
+           |exact AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+           |    FROM ex_cands)
+           |  WHERE rank <= $TopK),
+           |hits AS (
+           |  SELECT a.n_probes, COUNT(*) AS n_hits
+           |  FROM exact g JOIN approx a ON a.qid = g.qid AND a.nid = g.nid
+           |  GROUP BY a.n_probes)
+           |SELECT l.n_probes, COALESCE(h.n_hits, 0) AS n_hits,
+           |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / ${RecallQueries * TopK} AS recall
+           |FROM levels l LEFT JOIN hits h ON h.n_probes = l.n_probes
+           |ORDER BY l.n_probes""".stripMargin),
     "sim_lsh_buckets" ->
       s"""WITH signed AS (
          |  SELECT vec_id,
