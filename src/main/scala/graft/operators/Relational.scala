@@ -396,6 +396,36 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Sketch MERGE proven by the oracle — the agg_incremental discipline
+    // applied to sketches: per-SEGMENT KMV bottom-k partials (the shape
+    // of a per-day/per-shard sketch store) merged into the corpus
+    // estimate, while the oracle computes the single-pass bottom-k
+    // directly. Hash-match proves bottom-k(∪ partials) ≡
+    // bottom-k(corpus) — the lossless-union property that lets 1000
+    // executors (or 365 daily snapshots) sketch independently and
+    // combine; partials are k longs per (group, segment), so the merge
+    // input is KBs regardless of corpus size.
+    "agg_sketch_merge" -> ((s, d) => {
+      val k = 256
+      val h = conv(substring(md5(col("l_orderkey").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+      val bottomK = slice(array_sort(collect_set(col("h"))), 1, k)
+      val partials = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), (col("l_orderkey") % 4).as("segment"), h.as("h"))
+        .groupBy(col("l_returnflag"), col("segment"))
+        .agg(bottomK.as("hs"))
+      partials.select(col("l_returnflag"), explode(col("hs")).as("h"))
+        .groupBy(col("l_returnflag"))
+        .agg(bottomK.as("hs"))
+        .select(col("l_returnflag"),
+          size(col("hs")).cast("long").as("n"),
+          element_at(col("hs"), size(col("hs"))).as("hk"))
+        .select(col("l_returnflag"),
+          when(col("n") < k, col("n"))
+            .otherwise(expr("71776119061217280 div hk")).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // TPC-H Q13 shape: left join + two-level aggregation (order-count
     // histogram over customers, including zero-order customers).
     "q13_custdist" -> ((s, d) => {
@@ -1388,6 +1418,23 @@ object Relational {
     // yields EXACTLY the global bottom-k, so the simple formulation here
     // produces the identical h_k and estimate (integer arithmetic only)
     "agg_approx_sketch" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, h,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        |  FROM h)
+        |SELECT l_returnflag,
+        |  CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+        |       ELSE 71776119061217280 // MAX(h) END AS approx_orders
+        |FROM r WHERE rn <= 256
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // the single-pass formulation on purpose: hash-equality with the
+    // Spark side's per-segment merge IS the mergeability proof
+    "agg_sketch_merge" ->
       """WITH h AS (
         |  SELECT DISTINCT l_returnflag,
         |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
