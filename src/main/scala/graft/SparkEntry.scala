@@ -31,6 +31,19 @@ object SparkEntry {
   private def sortedOnce(df: DataFrame, keys: Column*): DataFrame =
     operators.Relational.sortedOnce(df, keys: _*)
 
+  /** The canonical unified indicator table (email ∪ tweet feeds on the
+    * 8-column schema) — the reference's single persisted store that
+    * every downstream lookup reads (README.md:13-29). Memoized
+    * localCheckpoint like the other persisted intermediates
+    * ([[graft.Memo]]): the regex ETLs run once per corpus snapshot, and
+    * ioc_unified / ioc_first_seen query the materialized table. The
+    * per-feed costs stay measured by ioc_email_etl / ioc_tweet_etl. */
+  private[graft] def unifiedFeed(s: SparkSession, d: String): DataFrame =
+    Memo("ioc_unified_feed", s, d)(
+      EmailPipeline(Tables.emails(s, d), DateAdded)
+        .unionByName(TweetPipeline.extract(Tables.tweets(s, d)))
+        .localCheckpoint())
+
   /** Parity queries over the reference's own surface (SURVEY.md §2.1-§2.4). */
   private val parity: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -49,9 +62,7 @@ object SparkEntry {
     // at scale this is a metadata-only union of two independently
     // partitioned ETL outputs — no shuffle beyond the final total order.
     "ioc_unified" -> ((s, d) =>
-      sortedOnce(
-        EmailPipeline(Tables.emails(s, d), DateAdded)
-          .unionByName(TweetPipeline.extract(Tables.tweets(s, d))),
+      sortedOnce(unifiedFeed(s, d),
         col("platform"), col("id"), col("type"), col("ioc"))),
 
     // The unified store's primary lookup: per-indicator sighting history
@@ -61,8 +72,7 @@ object SparkEntry {
     // high-cardinality (ioc, type) key over the merged feed (dates are
     // yyyy-MM-dd strings, so string min/max IS chronological min/max).
     "ioc_first_seen" -> ((s, d) =>
-      EmailPipeline(Tables.emails(s, d), DateAdded)
-        .unionByName(TweetPipeline.extract(Tables.tweets(s, d)))
+      unifiedFeed(s, d)
         .groupBy(col("ioc"), col("type"))
         .agg(min(col("date_received")).as("first_seen"),
           max(col("date_received")).as("last_seen"),

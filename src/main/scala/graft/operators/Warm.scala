@@ -23,5 +23,6 @@ object Warm {
     Dedup.clusterLabels(s, d)
     Similarity.ivfAssign(s, d)
     Events.rfmPerUser(s, d)
+    graft.SparkEntry.unifiedFeed(s, d)
   }
 }
