@@ -87,6 +87,23 @@ object SparkEntry {
         .groupBy(col("type")).count()
         .orderBy(col("type"))),
 
+    // Indicator velocity — the campaign-detection dashboard on the
+    // canonical store: daily sighting volume per IOC type with the
+    // day-over-day delta (a surge in new hash sightings = an active
+    // campaign). Tiny after the per-(type, day) aggregation; the delta
+    // window partitions by type over |types|·|days| rows. All integer.
+    "ioc_velocity" -> ((s, d) => {
+      val byType = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("type")).orderBy(col("day"))
+      unifiedFeed(s, d)
+        .groupBy(col("type"), col("date_received").as("day"))
+        .agg(count(lit(1)).as("n_sightings"),
+          countDistinct(col("ioc")).as("n_distinct"))
+        .withColumn("delta",
+          col("n_sightings") - coalesce(lag(col("n_sightings"), 1).over(byType), lit(0L)))
+        .orderBy(col("type"), col("day"))
+    }),
+
     // R7/R8 standalone: refang over defanged tokens (incl. meow scheme,
     // case-variant hXXp, bracketed @) synthesized from part.
     "ioc_refang" -> ((s, d) => {
@@ -212,6 +229,18 @@ object SparkEntry {
         "  COUNT(DISTINCT platform) AS n_platforms\n" +
         "FROM u GROUP BY ioc, type\n" +
         "ORDER BY ioc, type"),
+    "ioc_velocity" ->
+      (s"WITH e AS (\n${OracleViews.emailEtlSql(DateAdded)}\n),\n" +
+        s"t AS (\n${OracleViews.tweetEtlSql}\n),\n" +
+        "u AS (SELECT * FROM e UNION ALL SELECT * FROM t),\n" +
+        "agg AS (\n" +
+        "  SELECT type, date_received AS day, COUNT(*) AS n_sightings,\n" +
+        "    COUNT(DISTINCT ioc) AS n_distinct\n" +
+        "  FROM u GROUP BY type, date_received)\n" +
+        "SELECT type, day, n_sightings, n_distinct,\n" +
+        "  n_sightings - COALESCE(lag(n_sightings) OVER (PARTITION BY type ORDER BY day), 0) AS delta\n" +
+        "FROM agg\n" +
+        "ORDER BY type, day"),
     "ioc_type_counts" ->
       (s"WITH base AS (\n${OracleViews.emailEtlSql(DateAdded)}\n)\n" +
         "SELECT type, count(*) AS count FROM base GROUP BY type ORDER BY type"),

@@ -409,6 +409,28 @@ object Corpus {
     // chunker. Chunks are emitted as (start, len, md5) — the hash is the
     // retrieval-index key and keeps this result corpus-metadata-sized;
     // the chunk text itself is recomputable from (doc_id, start).
+    // Curriculum plan — the ORDER-side counterpart of docs_spans' stored
+    // masking plan: train on high-quality documents first. Phase is a
+    // fixed ppm threshold on the SHARED quality score (no rank windows —
+    // a rank-based tercile would put the whole corpus through 3 giant
+    // partitions), the within-phase order is an md5 draw, and consumers
+    // sort by (phase, order_key) at read exactly like docs_shuffle.
+    // Pure per-row projection: fuses into the scan, deterministic across
+    // retries/epochs, and the plan is STORED so every re-run trains in
+    // the identical order.
+    "docs_curriculum" -> ((s, d) => {
+      val q = graft.functions.TextStats.qualityScore(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), floor(q * 1000000).cast("long").as("q_ppm"))
+        .withColumn("phase",
+          when(col("q_ppm") >= 600000, 1L)
+            .when(col("q_ppm") >= 400000, 2L).otherwise(3L))
+        .withColumn("order_key",
+          concat(col("phase").cast("string"), lit(":"),
+            md5(concat(col("doc_id").cast("string"), lit(":curriculum")))))
+        .orderBy(col("doc_id"))
+    }),
+
     "docs_chunk" -> ((s, d) => {
       val chunk = col("text").substr(col("start"), lit(ChunkSize))
       Tables.documents(s, d)
@@ -667,6 +689,20 @@ object Corpus {
          |  CAST(n_boiler * 1000000 // n_shingles AS BIGINT) AS boiler_ppm,
          |  n_boiler * 1000000 // n_shingles > 500000 AS flagged
          |FROM pd
+         |ORDER BY doc_id""".stripMargin,
+    "docs_curriculum" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(floor(${graft.functions.TextStats.sqlQualityScore} * 1000000) AS BIGINT) AS q_ppm
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, q_ppm,
+         |    CAST(CASE WHEN q_ppm >= 600000 THEN 1
+         |              WHEN q_ppm >= 400000 THEN 2 ELSE 3 END AS BIGINT) AS phase
+         |  FROM base)
+         |SELECT doc_id, q_ppm, phase,
+         |  CAST(phase AS VARCHAR) || ':' || md5(CAST(doc_id AS VARCHAR) || ':curriculum') AS order_key
+         |FROM p
          |ORDER BY doc_id""".stripMargin,
     "docs_chunk" ->
       s"""WITH d AS (
