@@ -286,6 +286,34 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, d) =>
       minhashPairs(s, d).orderBy(col("id1"), col("id2"))),
 
+    // INCREMENTAL admission — the daily-ingest production shape: a new
+    // batch (docs ≡0 mod 10, the synthetic increment) is deduped against
+    // the EXISTING corpus only. New-side banded rows equi-join the
+    // corpus's banded index on (band, band_hash) — at 100 TB that index
+    // is a persisted table written by the last full pass, so the
+    // incremental cost is ∝ batch size and old×old pairs are never
+    // revisited; within-batch duplicates are the batch pass's job
+    // (dedup_minhash_lsh), exactly as production dedupes the increment
+    // internally before admission. The corpus side keeps the
+    // MaxBucketSize cap ORDERED BY doc_id, which is output-neutral here:
+    // the verdict is min(old_id) and the cap keeps the smallest ids.
+    "dedup_incremental" -> ((s, d) => {
+      val banded = minhashBanded(s, d)
+      val isNew = col("doc_id") % 10 === 0
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("band_hash")).orderBy(col("old_id"))
+      val oldIdx = banded.filter(!isNew)
+        .select(col("band"), col("band_hash"), col("doc_id").as("old_id"))
+        .withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= MaxBucketSize).drop("rn")
+      banded.filter(isNew)
+        .join(oldIdx, Seq("band", "band_hash"), "left")
+        .groupBy(col("doc_id"))
+        .agg(min(col("old_id")).as("dup_of"))
+        .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("admitted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash estimator quality gate — the dedup analogue of sim_recall:
     // for every LSH candidate pair, the signature-estimated Jaccard
     // (matching positions / K) next to the EXACT shingle-set Jaccard and
@@ -684,6 +712,24 @@ object Dedup {
       s"""WITH $minhashPairCtes
          |SELECT id1, id2 FROM mh_pairs
          |ORDER BY id1, id2""".stripMargin,
+    "dedup_incremental" ->
+      (s"WITH $minhashPairCtes,\n" +
+        s"""old_idx AS (
+           |  SELECT band, band_hash, old_id FROM (
+           |    SELECT band, band_hash, doc_id AS old_id,
+           |      row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+           |    FROM mh_banded0 WHERE doc_id % 10 <> 0)
+           |  WHERE rn <= $MaxBucketSize),
+           |verdict AS (
+           |  SELECT n.doc_id, MIN(o.old_id) AS dup_of
+           |  FROM mh_banded0 n
+           |  LEFT JOIN old_idx o
+           |    ON o.band = n.band AND o.band_hash = n.band_hash
+           |  WHERE n.doc_id % 10 = 0
+           |  GROUP BY n.doc_id)
+           |SELECT doc_id, dup_of, dup_of IS NULL AS admitted
+           |FROM verdict
+           |ORDER BY doc_id""".stripMargin),
     "dedup_minhash_est" ->
       (s"WITH $minhashPairCtes,\n" +
         s"""sh AS (
