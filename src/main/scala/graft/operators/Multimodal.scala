@@ -165,6 +165,34 @@ object Multimodal {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy(col("sha256"))),
 
+    // Media admission manifest — the multimodal counterpart of
+    // corpus_manifest: decoded metadata ∧ content-addressed canonical
+    // keeper ∧ size/dimension policy composed into ONE verdict row per
+    // media object, each stage the same code its standalone query runs
+    // (decodeMeta's partition-local decode, binary_dedup's keeper map).
+    // Only (doc_id, sha256) digests and narrow typed metadata ever
+    // shuffle — payloads stay in the partition-local decode, exactly the
+    // property that makes this composable at 100 TB of media.
+    "binary_manifest" -> ((s, d) => {
+      val docs = graft.sources.Tables.documents(s, d)
+        .select(col("doc_id"),
+          to_binary(col("text"), lit("utf-8")).as("payload"),
+          sha2(col("text").cast("binary"), 256).as("sha256"))
+      val meta = decodeMeta(docs.select(col("doc_id"), col("payload")))
+      val keepers = docs.groupBy(col("sha256")).agg(min(col("doc_id")).as("keep_id"))
+      meta.join(docs.select(col("doc_id"), col("sha256")), Seq("doc_id"))
+        .join(keepers, Seq("sha256"))
+        .withColumn("is_canonical", col("doc_id") === col("keep_id"))
+        .withColumn("size_ok", col("n_bytes") <= 1024L)
+        .withColumn("dims_ok", col("width") >= 100 && col("height") >= 100)
+        .withColumn("admitted",
+          col("is_canonical") && col("size_ok") && col("dims_ok"))
+        .select(col("doc_id"), col("sha256"), col("width"), col("height"),
+          col("format"), col("n_bytes"), col("is_canonical"), col("size_ok"),
+          col("dims_ok"), col("admitted"))
+        .orderBy(col("doc_id"))
+    }),
+
     "binary_meta" -> ((s, d) =>
       Relational.sortedOnce(graft.sources.Tables.documents(s, d)
         .select(
@@ -221,6 +249,24 @@ object Multimodal {
         |  CAST(('0x' || substr(h, 13, 4)) AS INTEGER) / 65536.0 AS e3
         |FROM (SELECT doc_id, md5(text) AS h FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "binary_manifest" ->
+      """WITH m AS (
+        |  SELECT doc_id, sha256(text) AS sha256,
+        |    CAST(64 + n % 577 AS INTEGER) AS width,
+        |    CAST(64 + (n * 31) % 433 AS INTEGER) AS height,
+        |    CASE WHEN n % 3 = 0 THEN 'png' WHEN n % 3 = 1 THEN 'jpeg'
+        |         ELSE 'webp' END AS format,
+        |    CAST(n AS BIGINT) AS n_bytes
+        |  FROM (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)),
+        |k AS (SELECT sha256, MIN(doc_id) AS keep_id FROM m GROUP BY sha256)
+        |SELECT m.doc_id, m.sha256, m.width, m.height, m.format, m.n_bytes,
+        |  m.doc_id = k.keep_id AS is_canonical,
+        |  m.n_bytes <= 1024 AS size_ok,
+        |  m.width >= 100 AND m.height >= 100 AS dims_ok,
+        |  m.doc_id = k.keep_id AND m.n_bytes <= 1024
+        |    AND m.width >= 100 AND m.height >= 100 AS admitted
+        |FROM m JOIN k ON k.sha256 = m.sha256
+        |ORDER BY m.doc_id""".stripMargin,
     "binary_dedup" ->
       """SELECT sha256(text) AS sha256,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
