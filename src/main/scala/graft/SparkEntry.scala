@@ -357,6 +357,8 @@ object SparkEntry {
       operators.Salting.queries ++
       operators.Sampling.queries ++
       operators.Corpus.queries ++
+      operators.Threat.queries ++
+      operators.Graph.queries ++
       functions.TextStats.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -371,5 +373,7 @@ object SparkEntry {
       operators.Salting.oracle ++
       operators.Sampling.oracle ++
       operators.Corpus.oracle ++
+      operators.Threat.oracle ++
+      operators.Graph.oracle ++
       functions.TextStats.oracle
 }

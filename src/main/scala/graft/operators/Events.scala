@@ -271,6 +271,28 @@ object Events {
         .orderBy(col("wday"))
     }),
 
+    // Gap-filled daily series — dashboards and forecasting models need a
+    // DENSE time axis; a day with zero events must appear as an explicit
+    // zero row, not be silently absent. Scale pattern: aggregate FIRST
+    // (the only corpus-sized shuffle, to |types|×|days| rows), derive
+    // the per-type [min, max] date spine from the aggregate, explode it
+    // (tiny — spine rows only), and left-join spine←daily on the
+    // already-aggregated key. The join is aggregate-sized on both
+    // sides; the corpus is never rescanned.
+    "events_gap_fill" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val spine = daily.groupBy(col("event_type"))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("event_type"),
+          explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // DAU/MAU stickiness — the engagement-intensity dashboard one rung
     // up from WAU: the SAME distinct-first + explode-to-window-days
     // scale pattern with L=28, and the ratio reported in EXACT ppm
@@ -729,6 +751,20 @@ object Events {
         |FROM contrib
         |GROUP BY wday
         |ORDER BY wday""".stripMargin,
+    "events_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(
+        |    CAST(MIN(day) AS TIMESTAMP), CAST(MAX(day) AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM daily GROUP BY event_type)
+        |SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.event_type = d.event_type AND s.day = d.day
+        |ORDER BY s.event_type, s.day""".stripMargin,
     "events_scd2" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Graph analytics over the co-purchase graph (parts as nodes, an edge
+  * when two parts ship in ≥2 common orders — the [[Relational]]
+  * `basket_pairs` support threshold). The graph surface a curation
+  * pipeline needs when items/documents form an implicit association
+  * graph: degree distribution (connectivity profile) and triangle
+  * counting (community density / clustering coefficient).
+  *
+  * Triangle counting is THE textbook quadratic trap: the naive
+  * wedge-join explodes on hub nodes (a degree-d node contributes d²
+  * wedges). The scale-safe form is degree-ordered orientation
+  * (node-iterator++): orient every edge from its (degree, id)-smaller
+  * endpoint to the larger one — an acyclic total order — so every
+  * node's OUT-degree is bounded by O(√m) regardless of its raw degree,
+  * and each triangle is generated exactly once at its unique apex (the
+  * one node of the three with two outgoing edges in the DAG). Wedge
+  * generation is then Σ C(outdeg, 2) ≤ m^1.5 total work distributed
+  * over the `src` shuffle key, never a hub-degree² hotspot. The closing
+  * check is one equi-join on the canonical (min, max) edge key.
+  *
+  * Both consumers share the memoized edge set ([[graft.Memo]]) — in
+  * production the edge list IS a persisted table built by its own
+  * stage; warmed outside timed queries by [[Warm.all]] like the other
+  * shared intermediates.
+  */
+object Graph {
+
+  /** Co-purchase edge set: unordered pairs (a < b) of parts appearing in
+    * ≥2 common orders. Bounded per-order fold (sorted set + slice
+    * pairs), identical shape to basket_pairs — per-order fan-in is
+    * order-size-bounded, never corpus-sized. */
+  def edges(s: SparkSession, d: String): DataFrame =
+    graft.Memo("graph_edges", s, d)(
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"
+        )).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint())
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Degree distribution — two hash aggs: node degrees (explode both
+    // endpoints of the a<b edge list), then nodes-per-degree. The
+    // second agg is |distinct degrees|-sized; the first shuffles the
+    // edge list once on node id.
+    "graph_degree" -> ((s, d) =>
+      edges(s, d)
+        .select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))),
+
+    // Exact triangle count + global clustering coefficient, via
+    // degree-ordered orientation (scaladoc above). All-integer output
+    // (ppm ratio) — bit-stable against the oracle's a<b<c three-way
+    // join, which counts each triangle once by id order exactly as the
+    // orientation counts it once by degree order.
+    "graph_triangles" -> ((s, d) => triangleStats(edges(s, d)))
+  )
+
+  /** Triangle + wedge statistics over any (a < b) long-keyed edge list —
+    * the degree-ordered orientation algorithm; equality with brute-force
+    * a<b<c enumeration is property-tested on adversarial graphs (hub
+    * stars and cliques) in PropertiesSpec, and against the DuckDB oracle
+    * on the co-purchase graph. */
+  def triangleStats(e: DataFrame): DataFrame = {
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    // acyclic orientation: src = (deg, id)-smaller endpoint
+    val o = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("src"), col("b").as("dst")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // wedges at each apex: unordered (by id) pairs of out-neighbors;
+    // out-degree is O(√m)-bounded by the orientation, so the self-join
+    // on src is Σ C(outdeg, 2), not Σ C(deg, 2)
+    val wedges = o.as("o1").join(o.as("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+      .select(col("o1.dst").as("x"), col("o2.dst").as("y"))
+    val closing = o.select(
+      least(col("src"), col("dst")).as("x"),
+      greatest(col("src"), col("dst")).as("y"))
+    val tri = wedges.join(closing, Seq("x", "y"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(deg * (deg - 1) div 2)").as("n_wedges"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    stats.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0, 0L)
+          .otherwise(expr("3 * n_triangles * 1000000 div n_wedges"))
+          .as("closure_ppm"))
+  }
+
+  private val edgeCte: String =
+    """lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM lp a JOIN lp b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "graph_degree" ->
+      s"""WITH $edgeCte,
+         |deg AS (
+         |  SELECT node, COUNT(*) AS degree
+         |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+         |  GROUP BY node)
+         |SELECT degree, COUNT(*) AS n_nodes
+         |FROM deg GROUP BY degree
+         |ORDER BY degree""".stripMargin,
+    "graph_triangles" ->
+      s"""WITH $edgeCte,
+         |deg AS (
+         |  SELECT node, COUNT(*) AS degree
+         |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+         |  GROUP BY node),
+         |tri AS (
+         |  SELECT COUNT(*) AS n_triangles
+         |  FROM e e1
+         |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |w AS (SELECT CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+         |nn AS (SELECT COUNT(*) AS n_nodes FROM deg),
+         |ne AS (SELECT COUNT(*) AS n_edges FROM e)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |  CASE WHEN n_wedges = 0 THEN 0
+         |       ELSE 3 * n_triangles * 1000000 // n_wedges END AS closure_ppm
+         |FROM nn, ne, w, tri""".stripMargin
+  )
+}

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Threat-intelligence analytics over the canonical unified indicator
+  * store ([[graft.SparkEntry.unifiedFeed]]) — the downstream consumers a
+  * TI team runs against the table the reference's two ETLs land in
+  * (README.md:13-29): the type co-occurrence matrix (which indicator
+  * kinds arrive together in one message), operational allowlist /
+  * reserved-range filtering (RFC 1918 + loopback IPs and allowlisted
+  * URL hosts never page an analyst), and per-type TTL aging (an IP
+  * sighting goes stale in weeks; a file hash is forever).
+  *
+  * All three read the memoized feed — the regex ETLs run once per
+  * corpus snapshot ([[graft.Memo]]) — and aggregate before anything
+  * wide: co-occurrence folds per-message (fan-in bounded by message
+  * length, the basket_pairs discipline), the allowlist is a BROADCAST
+  * left join against a tiny dim (never an IN-literal scan, so the list
+  * can grow to millions of entries and only the broadcast threshold
+  * changes), and TTL joins one broadcast scalar (the corpus watermark).
+  */
+object Threat {
+
+  /** Per-type sighting TTL in days — ips churn in ~2 weeks, URLs in ~3,
+    * hashes are immutable, email senders rotate quarterly. One string,
+    * used verbatim by BOTH the Spark expr and the DuckDB oracle. */
+  private val ttlSql =
+    "CASE type WHEN 'ip' THEN 14 WHEN 'url' THEN 21 " +
+      "WHEN 'hash' THEN 365 ELSE 90 END"
+
+  /** RFC 1918 + loopback — the ranges that can never be an external C2. */
+  private val privateIpRe =
+    "^(10\\.|127\\.|192\\.168\\.|172\\.(1[6-9]|2[0-9]|3[01])\\.)"
+
+  /** Allowlisted URL hosts (company infra, known sinkholes). Tiny dim —
+    * broadcast-joined, mirrored as VALUES in the oracle. */
+  private val allowHosts =
+    Seq("evil-100.example.com", "evil-200.example.com",
+      "drop-100.example.org", "drop-300.example.org")
+
+  private def feed(s: SparkSession, d: String): DataFrame =
+    graft.SparkEntry.unifiedFeed(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Which indicator TYPES co-arrive in one message — the triage
+    // dashboard's co-occurrence matrix ("hashes almost always ship with
+    // a URL; lone IPs are scanner noise"). Message key is (platform,
+    // id): ids only disambiguate within their feed. Fold per message
+    // (distinct types ≤ 4 — bounded by the type domain, not the
+    // corpus), then one tiny (type_a, type_b) agg. No self-join.
+    "ioc_type_pairs" -> ((s, d) =>
+      feed(s, d)
+        .select(col("platform"), col("id"), col("type")).distinct()
+        .groupBy(col("platform"), col("id"))
+        .agg(sort_array(collect_set(col("type"))).as("ts"))
+        .select(explode(expr(
+          "flatten(transform(ts, (x, i) -> " +
+            "transform(slice(ts, i + 2, size(ts)), y -> struct(x AS a, y AS b))))"
+        )).as("p"))
+        .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
+        .agg(count(lit(1)).as("n_msgs"))
+        .orderBy(col("type_a"), col("type_b"))),
+
+    // Operational filter verdicts: private/loopback IPs and allowlisted
+    // URL hosts are dropped before paging; everything else is
+    // actionable. The allowlist rides a broadcast LEFT join on the
+    // extracted host (the dim stays a table — at a million allowlist
+    // entries the same plan just flips broadcast→shuffle); the verdict
+    // is a codegen'd CASE over the join flag + one regex. Aggregated
+    // verdict counts (the detail rows are ioc_first_seen's job).
+    "ioc_allowlist" -> ((s, d) => {
+      val allow = s.createDataFrame(
+        allowHosts.map(Tuple1.apply)).toDF("ahost")
+        .withColumn("allowed", lit(1))
+      feed(s, d)
+        .withColumn("host",
+          when(col("type") === "url",
+            regexp_extract(col("ioc"), "^[a-zA-Z]+://([^/]+)", 1)))
+        .join(broadcast(allow), col("host") === col("ahost"), "left")
+        .withColumn("verdict",
+          when(col("type") === "ip" && col("ioc").rlike(privateIpRe),
+            lit("drop_private_ip"))
+            .when(col("type") === "url" && col("allowed").isNotNull,
+              lit("drop_allowlisted"))
+            .otherwise(lit("actionable")))
+        .groupBy(col("type"), col("verdict"))
+        .agg(count(lit(1)).as("n_sightings"),
+          countDistinct(col("ioc")).as("n_distinct"))
+        .orderBy(col("type"), col("verdict"))
+    }),
+
+    // Per-type TTL aging against the corpus watermark (max sighting
+    // date — NOT wall-clock, so the check is deterministic and
+    // replay-safe): one (ioc, type) agg for last-seen, one broadcast
+    // scalar for "now", pure integer date arithmetic for the status.
+    "ioc_ttl_status" -> ((s, d) => {
+      val sight = feed(s, d)
+        .groupBy(col("ioc"), col("type"))
+        .agg(max(col("date_received")).as("last_seen"))
+      val now = feed(s, d).agg(max(col("date_received")).as("now"))
+      sight.crossJoin(broadcast(now))
+        .withColumn("ttl_days", expr(ttlSql))
+        .withColumn("age_days",
+          datediff(to_date(col("now")), to_date(col("last_seen"))).cast("long"))
+        .withColumn("status",
+          when(col("age_days") <= col("ttl_days"), lit("active"))
+            .otherwise(lit("expired")))
+        .groupBy(col("type"), col("status"))
+        .agg(count(lit(1)).as("n_iocs"), max(col("age_days")).as("max_age_days"))
+        .orderBy(col("type"), col("status"))
+    })
+  )
+
+  private def unifiedCtes: String =
+    s"e AS (\n${graft.OracleViews.emailEtlSql(graft.SparkEntry.DateAdded)}\n),\n" +
+      s"t AS (\n${graft.OracleViews.tweetEtlSql}\n),\n" +
+      "u AS (SELECT * FROM e UNION ALL SELECT * FROM t)"
+
+  private def allowValues: String =
+    allowHosts.map(h => s"('$h')").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "ioc_type_pairs" ->
+      (s"WITH $unifiedCtes,\n" +
+        """lp AS (SELECT DISTINCT platform, id, type FROM u)
+          |SELECT a.type AS type_a, b.type AS type_b, COUNT(*) AS n_msgs
+          |FROM lp a JOIN lp b
+          |  ON a.platform = b.platform AND a.id = b.id AND a.type < b.type
+          |GROUP BY 1, 2
+          |ORDER BY type_a, type_b""".stripMargin),
+    "ioc_allowlist" ->
+      (s"WITH $unifiedCtes,\n" +
+        s"""h AS (
+           |  SELECT *, CASE WHEN type = 'url'
+           |    THEN regexp_extract(ioc, '^[a-zA-Z]+://([^/]+)', 1) END AS host
+           |  FROM u),
+           |j AS (
+           |  SELECT h.*, al.allowed FROM h
+           |  LEFT JOIN (SELECT ahost, 1 AS allowed
+           |             FROM (VALUES $allowValues) t(ahost)) al
+           |    ON h.host = al.ahost),
+           |v AS (
+           |  SELECT type,
+           |    CASE WHEN type = 'ip' AND regexp_matches(ioc, '$privateIpRe')
+           |           THEN 'drop_private_ip'
+           |         WHEN type = 'url' AND allowed IS NOT NULL
+           |           THEN 'drop_allowlisted'
+           |         ELSE 'actionable' END AS verdict,
+           |    ioc
+           |  FROM j)
+           |SELECT type, verdict, COUNT(*) AS n_sightings,
+           |  COUNT(DISTINCT ioc) AS n_distinct
+           |FROM v GROUP BY 1, 2
+           |ORDER BY type, verdict""".stripMargin),
+    "ioc_ttl_status" ->
+      (s"WITH $unifiedCtes,\n" +
+        s"""s AS (SELECT ioc, type, MAX(date_received) AS last_seen
+           |       FROM u GROUP BY 1, 2),
+           |n AS (SELECT MAX(date_received) AS now FROM u),
+           |x AS (
+           |  SELECT type, $ttlSql AS ttl_days,
+           |    date_diff('day', CAST(last_seen AS DATE), CAST(now AS DATE)) AS age_days
+           |  FROM s, n)
+           |SELECT type,
+           |  CASE WHEN age_days <= ttl_days THEN 'active' ELSE 'expired' END AS status,
+           |  COUNT(*) AS n_iocs, CAST(MAX(age_days) AS BIGINT) AS max_age_days
+           |FROM x GROUP BY 1, 2
+           |ORDER BY type, status""".stripMargin)
+  )
+}

@@ -24,5 +24,6 @@ object Warm {
     Similarity.ivfAssign(s, d)
     Events.rfmPerUser(s, d)
     graft.SparkEntry.unifiedFeed(s, d)
+    Graph.edges(s, d)
   }
 }

@@ -164,4 +164,28 @@ class PropertiesSpec extends AnyFunSuite {
       .collect().map(_.getSeq[String](0))
     assert(matches.map(_.toList).toSeq == hashes.map(List(_)))
   }
+
+  test("property: degree-oriented triangle count ≡ brute force on hub + cliques") {
+    // Adversarial shape for orientation bugs: a hub joined to everything
+    // (a naive wedge join would blow up exactly here, and a wrong
+    // orientation under- or double-counts hub triangles), two overlapping
+    // cliques (C(k,3) triangles each, shared nodes), and ScalaCheck noise
+    // edges. Brute force = a<b<c three-way join — each triangle once.
+    val hub = (1L to 20L).map(v => (0L, v))
+    val clique1 = for (i <- 1L to 8L; j <- (i + 1) to 8L) yield (i, j)
+    val clique2 = for (i <- 6L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val noise = Gen.listOfN(60,
+      for { a <- Gen.choose(0L, 29L); b <- Gen.choose(0L, 29L) if a != b }
+        yield (math.min(a, b), math.max(a, b))).sample.get
+    val e = (hub ++ clique1 ++ clique2 ++ noise).distinct
+      .toDF("a", "b")
+    val got = graft.operators.Graph.triangleStats(e)
+      .select(col("n_triangles")).collect().head.getLong(0)
+    val brute = e.as("e1")
+      .join(e.as("e2"), col("e2.a") === col("e1.a") && col("e2.b") > col("e1.b"))
+      .join(e.as("e3"), col("e3.a") === col("e1.b") && col("e3.b") === col("e2.b"))
+      .count()
+    assert(got == brute && got > 0,
+      s"oriented count $got != brute-force $brute")
+  }
 }
