@@ -274,22 +274,24 @@ object Events {
     // Gap-filled daily series — dashboards and forecasting models need a
     // DENSE time axis; a day with zero events must appear as an explicit
     // zero row, not be silently absent. Scale pattern: aggregate FIRST
-    // (the only corpus-sized shuffle, to |types|×|days| rows), derive
-    // the per-type [min, max] date spine from the aggregate, explode it
-    // (tiny — spine rows only), and left-join spine←daily on the
-    // already-aggregated key. The join is aggregate-sized on both
-    // sides; the corpus is never rescanned.
+    // (the ONLY corpus-sized shuffle, to |types|×|days| rows), then fill
+    // gaps with ONE lead() window over the aggregated relation: each
+    // present day explodes the run [day, next_day) — itself with its
+    // count, the gap days as zeros. No date-spine join, no second
+    // corpus scan (the naive spine-from-bounds formulation re-executes
+    // the corpus aggregation for the bounds branch), and the window
+    // partitions on event_type over aggregate-sized rows only.
     "events_gap_fill" -> ((s, d) => {
-      val daily = Tables.events(s, d)
+      val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
-      val spine = daily.groupBy(col("event_type"))
-        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
-        .select(col("event_type"),
-          explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
-      spine.join(daily, Seq("event_type", "day"), "left")
-        .select(col("event_type"), col("day"),
-          coalesce(col("n"), lit(0L)).as("n"))
+        .withColumn("nxt", lead(col("day"), 1).over(byType))
+        .select(col("event_type"), col("day"), col("n"),
+          explode(sequence(col("day"),
+            coalesce(date_sub(col("nxt"), 1), col("day")))).as("fill_day"))
+        .select(col("event_type"), col("fill_day").as("day"),
+          when(col("fill_day") === col("day"), col("n")).otherwise(0L).as("n"))
         .orderBy(col("event_type"), col("day"))
     }),
 
