@@ -67,7 +67,36 @@ object Graph {
     // (ppm ratio) — bit-stable against the oracle's a<b<c three-way
     // join, which counts each triangle once by id order exactly as the
     // orientation counts it once by degree order.
-    "graph_triangles" -> ((s, d) => triangleStats(edges(s, d)))
+    "graph_triangles" -> ((s, d) => triangleStats(edges(s, d))),
+
+    // Fixed-point PageRank, 3 power iterations, damping 0.85 — node
+    // influence on the co-purchase graph. EVERYTHING is 64-bit integer
+    // micro-rank (ppm): start 1e6, contribution = r div outdeg,
+    // update = 150000 + (850000 · Σ contrib) div 1e6 — so the result is
+    // bit-identical regardless of aggregation order on BOTH engines (an
+    // IEEE-double PageRank can differ in the last ulp per partitioning;
+    // this one cannot). The plan is the scale shape: per iteration one
+    // join of the adjacency (built once from the memoized edge set, the
+    // persisted index table in production) against the |V|-sized rank
+    // vector + one dst-keyed aggregation — contributions are edge-local,
+    // no global state, hub in-degrees are plain skewed agg keys (AQE
+    // territory), and iterations chain as a fixed-depth plan with no
+    // driver-side collect. Symmetric adjacency ⇒ no dangling mass.
+    "graph_pagerank" -> ((s, d) => {
+      val e = edges(s, d)
+      val adj = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val adjdeg = adj.join(deg, Seq("src"))
+      var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        r = adjdeg.join(r, col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(expr("150000 + (850000 * sum(r div outdeg)) div 1000000").as("r"))
+          .select(col("dst").as("node"), col("r"))
+      }
+      r.select(col("node"), col("r").as("rank_ppm")).orderBy(col("node"))
+    })
   )
 
   /** Triangle + wedge statistics over any (a < b) long-keyed edge list —
@@ -146,6 +175,22 @@ object Graph {
          |SELECT n_nodes, n_edges, n_wedges, n_triangles,
          |  CASE WHEN n_wedges = 0 THEN 0
          |       ELSE 3 * n_triangles * 1000000 // n_wedges END AS closure_ppm
-         |FROM nn, ne, w, tri""".stripMargin
+         |FROM nn, ne, w, tri""".stripMargin,
+    "graph_pagerank" ->
+      (s"""WITH $edgeCte,
+          |adj AS (SELECT a AS src, b AS dst FROM e
+          |        UNION ALL SELECT b, a FROM e),
+          |deg AS (SELECT src, COUNT(*) AS outdeg FROM adj GROUP BY src),
+          |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+          |""".stripMargin +
+        (1 to 3).map { i =>
+          s"r$i AS (\n" +
+            s"  SELECT adj.dst AS node,\n" +
+            s"    CAST(150000 + (850000 * SUM(r${i - 1}.r // deg.outdeg)) // 1000000 AS BIGINT) AS r\n" +
+            s"  FROM adj JOIN r${i - 1} ON adj.src = r${i - 1}.node\n" +
+            s"  JOIN deg ON adj.src = deg.src\n" +
+            s"  GROUP BY adj.dst)"
+        }.mkString(",\n") +
+        "\nSELECT node, r AS rank_ppm FROM r3 ORDER BY node")
   )
 }

@@ -196,6 +196,62 @@ class StreamingWindowsSpec extends AnyFunSuite {
       s"stream/batch funnel divergence: stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
   }
 
+  test("rolling WAU: flatMapGroupsWithState streaming twin ≡ batch query") {
+    // stream≡batch parity for events_wau, same discipline as the funnel
+    // twin above: the REAL sf0.001 events replay through a MemoryStream
+    // in several batches; per-user state holds the distinct active-day
+    // set (exactly the state a production dedup-first WAU keeps — the
+    // watermark would bound it to the trailing window); each trigger
+    // re-emits the user's full day set, foreachBatch keeps the LAST
+    // emission per user, and the test derives (wday, dau, wau) from the
+    // final sets with the same explode-to-window-days rule the batch
+    // query plans. Divergence here means the streaming state fold and
+    // the batch distinct disagree on what "active" means.
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.events(spark, d)
+      .select(col("user_id"), to_date(col("ts")).cast("string"))
+      .as[(Long, String)].collect()
+
+    val mem = MemoryStream[(Long, String)]
+    val updates = mem.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState[Set[String], (Long, Seq[String])](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          val acc = state.getOption.getOrElse(Set.empty) ++ it.map(_._2)
+          state.update(acc)
+          (uid, acc.toSeq.sorted)
+      }
+    val last = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    val q = updates.writeStream.outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[(Long, Seq[String])], _: Long) =>
+        ds.collect().foreach(r => last.synchronized { last(r._1) = r._2 })
+      }.start()
+    events.grouped(math.max(1, events.length / 5)).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    val day = java.time.LocalDate.parse(_: String)
+    val streamed = last.toMap.toSeq
+      .flatMap { case (uid, days) =>
+        days.flatMap(ds => (0 to 6).map(off =>
+          (day(ds).plusDays(off.toLong).toString, uid, ds)))
+      }
+      .groupBy(_._1)
+      .map { case (wday, rows) =>
+        (wday,
+          rows.collect { case (w, uid, ds) if w == ds => uid }.toSet.size.toLong,
+          rows.map(_._2).toSet.size.toLong)
+      }.toSet
+    val batch = SparkEntry.queries("events_wau")(spark, d)
+      .select(col("wday").cast("string"), col("dau"), col("wau"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"stream/batch WAU divergence: stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+  }
+
   test("session windows (5-minute gap) split on inactivity") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
