@@ -497,8 +497,22 @@ object Dedup {
 
   private def computeClusterLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashPairs(s, d)
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    componentLabels(pairs.select(col("id1"), col("id2")))
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Generic distributed connected components over an (id1, id2) pair
+    * list (any orderable node type — long doc ids here, ioc strings in
+    * [[Threat]]): min-label propagation with path shortcutting, run to
+    * convergence. Returns (node, lbl) for every node incident to an
+    * edge; lbl = the component's minimum node. Rounds ≈ log₂(largest
+    * component diameter) thanks to the shortcut step; the per-round
+    * label map is pair-graph-sized (KBs..MBs at any corpus), never
+    * corpus-sized. */
+  private[graft] def componentLabels(pairs: DataFrame): DataFrame = {
+    val Seq(c1, c2) = pairs.columns.toSeq.map(col)
+    val edges = pairs.select(c1.as("src"), c2.as("dst"))
+      .unionByName(pairs.select(c2.as("src"), c1.as("dst")))
     var lbl = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
@@ -525,7 +539,7 @@ object Dedup {
     // superseded label maps stay in block storage until session end —
     // acceptable: they are per-round copies of the PAIR-GRAPH labels
     // (KBs..MBs at any corpus size), not corpus-sized data
-    lbl.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    lbl
   }
 
   /** SimHash banding: 4 bands × 15 bits over the 60-bit fingerprint; the

@@ -611,6 +611,30 @@ object Relational {
         col("o_custkey"), col("o_orderkey"))
     }),
 
+    // EXACT rolling median over a 7-row trailing frame — the robust
+    // baseline dashboards want where a rolling mean is outlier-poisoned.
+    // No window function computes an exact frame median; the scale-safe
+    // form gathers ONLY the frame (≤7 values — bounded by the frame
+    // length, never the partition) with collect_list, sorts the tiny
+    // array per row, and indexes the lower median. O(n·L log L) work,
+    // one user-keyed exchange, no per-partition full sort beyond the
+    // window's own. Lower-median (element at ⌊(n−1)/2⌋) matches
+    // DuckDB's windowed quantile_disc(0.5) exactly — no IEEE averaging
+    // of middle elements, so even-length frames stay bit-stable.
+    "window_median" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          sort_array(collect_list(col("value")).over(w)).as("arr"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          expr("element_at(arr, CAST((size(arr) - 1) DIV 2 + 1 AS INT))")
+            .as("med7"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // date/time feature extraction (training-data timestamp featurization).
     "time_features" -> ((s, d) =>
       sortedOnce(Tables.orders(s, d).select(
@@ -1540,6 +1564,13 @@ object Relational {
         |  AS trailing_30d
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_median" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  quantile_disc(value, 0.5) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+        |FROM events
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     "time_features" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS INTEGER) AS yr,

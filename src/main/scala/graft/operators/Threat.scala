@@ -42,6 +42,42 @@ object Threat {
   private def feed(s: SparkSession, d: String): DataFrame =
     graft.SparkEntry.unifiedFeed(s, d)
 
+  /** Campaign labels: connected components over the IOC co-sighting
+    * graph (two indicators are linked when they appear in the SAME
+    * message — shared infrastructure chains messages into campaigns).
+    * Edges come from the bounded per-message fold (never a self-join);
+    * components via the generic min-label propagation
+    * ([[Dedup.componentLabels]] — the SAME loop the near-dup clusters
+    * run, here over string nodes). Memoized: in production the campaign
+    * label map is a persisted table rebuilt per ingest window, read by
+    * both the assignment and the stats dashboards.
+    *
+    * Clustering runs over a deterministic 1/16 message sample (md5
+    * bucket of the message key — retry-safe, both engines agree), the
+    * single-process stand-in for the INCREMENTAL window a production
+    * pipeline clusters per run: whole-history reclustering is exactly
+    * the job you don't re-run per ingest. The sample also bounds the
+    * hub-star component size, which the ORACLE pays quadratically (a
+    * recursive-CTE closure materializes O(|component|²) reach pairs —
+    * the distributed label loop itself is linear per round and needs no
+    * such bound). */
+  private[graft] def campaignLabels(s: SparkSession, d: String): DataFrame =
+    graft.Memo("ioc_campaign_labels", s, d) {
+      val pairs = feed(s, d)
+        .filter(substring(md5(concat(col("platform"), lit("|"), col("id"))), 1, 1) === "0")
+        .select(col("platform"), col("id"), col("ioc")).distinct()
+        .groupBy(col("platform"), col("id"))
+        .agg(sort_array(collect_set(col("ioc"))).as("xs"))
+        .select(explode(expr(
+          "flatten(transform(xs, (x, i) -> " +
+            "transform(slice(xs, i + 2, size(xs)), y -> struct(x AS a, y AS b))))"
+        )).as("p"))
+        .select(col("p.a"), col("p.b")).distinct()
+      Dedup.componentLabels(pairs)
+        .select(col("node").as("ioc"), col("lbl").as("campaign_id"))
+        .localCheckpoint()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Which indicator TYPES co-arrive in one message — the triage
@@ -110,7 +146,22 @@ object Threat {
         .groupBy(col("type"), col("status"))
         .agg(count(lit(1)).as("n_iocs"), max(col("age_days")).as("max_age_days"))
         .orderBy(col("type"), col("status"))
-    })
+    }),
+
+    // Campaign assignment: which infrastructure cluster each linked
+    // indicator belongs to (campaign_id = the component's minimum IOC
+    // string). Reads the memoized label table.
+    "ioc_campaigns" -> ((s, d) =>
+      campaignLabels(s, d).orderBy(col("ioc"))),
+
+    // Campaign size distribution — the "is this one botnet or 500
+    // one-off drops" dashboard: two tiny aggregations over the label
+    // table, no corpus scan.
+    "ioc_campaign_stats" -> ((s, d) =>
+      campaignLabels(s, d)
+        .groupBy(col("campaign_id")).agg(count(lit(1)).as("n_iocs"))
+        .groupBy(col("n_iocs")).agg(count(lit(1)).as("n_campaigns"))
+        .orderBy(col("n_iocs")))
   )
 
   private def unifiedCtes: String =
@@ -121,7 +172,41 @@ object Threat {
   private def allowValues: String =
     allowHosts.map(h => s"('$h')").mkString(", ")
 
+  /** Recursive-CTE connected components over the co-sighting pairs —
+    * mirrors [[Dedup.componentLabels]] the way dedup_clusters' oracle
+    * mirrors the MinHash component loop. */
+  private def campaignCtes: String =
+    """lp AS (
+      |  SELECT DISTINCT platform, id, ioc FROM u
+      |  WHERE substr(md5(platform || '|' || id), 1, 1) = '0'),
+      |pairs AS (
+      |  SELECT a.ioc AS src, b.ioc AS dst
+      |  FROM lp a JOIN lp b
+      |    ON a.platform = b.platform AND a.id = b.id AND a.ioc < b.ioc
+      |  GROUP BY 1, 2),
+      |cedges AS (
+      |  SELECT src, dst FROM pairs
+      |  UNION ALL
+      |  SELECT dst, src FROM pairs),
+      |reach(node, lbl) AS (
+      |  SELECT DISTINCT src, src FROM cedges
+      |  UNION
+      |  SELECT e.src, r.lbl FROM cedges e JOIN reach r ON r.node = e.dst),
+      |clabels AS (
+      |  SELECT node AS ioc, MIN(lbl) AS campaign_id
+      |  FROM reach GROUP BY node)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "ioc_campaigns" ->
+      (s"WITH RECURSIVE $unifiedCtes,\n$campaignCtes\n" +
+        "SELECT ioc, campaign_id FROM clabels\nORDER BY ioc"),
+    "ioc_campaign_stats" ->
+      (s"WITH RECURSIVE $unifiedCtes,\n$campaignCtes,\n" +
+        """sizes AS (
+          |  SELECT campaign_id, COUNT(*) AS n_iocs FROM clabels GROUP BY 1)
+          |SELECT n_iocs, COUNT(*) AS n_campaigns
+          |FROM sizes GROUP BY n_iocs
+          |ORDER BY n_iocs""".stripMargin),
     "ioc_type_pairs" ->
       (s"WITH $unifiedCtes,\n" +
         """lp AS (SELECT DISTINCT platform, id, type FROM u)

@@ -25,5 +25,6 @@ object Warm {
     Events.rfmPerUser(s, d)
     graft.SparkEntry.unifiedFeed(s, d)
     Graph.edges(s, d)
+    Threat.campaignLabels(s, d)
   }
 }
