@@ -41,6 +41,12 @@ object Similarity {
 
   val TopK = 5
 
+  /** Cosine threshold for `sim_range_search` — the "everything at least
+    * this similar" cut. Tuned to the synthetic embedding geometry (top-k
+    * cosines top out ≈ 0.51); production sets it from the duplicate/
+    * related boundary of the real embedding space. */
+  val RangeTau = 0.35
+
   /** Sign-random-projection bucket: for H pseudo-hyperplanes, the sign of
     * dot(v, h_j) where h_j components are ±1 derived from md5(j:i) parity —
     * reproducible in SQL, no RNG.
@@ -148,6 +154,32 @@ object Similarity {
         .select(col("qid"), col("vec_id").as("nid"),
           col("n_label").as("label"), col("cosine"), col("rank"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // RANGE search — every neighbor with cosine ≥ τ, not the best k:
+    // the dedup/compliance question ("find ALL near-matches") where
+    // top-k silently truncates. Same IVF probe machinery as the top-k
+    // path (candidates are n·probes·cellsize, never n²); the threshold
+    // replaces the rank window entirely, so the plan is join + filter
+    // with NO window — cheaper than top-k at the same probe budget. The
+    // result-set size is τ-controlled, not k-controlled: DEPLOYMENT's
+    // selectivity discipline applies (a loose τ on a dense space can
+    // return O(cellsize) rows per query by design). First-50 query
+    // sample, the sim_recall oracle discipline.
+    "sim_range_search" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nsq").as("qn"))
+      q.join(ivfProbes(s, d), Seq("qid"))
+        .join(ivfAssign(s, d), Seq("cell"))
+        .join(e.select(col("vec_id"), col("embedding").as("ne"), col("nsq").as("nn")),
+          Seq("vec_id"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosine", dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")))
+        .filter(col("cosine") >= RangeTau)
+        .select(col("qid"), col("vec_id").as("nid"), col("cosine"))
+        .orderBy(col("qid"), col("nid"))
     }),
 
     // scale path: SRP-LSH bucket assignment + bucket population.
@@ -873,6 +905,22 @@ object Similarity {
            |  FROM cands)
            |WHERE rank <= $TopK
            |ORDER BY qid, rank""".stripMargin),
+    "sim_range_search" ->
+      (s"WITH $ivfCtes,\n" +
+        s"""probes AS (
+           |  SELECT vec_id AS qid, sid AS cell FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+           |    FROM dists)
+           |  WHERE rn <= 2)
+           |SELECT q.vec_id AS qid, x.vec_id AS nid,
+           |  ${dotSql("q", "x")} / sqrt(q.nsq * x.nsq) AS cosine
+           |FROM e q
+           |JOIN probes p ON p.qid = q.vec_id
+           |JOIN assign a ON a.cell = p.cell
+           |JOIN e x ON x.vec_id = a.vec_id AND x.vec_id <> q.vec_id
+           |WHERE q.vec_id < 50
+           |  AND ${dotSql("q", "x")} / sqrt(q.nsq * x.nsq) >= $RangeTau
+           |ORDER BY qid, nid""".stripMargin),
     "sim_sq_int8" ->
       """WITH dims AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,

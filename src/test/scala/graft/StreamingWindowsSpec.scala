@@ -252,6 +252,55 @@ class StreamingWindowsSpec extends AnyFunSuite {
       s"stream/batch WAU divergence: stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
   }
 
+  test("stream-stream interval join ≡ batch join (views ⋈ clicks, 7-day bound)") {
+    // The remaining §2.9 surface: a watermarked stream-stream INNER join
+    // with an event-time range condition — the shape behind streaming
+    // attribution/funnel joins. Both sides replay the REAL sf0.001
+    // events in batches (views and clicks as independent streams, so
+    // one side's match routinely arrives triggers later and must come
+    // from join state); the emitted pairs must equal the batch join
+    // exactly. Watermark delay exceeds the data span so no state is
+    // evicted mid-test — eviction policy is the interval-bound rule
+    // itself, asserted by the append-mode tumbling test above.
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)].collect()
+    val vmem = MemoryStream[(Long, java.sql.Timestamp)]
+    val cmem = MemoryStream[(Long, java.sql.Timestamp)]
+    val views = vmem.toDF().toDF("user_id", "vts").withWatermark("vts", "60 days")
+    val clicks = cmem.toDF().toDF("c_user", "cts").withWatermark("cts", "60 days")
+    val joined = views.join(clicks,
+      col("user_id") === col("c_user") && col("cts") > col("vts") &&
+        col("cts") <= col("vts") + expr("INTERVAL 7 DAYS"))
+      .select(col("user_id"), col("vts"), col("cts"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    val vs = ev.toSeq.collect { case (u, "view", t) => (u, t) }
+    val cs = ev.toSeq.collect { case (u, "click", t) => (u, t) }
+    val empty = Seq.empty[(Long, java.sql.Timestamp)]
+    vs.grouped(math.max(1, vs.length / 4)).toSeq
+      .zipAll(cs.grouped(math.max(1, cs.length / 4)).toSeq, empty, empty)
+      .foreach { case (vc, cc) =>
+        if (vc.nonEmpty) vmem.addData(vc: _*)
+        if (cc.nonEmpty) cmem.addData(cc: _*)
+        q.processAllAvailable()
+      }
+    q.stop()
+    val streamed = spark.table("ssj_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    val vb = vs.toSeq.toDF("user_id", "vts")
+    val cb = cs.toSeq.toDF("c_user", "cts")
+    val batch = vb.join(cb,
+        col("user_id") === col("c_user") && col("cts") > col("vts") &&
+          col("cts") <= col("vts") + expr("INTERVAL 7 DAYS"))
+      .select(col("user_id"), col("vts"), col("cts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream/batch join divergence: stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+  }
+
   test("session windows (5-minute gap) split on inactivity") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
