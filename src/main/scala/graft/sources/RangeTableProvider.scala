@@ -8,6 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -26,9 +27,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * filter never generates the rows at all — the exact analogue of
   * parquet row-group pruning; everything else is returned as a residual
   * for Spark to evaluate. `SupportsPushDownRequiredColumns` drops unread
-  * columns at the reader. [[RangeTableProvider.rowsGenerated]] counts
-  * reader-side row materializations so tests assert pruning happened
-  * rather than trusting plan strings.
+  * columns at the reader. `SupportsPushDownAggregates` goes one further:
+  * COUNT(*)/COUNT(id)/MIN(id)/MAX(id) with no GROUP BY are COMPLETELY
+  * pushed — the answer is range arithmetic over the (already
+  * filter-tightened) [lo, hi), so the scan returns ONE result row and
+  * ZERO base rows are ever generated (the metadata-only aggregate, the
+  * analogue of answering COUNT(*) from parquet footers).
+  * [[RangeTableProvider.rowsGenerated]] counts reader-side BASE-row
+  * materializations so tests assert pruning happened rather than
+  * trusting plan strings.
   *
   * Usage: `spark.read.format("graft.sources.RangeTableProvider")
   * .option("start", 0).option("end", 1000000).load()`.
@@ -74,12 +81,43 @@ private[sources] class RangeTable(start: Long, end: Long, numParts: Int)
 }
 
 private[sources] class RangeScanBuilder(start: Long, end: Long, numParts: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var lo = start
   private var hi = end
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = RangeTableProvider.fullSchema
+  private var aggPushed: Option[Seq[AggregateFunc]] = None
+
+  private def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+        nr.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+
+  private def supportedAgg(f: AggregateFunc): Boolean = f match {
+    case _: CountStar => true
+    case c: Count => !c.isDistinct && isId(c.column) // id is non-null
+    case m: Min => isId(m.column)
+    case m: Max => isId(m.column)
+    case _ => false
+  }
+
+  // Spark only attempts this after pushFilters, so [lo, hi) is already
+  // the filter-tightened range — the aggregate answers the FILTERED
+  // query. Residual (un-pushed) filters make Spark skip aggregate
+  // pushdown on its side, so completeness is never claimed falsely.
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.forall(supportedAgg)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    if (supportCompletePushDown(aggregation)) {
+      aggPushed = Some(aggregation.aggregateExpressions.toSeq)
+      true
+    } else false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, residual) = filters.partition {
@@ -106,7 +144,49 @@ private[sources] class RangeScanBuilder(start: Long, end: Long, numParts: Int)
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new RangeScan(lo, hi, numParts, required)
+  override def build(): Scan = aggPushed match {
+    case Some(aggs) => new RangeAggScan(lo, hi, aggs)
+    case None       => new RangeScan(lo, hi, numParts, required)
+  }
+}
+
+/** The completely-pushed aggregate: one partition, one row, computed
+  * from range endpoints — no base row is ever materialized. Empty
+  * range ⇒ count 0, min/max NULL (SQL semantics). */
+private[sources] class RangeAggScan(lo: Long, hi: Long, aggs: Seq[AggregateFunc])
+    extends Scan with Batch {
+  private val empty = hi <= lo
+  override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg$i", LongType, nullable = false)
+    case (_: Count, i)     => StructField(s"agg$i", LongType, nullable = false)
+    case (_, i)            => StructField(s"agg$i", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"RangeAggScan [$lo, $hi) aggs=${aggs.map(_.describe).mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RangePartition(0, 1))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Seq[Any] = aggs.map {
+      case _: CountStar => math.max(0L, hi - lo)
+      case _: Count     => math.max(0L, hi - lo)
+      case _: Min       => if (empty) null else lo
+      case _: Max       => if (empty) null else hi - 1
+      case f => throw new IllegalStateException(s"unsupported pushed agg: $f")
+    }
+    new SingleRowReaderFactory(values)
+  }
+}
+
+private[sources] class SingleRowReaderFactory(values: Seq[Any])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(values)
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] class RangeScan(lo: Long, hi: Long, numParts: Int, required: StructType)

@@ -262,9 +262,11 @@ class SinksAndSourcesSpec extends AnyFunSuite {
       .option("start", "0").option("end", "100000").option("numPartitions", "4").load()
 
     // range predicates reach the reader: only the qualifying 10k rows are
-    // ever MATERIALIZED (not generated-then-filtered)
+    // ever MATERIALIZED (not generated-then-filtered). collect(), not
+    // count() — a bare count is now itself completely pushed down (see
+    // the aggregate pushdown test) and would generate zero rows here.
     RangeTableProvider.rowsGenerated.set(0)
-    val n = table.filter(col("id") >= 90000L).count()
+    val n = table.filter(col("id") >= 90000L).select(col("id")).collect().length
     assert(n == 10000, s"wrong filtered count: $n")
     assert(RangeTableProvider.rowsGenerated.get() == 10000,
       s"pushdown failed: reader generated ${RangeTableProvider.rowsGenerated.get()} rows for a 10k slice")
@@ -278,7 +280,8 @@ class SinksAndSourcesSpec extends AnyFunSuite {
 
     // non-id residuals stay Spark-side but still compose with the prune
     RangeTableProvider.rowsGenerated.set(0)
-    val m = table.filter(col("id") < 1000L && col("bucket") === 3L).count()
+    val m = table.filter(col("id") < 1000L && col("bucket") === 3L)
+      .select(col("id")).collect().length
     assert(m == 63, s"wrong residual-filtered count: $m") // 1000/16 rounded per phase
     assert(RangeTableProvider.rowsGenerated.get() == 1000,
       "id prune should bound generation at 1000 rows; bucket is a residual")
@@ -286,5 +289,46 @@ class SinksAndSourcesSpec extends AnyFunSuite {
     // column pruning reaches readSchema
     val pruned = table.select(col("bucket")).schema.fieldNames.toSeq
     assert(pruned == Seq("bucket"))
+  }
+
+  test("batch DSv2 source: count/min/max are answered with ZERO rows generated") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.RangeTableProvider
+    val spark = TestSpark.spark
+    def table = spark.read.format("graft.sources.RangeTableProvider")
+      .option("start", "0").option("end", "100000").option("numPartitions", "4").load()
+
+    // complete aggregate pushdown: the answer is range arithmetic over
+    // the filter-tightened [lo, hi) — the metadata-only aggregate
+    // (parquet-footer COUNT analogue). The generation counter proves no
+    // base row was ever materialized.
+    RangeTableProvider.rowsGenerated.set(0)
+    val r = table.filter(col("id") >= 10L && col("id") < 90000L)
+      .agg(count(col("id")), min(col("id")), max(col("id"))).collect()(0)
+    assert(r.getLong(0) == 89990L && r.getLong(1) == 10L && r.getLong(2) == 89999L,
+      s"wrong pushed aggregate row: $r")
+    assert(RangeTableProvider.rowsGenerated.get() == 0,
+      s"aggregate pushdown failed: ${RangeTableProvider.rowsGenerated.get()} base rows generated")
+
+    // empty range: count 0, min/max NULL — SQL semantics survive pushdown
+    val e = table.filter(col("id") < 0L)
+      .agg(count(col("id")), min(col("id")), max(col("id"))).collect()(0)
+    assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2))
+
+    // a residual (non-pushable) filter must DISABLE complete pushdown:
+    // the count then runs Spark-side over materialized rows and still
+    // agrees
+    RangeTableProvider.rowsGenerated.set(0)
+    val b = table.filter(col("id") < 1000L && col("bucket") === 3L)
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    assert(b == 63L, s"wrong residual count: $b")
+    assert(RangeTableProvider.rowsGenerated.get() == 1000,
+      "residual filter should force base-row generation")
+
+    // GROUP BY is not claimed: grouped aggregates fall back to the
+    // normal scan+agg path and stay correct
+    val g = table.filter(col("id") < 160L).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(g.length == 16 && g.forall(_.getLong(1) == 10L))
   }
 }
