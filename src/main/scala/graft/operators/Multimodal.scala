@@ -238,9 +238,74 @@ object Multimodal {
             greatest(lit(1L), expr("(height * 224) div greatest(width, height)")))
           .select(col("doc_id"), col("width"), col("height"), col("fit_w"), col("fit_h")),
         col("doc_id")))
-  )
+  ,
+
+    // Perceptual-hash near-dup for media — the fuzzy second stage after
+    // binary_dedup's exact content addressing: re-encoded variants of
+    // the same image (format/quality churn) land at NEARBY phashes, not
+    // identical bytes. The phash here is the deterministic stand-in
+    // (md5 of the variant GROUP, with per-variant bit flips — the same
+    // fake-decoder contract as decodeMeta: fake signal, REAL plumbing),
+    // and the plumbing is the exact dedup_simhash discipline: band the
+    // 60-bit hash 4×15 (pigeonhole-exact at Hamming ≤ 3), cap buckets
+    // (Dedup.MaxBucketSize), pair only within buckets — candidates are
+    // bucket-bounded, never n². Payload bytes never shuffle; only the
+    // 8-byte phash does. Swap the phash column for a real DCT phash
+    // from the decode stage and nothing else changes.
+    "binary_phash" -> ((s, d) => {
+      val bands = Dedup.SimhashBands
+      val bandBits = Dedup.SimhashBandBits
+      val ph = graft.sources.Tables.documents(s, d).select(col("doc_id"),
+        expr(
+          "CAST(conv(substring(md5(concat('img', CAST(doc_id DIV 4 AS STRING))), 1, 15), 16, 10) AS BIGINT) ^ " +
+            "(CASE WHEN doc_id % 3 >= 1 THEN shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 13) % 60 AS INT)) ELSE CAST(0 AS BIGINT) END | " +
+            " CASE WHEN doc_id % 3 >= 2 THEN shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 29) % 60 AS INT)) ELSE CAST(0 AS BIGINT) END)"
+        ).as("ph"))
+      val banded = ph.select(col("doc_id"), col("ph"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("ph"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("chunk")).orderBy(col("doc_id"))
+      val buckets = banded
+        .withColumn("rn", row_number().over(wb)).filter(col("rn") <= Dedup.MaxBucketSize)
+        .groupBy(col("band"), col("chunk"))
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("ph")))).as("ms"))
+        .filter(size(col("ms")) > 1)
+      buckets.select(explode(flatten(transform(col("ms"), (x, i) =>
+          transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+            y => struct(x("doc_id").as("id1"), x("ph").as("ph1"),
+              y("doc_id").as("id2"), y("ph").as("ph2")))))).as("p"))
+        .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+          bit_count(col("p.ph1").bitwiseXOR(col("p.ph2"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= Dedup.MaxHamming)
+        .distinct()
+        .orderBy(col("id1"), col("id2"))
+    }))
 
   val oracle: Map[String, String] = Map(
+    "binary_phash" ->
+      s"""WITH ph AS (
+         |  SELECT doc_id,
+         |    xor(CAST(('0x' || substr(md5('img' || CAST(doc_id // 4 AS VARCHAR)), 1, 15)) AS BIGINT),
+         |        CASE WHEN doc_id % 3 >= 1 THEN CAST(1 AS BIGINT) << CAST((doc_id * 13) % 60 AS INTEGER) ELSE 0 END |
+         |        CASE WHEN doc_id % 3 >= 2 THEN CAST(1 AS BIGINT) << CAST((doc_id * 29) % 60 AS INTEGER) ELSE 0 END) AS ph
+         |  FROM documents),
+         |banded0 AS (
+         |  SELECT doc_id, ph, b, (ph >> CAST(b * ${Dedup.SimhashBandBits} AS INTEGER)) & ${(1 << Dedup.SimhashBandBits) - 1} AS chunk
+         |  FROM ph, range(0, ${Dedup.SimhashBands}) r(b)),
+         |banded AS (
+         |  SELECT doc_id, ph, b, chunk FROM (
+         |    SELECT doc_id, ph, b, chunk,
+         |      row_number() OVER (PARTITION BY b, chunk ORDER BY doc_id) AS rn
+         |    FROM banded0)
+         |  WHERE rn <= ${Dedup.MaxBucketSize})
+         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph, b.ph)) <= ${Dedup.MaxHamming}
+         |ORDER BY id1, id2""".stripMargin,
     "binary_embed" ->
       """SELECT doc_id,
         |  CAST(('0x' || substr(h, 1, 4)) AS INTEGER) / 65536.0 AS e0,

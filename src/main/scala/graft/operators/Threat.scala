@@ -148,6 +148,33 @@ object Threat {
         .orderBy(col("type"), col("status"))
     }),
 
+    // ASN/geo-style enrichment of IP sightings — the lookup every TI
+    // pipeline runs against a routing/geo table. The scale lesson is in
+    // the JOIN SHAPE: a naive BETWEEN range join against CIDR blocks
+    // plans a BroadcastNestedLoopJoin (per-row scan of the block
+    // table); ALIGNED blocks (/16 here) turn the lookup into a pure
+    // EQUI-join on a computable key — floor of the 32-bit address at
+    // the block boundary — which hashes, broadcasts, and codegens like
+    // any dimension join. Real GeoIP tables are distributed exactly
+    // this way (MaxMind ships /16-aligned splits) for this reason. The
+    // 65536-row dim is synthesized deterministically and broadcast.
+    "ioc_asn_enrich" -> ((s, d) => {
+      val dim = s.range(65536).select(
+        col("id").as("block"),
+        concat(lit("AS"), ((col("id") * 13) % 512).cast("string")).as("asn"))
+      feed(s, d)
+        .filter(col("type") === "ip")
+        .withColumn("block",
+          element_at(split(col("ioc"), "\\."), 1).cast("long") * 256 +
+            element_at(split(col("ioc"), "\\."), 2).cast("long"))
+        .join(broadcast(dim), Seq("block"))
+        .groupBy(col("asn"))
+        .agg(count(lit(1)).as("n_sightings"),
+          countDistinct(col("ioc")).as("n_ips"),
+          countDistinct(col("block")).as("n_blocks"))
+        .orderBy(col("asn"))
+    }),
+
     // Campaign assignment: which infrastructure cluster each linked
     // indicator belongs to (campaign_id = the component's minimum IOC
     // string). Reads the memoized label table.
@@ -197,6 +224,22 @@ object Threat {
       |  FROM reach GROUP BY node)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ioc_asn_enrich" ->
+      (s"WITH $unifiedCtes,\n" +
+        """dim AS (
+          |  SELECT i AS block, 'AS' || CAST((i * 13) % 512 AS VARCHAR) AS asn
+          |  FROM range(0, 65536) r(i)),
+          |ips AS (
+          |  SELECT ioc,
+          |    CAST(string_split(ioc, '.')[1] AS BIGINT) * 256 +
+          |    CAST(string_split(ioc, '.')[2] AS BIGINT) AS block
+          |  FROM u WHERE type = 'ip')
+          |SELECT asn, COUNT(*) AS n_sightings,
+          |  COUNT(DISTINCT ioc) AS n_ips,
+          |  COUNT(DISTINCT ips.block) AS n_blocks
+          |FROM ips JOIN dim ON ips.block = dim.block
+          |GROUP BY asn
+          |ORDER BY asn""".stripMargin),
     "ioc_campaigns" ->
       (s"WITH RECURSIVE $unifiedCtes,\n$campaignCtes\n" +
         "SELECT ioc, campaign_id FROM clabels\nORDER BY ioc"),
