@@ -80,7 +80,7 @@ object Corpus {
     * shingle, h1 + j·h2 probe spread (independence across j is irrelevant
     * here: probes of one key SHOULD differ, not be uncorrelated across
     * keys). */
-  private def bloomPos(shingle: Column, j: Int): Column =
+  private[operators] def bloomPos(shingle: Column, j: Int): Column =
     (conv(substring(md5(shingle), 1, 8), 16, 10).cast("long") +
       lit(j.toLong) * conv(substring(md5(shingle), 9, 8), 16, 10).cast("long")) % BloomBits
 

@@ -110,6 +110,48 @@ object Relational {
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
 
+    // Runtime bloom-filter semi-join reduction — the pattern behind
+    // Spark's own runtime row-level filtering, built explicitly so the
+    // mechanics are a first-class query: fold the SMALL side's keys into
+    // an m-bit bloom bitmap (one bit_or aggregation → ONE map row, KBs
+    // regardless of key count), broadcast it, and probe the BIG side
+    // with k pure-integer positions BEFORE any join — the exchange then
+    // carries rows proportional to MATCHES (+ the FP rate, the m/k
+    // sizing knob), not to the fact table. Survivors re-check against
+    // the exact key set (semi join), so bloom false positives never
+    // reach the result: answer ≡ the plain semi join, which is the
+    // oracle. At 100 TB this is what turns a fact-table-sized shuffle
+    // into a match-sized one when the dim filter is selective.
+    "join_bloom_semi" -> ((s, d) => {
+      val keys = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val kstr = col("o_orderkey").cast("string")
+      val bloomRow = keys
+        .select(explode(array((0 until Corpus.BloomK).map(j =>
+          Corpus.bloomPos(kstr, j)): _*)).as("pos"))
+        .groupBy((col("pos") / 64).cast("long").as("word_idx"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))").as("bits"))
+        .agg(map_from_arrays(collect_list(col("word_idx")), collect_list(col("bits"))).as("bloom"))
+      val hit = (j: Int) => {
+        val p = (col("h1") + lit(j.toLong) * col("h2")) % Corpus.BloomBits
+        val word = (p / 64).cast("long")
+        val mask = call_function("shiftleft", lit(1L), (p % 64).cast("int"))
+        coalesce(element_at(col("bloom"), word), lit(0L)).bitwiseAND(mask) =!= 0
+      }
+      val lk = col("l_orderkey").cast("string")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          conv(substring(md5(lk), 1, 8), 16, 10).cast("long").as("h1"),
+          conv(substring(md5(lk), 9, 8), 16, 10).cast("long").as("h2"))
+        .crossJoin(broadcast(bloomRow))
+        .filter((0 until Corpus.BloomK).map(hit).reduce(_ && _))
+        .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // left-anti = NOT EXISTS: customers with no very large order.
     "join_anti" -> ((s, d) =>
       Tables.customer(s, d)
@@ -1564,6 +1606,15 @@ object Relational {
         |  AS trailing_30d
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "join_bloom_semi" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "window_median" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |  quantile_disc(value, 0.5) OVER (
