@@ -244,6 +244,25 @@ object Relational {
         .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // explicit GROUPING SETS — the irregular-lattice member of the
+    // rollup/cube family (exactly the requested groupings, not a
+    // prefix-closure or power set), with grouping_id() disambiguating
+    // the all-NULL rows. SQL form on a registered view: Spark plans the
+    // same single Expand + hash agg as rollup/cube — one scan for all
+    // three groupings.
+    "grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |  COUNT(*) AS n_rows,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+          |FROM graft_lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+          |""".stripMargin)
+    }),
+
     // unpivot via stack (X2's relational twin).
     "unpivot_stack" -> ((s, d) =>
       sortedOnce(Tables.part(s, d)
@@ -1606,6 +1625,14 @@ object Relational {
         |  AS trailing_30d
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "join_bloom_semi" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
