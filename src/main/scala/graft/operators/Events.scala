@@ -295,6 +295,43 @@ object Events {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // WAU via MERGEABLE KMV sketches + its own error gate — the 100 TB
+    // form of the sliding distinct: exact WAU's explode carries
+    // |users/day|·7 rows, the sketch carries k·7 ≈ 1792 rows per day
+    // REGARDLESS of user count, because the per-day bottom-k signature
+    // is the persisted daily artifact and window merges are
+    // explode + re-bottom-k (KMV union is lossless: the true bottom-k
+    // of a union is contained in the union of per-day bottom-ks — the
+    // same mergeability agg_sketch_merge proves on segments). The query
+    // reports estimate AND exact side by side with the error in ppm:
+    // the k-sizing knob priced explicitly, the agg_percentile_hist
+    // discipline applied to distinct counting.
+    "events_wau_sketch" -> ((s, d) => {
+      val k = 256
+      val h = conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+      val bottomK = slice(array_sort(collect_set(col("h"))), 1, k)
+      val daily = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), h.as("h"))
+        .groupBy(col("day")).agg(bottomK.as("hs"))
+      val merged = daily
+        .withColumn("wday", explode(sequence(col("day"), date_add(col("day"), 6))))
+        .select(col("wday"), explode(col("hs")).as("h"))
+        .groupBy(col("wday")).agg(bottomK.as("hs"))
+        .select(col("wday"), size(col("hs")).cast("long").as("n"),
+          element_at(col("hs"), size(col("hs"))).as("hk"))
+        .select(col("wday"),
+          when(col("n") < k, col("n"))
+            .otherwise(expr("71776119061217280 div hk")).as("wau_est"))
+      val exact = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("wday", explode(sequence(col("day"), date_add(col("day"), 6))))
+        .groupBy(col("wday")).agg(countDistinct(col("user_id")).as("wau"))
+      exact.join(merged, Seq("wday"))
+        .withColumn("err_ppm", expr("abs(wau_est - wau) * 1000000 div wau"))
+        .orderBy(col("wday"))
+    }),
+
     // DAU/MAU stickiness — the engagement-intensity dashboard one rung
     // up from WAU: the SAME distinct-first + explode-to-window-days
     // scale pattern with L=28, and the ratio reported in EXACT ppm
@@ -753,6 +790,36 @@ object Events {
         |FROM contrib
         |GROUP BY wday
         |ORDER BY wday""".stripMargin,
+    "events_wau_sketch" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events),
+        |hc AS (
+        |  SELECT DISTINCT day,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        |  FROM du),
+        |contrib AS (
+        |  SELECT CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |    CAST(day + 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS wday, h
+        |  FROM hc),
+        |dc AS (SELECT DISTINCT wday, h FROM contrib),
+        |r AS (
+        |  SELECT wday, h, row_number() OVER (PARTITION BY wday ORDER BY h) AS rn
+        |  FROM dc),
+        |est AS (
+        |  SELECT wday,
+        |    CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+        |         ELSE 71776119061217280 // MAX(h) END AS wau_est
+        |  FROM r WHERE rn <= 256 GROUP BY wday),
+        |ex AS (
+        |  SELECT wday, COUNT(DISTINCT user_id) AS wau FROM (
+        |    SELECT CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |      CAST(day + 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS wday, user_id
+        |    FROM du)
+        |  GROUP BY wday)
+        |SELECT ex.wday, wau, wau_est,
+        |  abs(wau_est - wau) * 1000000 // wau AS err_ppm
+        |FROM ex JOIN est ON ex.wday = est.wday
+        |ORDER BY ex.wday""".stripMargin,
     "events_gap_fill" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
