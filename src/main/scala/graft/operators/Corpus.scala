@@ -321,11 +321,16 @@ object Corpus {
     // events_streaks' machinery on synthetic intervals). Everything is
     // per-doc integer algebra: one doc-keyed window, no corpus joins.
     "docs_spans" -> ((s, d) => {
+      // n_toks is size(split(text)) — a per-ROW projection carried through
+      // the explode, NOT a count window over the exploded token table
+      // (which would shuffle EVERY token just to recover a number the doc
+      // row already knows; at 100 TB that window was the query's only
+      // full-corpus exchange). The DuckDB oracle has always used the
+      // projection form (len(string_split(...))) — this matches it.
       val toks = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(split(lower(col("text")), " "))
-          .as(Seq("pos", "tok")))
-        .withColumn("n_toks", count(lit(1)).over(
-          Window.partitionBy(col("doc_id"))))
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("int").as("n_toks"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
       val cand = toks.filter(
         conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
           col("pos").cast("string"))), 1, 8), 16, 10).cast("long") % 100 < 8)
@@ -398,6 +403,22 @@ object Corpus {
         .withColumn("flagged", col("boiler_ppm") > 500000)
         .orderBy(col("doc_id"))
     }),
+
+    // Corpus-wide top-50 word trigrams — the n-gram LM / template-mining
+    // twin of text_vocab's unigram table, over the SAME shingle relation
+    // the dedup/contamination family reads (persist it once per snapshot
+    // at 100 TB and every consumer shares the scan). One shingle-keyed agg
+    // with map-side partials absorbs the corpus; the top-50 rides
+    // orderBy+limit, which Spark plans as TakeOrderedAndProject — per-
+    // partition heaps merged on the driver, never a full vocab sort. The
+    // (n_occur DESC, shingle) tie-break is a total order, so the cut is
+    // deterministic in both engines.
+    "text_trigrams" -> ((s, d) =>
+      shingleOccurrencesN(Tables.documents(s, d), 3)
+        .groupBy(col("shingle"))
+        .agg(count(lit(1)).as("n_occur"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occur").desc, col("shingle"))
+        .limit(50)),
 
     // RAG/context chunking: fixed-size overlapping character windows
     // (size ChunkSize, stride ChunkStride — adjacent chunks share
@@ -668,6 +689,18 @@ object Corpus {
          |WHERE o.bucket < 9
          |GROUP BY o.doc_id
          |ORDER BY o.doc_id""".stripMargin,
+    "text_trigrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |occ AS (
+        |  SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+        |    for i in range(1, greatest(len(toks)-2, 0)+1)]) AS shingle
+        |  FROM t)
+        |SELECT shingle, COUNT(*) AS n_occur, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM occ
+        |GROUP BY 1
+        |ORDER BY n_occur DESC, shingle
+        |LIMIT 50""".stripMargin,
     "text_boilerplate" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

@@ -536,6 +536,14 @@ object Dedup {
       lbl = next
       rounds += 1
     }
+    // non-convergence must be OBSERVABLE, not a silent mislabel: this loop
+    // also labels Threat campaigns, where a long-diameter component hitting
+    // the round cap would ship wrong campaign ids with no signal. The cap
+    // (2^20-hop diameter under shortcutting) is unreachable for real graphs,
+    // so reaching it is a bug or adversarial input — fail loudly.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"componentLabels: not converged after $rounds rounds ($changed labels still changing)")
     // superseded label maps stay in block storage until session end —
     // acceptable: they are per-round copies of the PAIR-GRAPH labels
     // (KBs..MBs at any corpus size), not corpus-sized data

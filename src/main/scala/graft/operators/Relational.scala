@@ -251,16 +251,46 @@ object Relational {
     // same single Expand + hash agg as rollup/cube — one scan for all
     // three groupings.
     "grouping_sets" -> ((s, d) => {
-      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
+      // the temp view is session-global state: name it per-dataset so two
+      // datasets (or concurrent query builds) sharing one SparkSession
+      // can't race registration vs analysis and bind to the wrong table
+      val view = "graft_lineitem_gs_" +
+        java.lang.Integer.toHexString(d.hashCode).replace('-', '_')
+      Tables.lineitem(s, d).createOrReplaceTempView(view)
       s.sql(
-        """SELECT l_returnflag, l_linestatus,
-          |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-          |  COUNT(*) AS n_rows,
-          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-          |FROM graft_lineitem_gs
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-          |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
-          |""".stripMargin)
+        s"""SELECT l_returnflag, l_linestatus,
+           |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           |  COUNT(*) AS n_rows,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+           |FROM $view
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+           |""".stripMargin)
+    }),
+
+    // Per-brand Pareto frontier (2-D skyline): parts not strictly dominated
+    // within their brand — no same-brand part both strictly cheaper AND
+    // strictly larger. NOT the naive NOT-EXISTS self-join (O(n²) per brand):
+    // collapse to one row per (brand, price) carrying the max size, one
+    // brand-partitioned window takes the running max over STRICTLY cheaper
+    // prices (rows-frame to 1 PRECEDING is exact because the window input
+    // has one row per distinct price), and a co-keyed join back marks
+    // dominance. Windows and joins are all brand-partitioned — no global
+    // order, no cartesian, survives any brand cardinality.
+    "part_skyline" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val g = p.groupBy(col("p_brand"), col("p_retailprice"))
+        .agg(max(col("p_size")).as("gmax"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_brand")).orderBy(col("p_retailprice"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val w = g.withColumn("prev_max", max(col("gmax")).over(win))
+      p.join(w.select(col("p_brand"), col("p_retailprice"), col("prev_max")),
+          Seq("p_brand", "p_retailprice"))
+        .filter(col("prev_max").isNull || col("prev_max") <= col("p_size"))
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy(col("p_brand"), col("p_partkey"))
     }),
 
     // unpivot via stack (X2's relational twin).
@@ -1396,6 +1426,19 @@ object Relational {
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "part_skyline" ->
+      """WITH g AS (
+        |  SELECT p_brand, p_retailprice, MAX(p_size) AS gmax
+        |  FROM part GROUP BY 1, 2),
+        |w AS (
+        |  SELECT p_brand, p_retailprice,
+        |    MAX(gmax) OVER (PARTITION BY p_brand ORDER BY p_retailprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM g)
+        |SELECT p.p_brand, p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p JOIN w USING (p_brand, p_retailprice)
+        |WHERE prev_max IS NULL OR prev_max <= p_size
+        |ORDER BY p_brand, p_partkey""".stripMargin,
     "unpivot_stack" ->
       """SELECT p_partkey, 'brand' AS attr, p_brand AS val FROM part
         |UNION ALL

@@ -69,6 +69,29 @@ object Salting {
           hb.as("hour_bucket"),
           graft.sinks.ParquetSink.zvalue(col("user_id").cast("long"), hb).as("zval")),
         col("zval"), col("event_id"))
+    }),
+
+    // Skew-proof JOIN through [[saltedJoin]]: events ⋈ a per-type dimension
+    // on event_type — a handful of distinct keys carrying the whole fact
+    // table, the exact shape where one reducer key melts at 100 TB. The
+    // salt spreads each hot key over 16 sub-keys; the dimension replicates
+    // 16× (16 × |types| rows — trivially small). The salt is engine-internal
+    // and row-preserving, so the oracle is the PLAIN join; the post-join
+    // aggregate keeps the checked result type-count-sized, and decimal
+    // accumulation makes it independent of salt-group row order.
+    "join_skew_salted" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val dim = e.select(col("event_type")).distinct()
+        .withColumn("type_weight",
+          conv(substring(md5(col("event_type")), 1, 8), 16, 10)
+            .cast("long") % 1000)
+      saltedJoin(e.select(col("event_type"), col("event_id"), col("value")),
+          dim, Seq("event_type"), col("event_id"), 16)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(12,2)") * col("type_weight"))
+            .cast("double").as("weighted_value"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -90,6 +113,18 @@ object Salting {
         |    ((hour_bucket >> i) & 1) * (CAST(1 AS BIGINT) << (2*i+1))
         |    for i in range(0, 16)]) AS BIGINT) AS zval
         |FROM base
-        |ORDER BY zval, event_id""".stripMargin
+        |ORDER BY zval, event_id""".stripMargin,
+    "join_skew_salted" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(('0x' || substr(md5(event_type), 1, 8)) AS BIGINT) % 1000
+        |      AS type_weight
+        |  FROM events)
+        |SELECT e.event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2)) * type_weight) AS DOUBLE)
+        |    AS weighted_value
+        |FROM events e JOIN dim USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY event_type""".stripMargin
   )
 }

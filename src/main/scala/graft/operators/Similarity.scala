@@ -176,9 +176,15 @@ object Similarity {
         .join(e.select(col("vec_id"), col("embedding").as("ne"), col("nsq").as("nn")),
           Seq("vec_id"))
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cosine", dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")))
-        .filter(col("cosine") >= RangeTau)
-        .select(col("qid"), col("vec_id").as("nid"), col("cosine"))
+        // integer-ppm discipline (same as the rest of the suite): emit
+        // floor(cosine·1e6) and threshold on the INTEGER, so a cosine
+        // within a few ulps of τ can't flip inclusion between engines
+        // if evaluation order ever differs (codegen vs row-at-a-time)
+        .withColumn("cosine_ppm",
+          floor(dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")) * 1e6)
+            .cast("long"))
+        .filter(col("cosine_ppm") >= (RangeTau * 1e6).toLong)
+        .select(col("qid"), col("vec_id").as("nid"), col("cosine_ppm"))
         .orderBy(col("qid"), col("nid"))
     }),
 
@@ -913,13 +919,13 @@ object Similarity {
            |    FROM dists)
            |  WHERE rn <= 2)
            |SELECT q.vec_id AS qid, x.vec_id AS nid,
-           |  ${dotSql("q", "x")} / sqrt(q.nsq * x.nsq) AS cosine
+           |  CAST(FLOOR(${dotSql("q", "x")} / sqrt(q.nsq * x.nsq) * 1e6) AS BIGINT) AS cosine_ppm
            |FROM e q
            |JOIN probes p ON p.qid = q.vec_id
            |JOIN assign a ON a.cell = p.cell
            |JOIN e x ON x.vec_id = a.vec_id AND x.vec_id <> q.vec_id
            |WHERE q.vec_id < 50
-           |  AND ${dotSql("q", "x")} / sqrt(q.nsq * x.nsq) >= $RangeTau
+           |  AND CAST(FLOOR(${dotSql("q", "x")} / sqrt(q.nsq * x.nsq) * 1e6) AS BIGINT) >= ${(RangeTau * 1e6).toLong}
            |ORDER BY qid, nid""".stripMargin),
     "sim_sq_int8" ->
       """WITH dims AS (

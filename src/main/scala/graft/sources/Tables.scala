@@ -25,17 +25,27 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads via
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in every session
-    * builder here). Convert the raw nanos back to a µs timestamp with
-    * integer division — double division would lose precision at 1.7e18 ns.
-    * DuckDB-side equivalent: CAST(ts AS TIMESTAMP).
+  /** `events.ts` normalization — the generator has shipped this column two
+    * ways across rounds, and every downstream query assumes one canonical
+    * type (TIMESTAMP, UTC session zone):
+    *  - parquet TIMESTAMP(NANOS): Spark 4 only reads it via
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set in every session
+    *    builder here) → LongType; convert nanos→µs with integer division
+    *    (double division loses precision at 1.7e18 ns).
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampNTZType;
+    *    `unix_micros` et al. reject NTZ, so cast to TIMESTAMP — with the
+    *    session zone pinned to UTC the wall-clock is preserved, matching
+    *    DuckDB's naive-as-UTC reading of the same file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -174,9 +174,15 @@ class PropertiesSpec extends AnyFunSuite {
     val hub = (1L to 20L).map(v => (0L, v))
     val clique1 = for (i <- 1L to 8L; j <- (i + 1) to 8L) yield (i, j)
     val clique2 = for (i <- 6L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    // arithmetic a!=b construction (b = a + 1 + k mod 30) keeps the gen
+    // total — a filtered Gen's sample can return None — and the fixed
+    // seed makes failures reproducible run-to-run
     val noise = Gen.listOfN(60,
-      for { a <- Gen.choose(0L, 29L); b <- Gen.choose(0L, 29L) if a != b }
-        yield (math.min(a, b), math.max(a, b))).sample.get
+      for { a <- Gen.choose(0L, 29L); k <- Gen.choose(0L, 28L) } yield {
+        val b = (a + 1 + k) % 30
+        (math.min(a, b), math.max(a, b))
+      }).pureApply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(42L))
     val e = (hub ++ clique1 ++ clique2 ++ noise).distinct
       .toDF("a", "b")
     val got = graft.operators.Graph.triangleStats(e)
