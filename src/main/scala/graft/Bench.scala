@@ -28,6 +28,16 @@ object Bench {
     // warmup: session + whole-stage-codegen + parquet reader init
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // touch every base table at the BENCH scale factor (entry() warms only
+    // sf0.001): footer reads, schema inference, and OS page-cache priming
+    // otherwise land inside whichever timed query scans each table first —
+    // the alphabetically-first agg_* queries were absorbing it
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
     // materialize the memoized shared intermediates (pair graph, IVF
     // assignment, partsupp, RFM profile) BEFORE timing: in production
     // they are persisted tables built by their own pipeline stage, so a

@@ -81,6 +81,27 @@ object SparkEntry {
           countDistinct(col("platform")).as("n_platforms"))
         .orderBy(col("ioc"), col("type"))),
 
+    // Cross-feed corroboration — per indicator type, how much of each
+    // feed the other confirms (Jaccard overlap of distinct IOC sets in
+    // exact ppm). The TI question behind the unified store: is the
+    // Twitter firehose SEEING the same infrastructure the email feed
+    // reports, or are the sources disjoint? Two hash aggs on the merged
+    // feed (per-(type,ioc) platform flags fold, then per-type sums) —
+    // nothing wider than the indicator universe ever shuffles, and the
+    // flags ride the SAME (type,ioc)-keyed exchange ioc_first_seen uses.
+    "ioc_feed_overlap" -> ((s, d) =>
+      unifiedFeed(s, d)
+        .groupBy(col("type"), col("ioc"))
+        .agg(max(when(col("platform") === "H-ISAC", 1L).otherwise(0L)).as("in_email"),
+          max(when(col("platform") === "Twitter", 1L).otherwise(0L)).as("in_twitter"))
+        .groupBy(col("type"))
+        .agg(sum(col("in_email")).as("n_email"),
+          sum(col("in_twitter")).as("n_twitter"),
+          sum(col("in_email") * col("in_twitter")).as("n_both"))
+        .withColumn("jaccard_ppm",
+          expr("n_both * 1000000 div (n_email + n_twitter - n_both)"))
+        .orderBy(col("type"))),
+
     // A1: per-type counts (h-isac.py:171-174) — one hash agg, not 4 scans.
     "ioc_type_counts" -> ((s, d) =>
       EmailPipeline(Tables.emails(s, d), DateAdded)
@@ -229,6 +250,23 @@ object SparkEntry {
         "  COUNT(DISTINCT platform) AS n_platforms\n" +
         "FROM u GROUP BY ioc, type\n" +
         "ORDER BY ioc, type"),
+    "ioc_feed_overlap" ->
+      (s"WITH e AS (\n${OracleViews.emailEtlSql(DateAdded)}\n),\n" +
+        s"t AS (\n${OracleViews.tweetEtlSql}\n),\n" +
+        "u AS (SELECT * FROM e UNION ALL SELECT * FROM t),\n" +
+        "per AS (\n" +
+        "  SELECT type, ioc,\n" +
+        "    MAX(CASE WHEN platform = 'H-ISAC' THEN 1 ELSE 0 END) AS in_email,\n" +
+        "    MAX(CASE WHEN platform = 'Twitter' THEN 1 ELSE 0 END) AS in_twitter\n" +
+        "  FROM u GROUP BY type, ioc)\n" +
+        "SELECT type, CAST(SUM(in_email) AS BIGINT) AS n_email,\n" +
+        "  CAST(SUM(in_twitter) AS BIGINT) AS n_twitter,\n" +
+        "  CAST(SUM(in_email * in_twitter) AS BIGINT) AS n_both,\n" +
+        "  CAST(SUM(in_email * in_twitter) * 1000000 //\n" +
+        "    (SUM(in_email) + SUM(in_twitter) - SUM(in_email * in_twitter)) AS BIGINT)\n" +
+        "    AS jaccard_ppm\n" +
+        "FROM per GROUP BY type\n" +
+        "ORDER BY type"),
     "ioc_velocity" ->
       (s"WITH e AS (\n${OracleViews.emailEtlSql(DateAdded)}\n),\n" +
         s"t AS (\n${OracleViews.tweetEtlSql}\n),\n" +

@@ -466,6 +466,26 @@ object Corpus {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // Chunk-granularity dedup over the RAG index — which exact chunks
+    // repeat across the corpus (shared headers, licenses, templates):
+    // the retrieval-time twin of text_boilerplate (a duplicated chunk
+    // wastes index space AND floods retrieval with identical passages).
+    // Only 16-byte md5 digests ever shuffle — the chunk text stays in
+    // the scan; one digest-keyed agg + TakeOrderedAndProject top-100.
+    "docs_chunk_dedup" -> ((s, d) => {
+      val chunk = col("text").substr(col("start"), lit(ChunkSize))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .filter(col("len") > 0)
+        .withColumn("start", explode(sequence(lit(1), col("len"), lit(ChunkStride))))
+        .select(col("doc_id"), md5(chunk).as("chunk_hash"))
+        .groupBy(col("chunk_hash"))
+        .agg(count(lit(1)).as("n_occur"), countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_occur") > 1)
+        .orderBy(col("n_occur").desc, col("chunk_hash"))
+        .limit(100)
+    }),
+
     // Language-balanced training interleave — the ORDER half of data
     // mixing (sample_mixture/sample_temperature decide HOW MUCH of each
     // language; this decides WHEN): round-robin across languages, one
@@ -753,6 +773,24 @@ object Corpus {
          |  md5(SUBSTR(text, CAST(start AS INTEGER), $ChunkSize)) AS chunk_hash
          |FROM s
          |ORDER BY doc_id, chunk_id""".stripMargin,
+    "docs_chunk_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, LENGTH(text) AS len
+         |  FROM documents WHERE LENGTH(text) > 0),
+         |s AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(1, len, $ChunkStride)) AS start
+         |  FROM d),
+         |h AS (
+         |  SELECT doc_id,
+         |    md5(SUBSTR(text, CAST(start AS INTEGER), $ChunkSize)) AS chunk_hash
+         |  FROM s)
+         |SELECT chunk_hash, COUNT(*) AS n_occur,
+         |  COUNT(DISTINCT doc_id) AS n_docs
+         |FROM h GROUP BY 1
+         |HAVING COUNT(*) > 1
+         |ORDER BY n_occur DESC, chunk_hash
+         |LIMIT 100""".stripMargin,
     "docs_interleave" ->
       """WITH dl AS (SELECT DISTINCT lang FROM documents),
         |idx AS (

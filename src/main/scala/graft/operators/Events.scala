@@ -351,6 +351,36 @@ object Events {
         .orderBy(col("wday"))
     }),
 
+    // Per-user lifecycle summary — the churn-analysis base table next to
+    // events_rfm's quintile scores: first/last active day, distinct
+    // active days, lifespan, days silent against the corpus watermark,
+    // activity intensity in exact ppm, and a dormancy flag (≥7 silent
+    // days). ONE user-keyed hash agg over the corpus (day stats fold
+    // map-side); the watermark is a broadcast scalar. Output is
+    // |users|-sized, deterministic, and integer-exact — at 100 TB this
+    // is the nightly per-user table re-engagement jobs read.
+    "events_lifecycle" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val wm = e.agg(max(to_date(col("ts"))).as("wm_day"))
+      e.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_day"),
+          max(to_date(col("ts"))).as("last_day"),
+          countDistinct(to_date(col("ts"))).as("active_days"),
+          count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(wm))
+        .withColumn("lifespan_days",
+          (datediff(col("last_day"), col("first_day")) + 1).cast("long"))
+        .withColumn("days_silent",
+          datediff(col("wm_day"), col("last_day")).cast("long"))
+        .withColumn("intensity_ppm",
+          expr("active_days * 1000000 div lifespan_days"))
+        .withColumn("dormant", col("days_silent") >= 7)
+        .select(col("user_id"), col("first_day"), col("last_day"),
+          col("active_days"), col("n_events"), col("lifespan_days"),
+          col("days_silent"), col("intensity_ppm"), col("dormant"))
+        .orderBy(col("user_id"))
+    }),
+
     // SCD-2 dimension build from the event stream: per user, collapse
     // consecutive same-type events into one state row (change-point
     // compression — the step cdc_upsert's keep-latest skips), then stamp
@@ -656,6 +686,22 @@ object Events {
         |SELECT wday, dau, mau, dau * 1000000 // mau AS stickiness_ppm
         |FROM agg
         |ORDER BY wday""".stripMargin,
+    "events_lifecycle" ->
+      """WITH pu AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day,
+        |    MAX(CAST(ts AS DATE)) AS last_day,
+        |    COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY user_id),
+        |wm AS (SELECT MAX(CAST(ts AS DATE)) AS wm_day FROM events)
+        |SELECT user_id, first_day, last_day, active_days, n_events,
+        |  CAST(date_diff('day', first_day, last_day) + 1 AS BIGINT) AS lifespan_days,
+        |  CAST(date_diff('day', last_day, wm_day) AS BIGINT) AS days_silent,
+        |  CAST(active_days * 1000000 //
+        |    (date_diff('day', first_day, last_day) + 1) AS BIGINT) AS intensity_ppm,
+        |  date_diff('day', last_day, wm_day) >= 7 AS dormant
+        |FROM pu, wm
+        |ORDER BY user_id""".stripMargin,
     "events_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
         |  COUNT(*) AS n,

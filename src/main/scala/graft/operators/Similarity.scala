@@ -277,6 +277,34 @@ object Similarity {
           (col("sxq").cast("double") / (col("n") * lit(10000.0))).as("centroid"))
         .orderBy(col("label"), col("dim"))),
 
+    // Centroid DRIFT between two halves of the corpus (vec_id parity is
+    // the deterministic stand-in for before/after-re-embed snapshots) —
+    // the retrain-the-IVF-index trigger: when per-label centroids move,
+    // the coarse quantizer's cells no longer fit the data and recall
+    // decays silently (sim_recall measures the symptom; this measures the
+    // cause). Statistic: Σ_dims |sq_a·n_b − sq_b·n_a| over fixed-point
+    // (1e-4) per-dim sums — the cross-scaled L1 shift, DIVISION-FREE so
+    // both engines agree exactly (an integer mean would need floor-div
+    // sign conventions; a double mean would need IEEE luck). At 100 TB
+    // swap the long products for DECIMAL(38,0) accumulators — the bound
+    // here (|sq| ≤ n·2e4, n ≤ 1e5) keeps the product well inside int64.
+    "sim_centroid_shift" -> ((s, d) => {
+      val g = Tables.embeddings(s, d)
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("q", floor(col("x").cast("double") * 10000).cast("long"))
+        .groupBy(col("label"), col("dim"))
+        .agg(coalesce(sum(when(col("half") === 0, col("q"))), lit(0L)).as("sq_a"),
+          coalesce(sum(when(col("half") === 1, col("q"))), lit(0L)).as("sq_b"),
+          sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+      g.withColumn("dshift", abs(col("sq_a") * col("n_b") - col("sq_b") * col("n_a")))
+        .groupBy(col("label"))
+        .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
+          sum(col("dshift")).as("l1_shift_scaled"))
+        .orderBy(col("label"))
+    }),
+
     // 1-NN label agreement through the served IVF index — the embedding-
     // QUALITY measurement (a kNN-classifier probe): if nearest neighbors
     // don't share labels, the encoder (or the index's recall) is failing
@@ -801,6 +829,24 @@ object Similarity {
         |FROM ex
         |GROUP BY label, dim
         |ORDER BY label, dim""".stripMargin,
+    "sim_centroid_shift" ->
+      """WITH e AS (
+        |  SELECT label, vec_id % 2 AS half,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT label, dim,
+        |    COALESCE(SUM(CASE WHEN half = 0 THEN q END), 0) AS sq_a,
+        |    COALESCE(SUM(CASE WHEN half = 1 THEN q END), 0) AS sq_b,
+        |    SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_a,
+        |    SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_b
+        |  FROM e GROUP BY 1, 2)
+        |SELECT label, CAST(MIN(n_a) AS BIGINT) AS n_a,
+        |  CAST(MIN(n_b) AS BIGINT) AS n_b,
+        |  CAST(SUM(ABS(sq_a * n_b - sq_b * n_a)) AS BIGINT) AS l1_shift_scaled
+        |FROM g GROUP BY label
+        |ORDER BY label""".stripMargin,
     "embed_norm_stats" ->
       s"""WITH normed AS (
          |  SELECT label, sqrt($nsqSql) AS norm FROM embeddings),
