@@ -69,6 +69,24 @@ object Events {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Spark's NATIVE session_window operator — the built-in alternative
+    // to events_sessionize's hand-rolled gaps-and-islands (same one-
+    // shuffle plan, but the session assignment happens inside the
+    // aggregation, no lag/running-sum windows). Semantics pinned against
+    // the oracle: point-event windows [ts, ts+gap) chain-merge exactly
+    // when next.ts < prev.ts + gap, so the oracle's break condition is
+    // `ts >= lag(ts) + gap` (STRICT inequality mirror — the ≤-gap
+    // islands convention would disagree on a microsecond-exact tie);
+    // session_end = max(ts) + gap by definition of the merged window.
+    "events_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // sliding windows: 2-hour windows every hour — each event lands in
     // exactly two windows (Spark aligns slide starts to the epoch; the
     // oracle mirrors that with trunc(hour) and trunc(hour)-1h).
@@ -728,6 +746,24 @@ object Events {
          |FROM sessions
          |GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+    "events_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "events_sliding" ->
       """WITH expanded AS (
         |  SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)),

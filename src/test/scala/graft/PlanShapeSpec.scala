@@ -547,6 +547,18 @@ class PlanShapeSpec extends AnyFunSuite {
       ov.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("docs_spans: n_toks is a projection, not a count window over exploded tokens") {
+    // r6 shipped n_toks as count(1).over(partitionBy(doc_id)) on the
+    // EXPLODED token table — a full-corpus-of-tokens shuffle to recover a
+    // number the doc row already knows (17.8 s in the r6 driver bench).
+    // Pin the fixed shape: exactly 2 hash exchanges (covered-position
+    // distinct + islands window), and no third window beyond the two
+    // island/span ones.
+    val p = plan("docs_spans")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 2, s"docs_spans has $n hash exchanges (want <= 2) — the n_toks count window is back:\n$p")
+  }
+
   test("whole-inventory sweep: no cartesian, no partitionless Window in any plan") {
     // The class-of-bug guard the per-query shape pins can't give: EVERY
     // query's physical plan is traversed (tree nodes, not string match)

@@ -301,6 +301,41 @@ class StreamingWindowsSpec extends AnyFunSuite {
       s"stream/batch join divergence: stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
   }
 
+  test("native session_window streaming twin ≡ batch events_session_window query") {
+    // The batch inventory's events_session_window uses Spark's NATIVE
+    // session_window operator; this asserts the SAME operator in a
+    // watermarked stream over the REAL sf0.001 events replayed in four
+    // batches produces the identical session table — sessions that span
+    // a batch boundary must merge from state, not restart. Watermark
+    // delay exceeds the data span so no session is finalized early; the
+    // split/finalize behavior is pinned by the 5-minute-gap test below.
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, d)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)].collect()
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val agg = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "60 days")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("session_parity_out")
+      .outputMode("complete").start()
+    ev.toSeq.grouped(math.max(1, ev.length / 4)).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("session_parity_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val batch = SparkEntry.queries("events_session_window")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream/batch session divergence: stream-only=${(streamed -- batch).take(3)} " +
+        s"batch-only=${(batch -- streamed).take(3)}")
+  }
+
   test("session windows (5-minute gap) split on inactivity") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
