@@ -470,7 +470,29 @@ object Dedup {
         .agg(count(lit(1)).as("n_total"),
           count(when(col("cluster_id").isNull || col("cluster_id") === col("doc_id"), true))
             .as("n_kept"))
-        .orderBy(col("lang")))
+        .orderBy(col("lang"))),
+
+    // SOFT dedup — duplicate-aware loss/sampling weights instead of
+    // dedup_keep's hard drop: every document trains, but a document in a
+    // near-dup cluster of size c carries weight 1/c (exact ppm), so each
+    // distinct content unit contributes equally to the loss no matter how
+    // often it was crawled. Both joins broadcast (labels and sizes are
+    // pair-graph-sized — KBs at any corpus); the corpus rides ONE scan
+    // with no shuffle. At 100 TB this is the weight column the packing
+    // manifest carries next to each sequence.
+    "dedup_soft_weights" -> ((s, d) => {
+      val labels = clusterLabels(s, d)
+      val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .join(broadcast(sizes), Seq("cluster_id"), "left")
+        .withColumn("cluster_size", coalesce(col("csize"), lit(1L)))
+        .withColumn("weight_ppm", expr("1000000 div cluster_size"))
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          col("cluster_size"), col("weight_ppm"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** Connected-component labels (doc_id → min doc_id of its component)
@@ -858,7 +880,19 @@ object Dedup {
           |  SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1)
           |SELECT cluster_size, COUNT(*) AS n_clusters
           |FROM sizes GROUP BY cluster_size
-          |ORDER BY cluster_size""".stripMargin)
+          |ORDER BY cluster_size""".stripMargin),
+    "dedup_soft_weights" ->
+      (s"WITH RECURSIVE $minhashPairCtes,\n$clusterCtes,\n" +
+        """sizes AS (
+          |  SELECT cluster_id, COUNT(*) AS csize FROM labels GROUP BY 1)
+          |SELECT d.doc_id,
+          |  COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+          |  CAST(COALESCE(s.csize, 1) AS BIGINT) AS cluster_size,
+          |  CAST(1000000 // COALESCE(s.csize, 1) AS BIGINT) AS weight_ppm
+          |FROM documents d
+          |LEFT JOIN labels l ON l.doc_id = d.doc_id
+          |LEFT JOIN sizes s ON s.cluster_id = l.cluster_id
+          |ORDER BY d.doc_id""".stripMargin)
   )
 
   /** Recursive-CTE connected components over `mh_pairs` → `labels(doc_id,

@@ -252,7 +252,29 @@ object Multimodal {
     // bucket-bounded, never n². Payload bytes never shuffle; only the
     // 8-byte phash does. Swap the phash column for a real DCT phash
     // from the decode stage and nothing else changes.
-    "binary_phash" -> ((s, d) => {
+    "binary_phash" -> ((s, d) =>
+      phashPairs(s, d).orderBy(col("id1"), col("id2"))),
+
+    // Media near-dup CLUSTERS — the component roll-up over the phash pair
+    // graph, completing the media path with the same machinery the text
+    // near-dups get (dedup_clusters): generic min-label propagation with
+    // shortcutting ([[Dedup.componentLabels]]) over the memoized pair
+    // graph, then one tiny label-keyed agg. cluster_id is the component's
+    // min doc_id — the canonical keeper by the suite's convention. The
+    // label table is pair-graph-sized (KBs), never corpus-sized.
+    "binary_phash_clusters" -> ((s, d) =>
+      Dedup.componentLabels(phashPairs(s, d).select(col("id1"), col("id2")))
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_items"))
+        .select(col("lbl").as("cluster_id"), col("n_items"))
+        .orderBy(col("cluster_id"))))
+
+  /** Banded phash candidate pairs (id1 < id2, hamming ≤ MaxHamming) —
+    * the body of `binary_phash` sans sort, shared with
+    * `binary_phash_clusters`. Memoized ([[graft.Memo]]): a production
+    * media pipeline persists the pair graph once per snapshot. */
+  private[operators] def phashPairs(s: SparkSession, d: String): DataFrame =
+    graft.Memo("phash_pairs", s, d) {
       val bands = Dedup.SimhashBands
       val bandBits = Dedup.SimhashBandBits
       val ph = graft.sources.Tables.documents(s, d).select(col("doc_id"),
@@ -280,32 +302,54 @@ object Multimodal {
           bit_count(col("p.ph1").bitwiseXOR(col("p.ph2"))).cast("long").as("hamming"))
         .filter(col("hamming") <= Dedup.MaxHamming)
         .distinct()
-        .orderBy(col("id1"), col("id2"))
-    }))
+    }
+
+  /** Shared DuckDB CTE chain ending in `pp_pairs(id1, id2, hamming)` —
+    * the banded phash candidate pairs, mirroring [[phashPairs]]. Composed
+    * by concatenation (never stripMargin over embedded SQL). */
+  private def phashPairCtes: String =
+    s"""ph AS (
+       |  SELECT doc_id,
+       |    xor(CAST(('0x' || substr(md5('img' || CAST(doc_id // 4 AS VARCHAR)), 1, 15)) AS BIGINT),
+       |        CASE WHEN doc_id % 3 >= 1 THEN CAST(1 AS BIGINT) << CAST((doc_id * 13) % 60 AS INTEGER) ELSE 0 END |
+       |        CASE WHEN doc_id % 3 >= 2 THEN CAST(1 AS BIGINT) << CAST((doc_id * 29) % 60 AS INTEGER) ELSE 0 END) AS ph
+       |  FROM documents),
+       |banded0 AS (
+       |  SELECT doc_id, ph, b, (ph >> CAST(b * ${Dedup.SimhashBandBits} AS INTEGER)) & ${(1 << Dedup.SimhashBandBits) - 1} AS chunk
+       |  FROM ph, range(0, ${Dedup.SimhashBands}) r(b)),
+       |banded AS (
+       |  SELECT doc_id, ph, b, chunk FROM (
+       |    SELECT doc_id, ph, b, chunk,
+       |      row_number() OVER (PARTITION BY b, chunk ORDER BY doc_id) AS rn
+       |    FROM banded0)
+       |  WHERE rn <= ${Dedup.MaxBucketSize}),
+       |pp_pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.ph, b.ph)) <= ${Dedup.MaxHamming})""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "binary_phash" ->
-      s"""WITH ph AS (
-         |  SELECT doc_id,
-         |    xor(CAST(('0x' || substr(md5('img' || CAST(doc_id // 4 AS VARCHAR)), 1, 15)) AS BIGINT),
-         |        CASE WHEN doc_id % 3 >= 1 THEN CAST(1 AS BIGINT) << CAST((doc_id * 13) % 60 AS INTEGER) ELSE 0 END |
-         |        CASE WHEN doc_id % 3 >= 2 THEN CAST(1 AS BIGINT) << CAST((doc_id * 29) % 60 AS INTEGER) ELSE 0 END) AS ph
-         |  FROM documents),
-         |banded0 AS (
-         |  SELECT doc_id, ph, b, (ph >> CAST(b * ${Dedup.SimhashBandBits} AS INTEGER)) & ${(1 << Dedup.SimhashBandBits) - 1} AS chunk
-         |  FROM ph, range(0, ${Dedup.SimhashBands}) r(b)),
-         |banded AS (
-         |  SELECT doc_id, ph, b, chunk FROM (
-         |    SELECT doc_id, ph, b, chunk,
-         |      row_number() OVER (PARTITION BY b, chunk ORDER BY doc_id) AS rn
-         |    FROM banded0)
-         |  WHERE rn <= ${Dedup.MaxBucketSize})
-         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-         |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
-         |FROM banded a JOIN banded b
-         |  ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.ph, b.ph)) <= ${Dedup.MaxHamming}
-         |ORDER BY id1, id2""".stripMargin,
+      (s"WITH $phashPairCtes\n" +
+        "SELECT id1, id2, hamming FROM pp_pairs\n" +
+        "ORDER BY id1, id2"),
+    "binary_phash_clusters" ->
+      (s"WITH RECURSIVE $phashPairCtes,\n" +
+        "edges AS (\n" +
+        "  SELECT id1 AS src, id2 AS dst FROM pp_pairs\n" +
+        "  UNION ALL\n" +
+        "  SELECT id2, id1 FROM pp_pairs),\n" +
+        "reach(node, lbl) AS (\n" +
+        "  SELECT DISTINCT src, src FROM edges\n" +
+        "  UNION\n" +
+        "  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),\n" +
+        "labels AS (\n" +
+        "  SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)\n" +
+        "SELECT cluster_id, COUNT(*) AS n_items FROM labels\n" +
+        "GROUP BY 1\n" +
+        "ORDER BY cluster_id"),
     "binary_embed" ->
       """SELECT doc_id,
         |  CAST(('0x' || substr(h, 1, 4)) AS INTEGER) / 65536.0 AS e0,

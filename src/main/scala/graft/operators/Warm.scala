@@ -26,5 +26,6 @@ object Warm {
     graft.SparkEntry.unifiedFeed(s, d)
     Graph.edges(s, d)
     Threat.campaignLabels(s, d)
+    Multimodal.phashPairs(s, d)
   }
 }
