@@ -378,6 +378,39 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-budget corpus cut — "train on the best N tokens": which
+    // quality strata fit an exact token budget (here total/2, computed
+    // FROM the data so the query scales with SF). The naive formulation
+    // sorts the whole corpus by quality and takes a running-sum prefix —
+    // a partitionless window this engine BANS (PlanShapeSpec sweep). The
+    // scale-right shape quantizes quality to 101 ppm-derived buckets
+    // (the agg_histogram discipline): ONE bucket agg over the corpus,
+    // then the cumulative runs over the ≤101-row histogram packed into a
+    // single array row (the dq_drift fold trick — O(101²) driver-side
+    // nothing, corpus never re-shuffled). The cut is bucket-granular by
+    // design: a production run resolves the boundary bucket with one
+    // more pass over JUST that bucket (agg_exact_quantile's narrowing).
+    "docs_token_budget" -> ((s, d) => {
+      val q = graft.functions.TextStats.qualityScore(col("text"))
+      val b = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_toks"),
+          floor(q * 100).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"))
+      b.agg(collect_list(struct(col("bucket"), col("n_docs"), col("sum_toks"))).as("bs"))
+        .withColumn("total", expr("aggregate(bs, 0L, (a, y) -> a + y.sum_toks)"))
+        .withColumn("budget", expr("total div 2"))
+        .select(col("bs"), col("total"), col("budget"), explode(col("bs")).as("x"))
+        .withColumn("cum_toks", expr(
+          "aggregate(filter(bs, y -> y.bucket >= x.bucket), 0L, (a, y) -> a + y.sum_toks)"))
+        .select(col("x.bucket").as("bucket"), col("x.n_docs").as("n_docs"),
+          col("x.sum_toks").as("sum_toks"), col("cum_toks"),
+          col("budget"), col("total"),
+          (col("cum_toks") <= col("budget")).as("kept"))
+        .orderBy(col("bucket").desc)
+    }),
+
     // Cross-document boilerplate measurement — the C4/RefinedWeb cleaning
     // signal text_repetition can't see (repetition is WITHIN a doc;
     // boilerplate is the same 5-gram across MANY docs: headers, footers,
@@ -709,6 +742,20 @@ object Corpus {
          |WHERE o.bucket < 9
          |GROUP BY o.doc_id
          |ORDER BY o.doc_id""".stripMargin,
+    "docs_token_budget" ->
+      (s"WITH per AS (\n" +
+        s"  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks,\n" +
+        s"    CAST(floor(${graft.functions.TextStats.sqlQualityScore} * 100) AS BIGINT) AS bucket\n" +
+        "  FROM documents),\n" +
+        "b AS (SELECT bucket, COUNT(*) AS n_docs,\n" +
+        "  CAST(SUM(n_toks) AS BIGINT) AS sum_toks FROM per GROUP BY 1),\n" +
+        "t AS (SELECT CAST(SUM(sum_toks) AS BIGINT) AS total FROM b)\n" +
+        "SELECT bucket, n_docs, sum_toks,\n" +
+        "  CAST(SUM(sum_toks) OVER (ORDER BY bucket DESC) AS BIGINT) AS cum_toks,\n" +
+        "  CAST(total // 2 AS BIGINT) AS budget, total,\n" +
+        "  SUM(sum_toks) OVER (ORDER BY bucket DESC) <= total // 2 AS kept\n" +
+        "FROM b, t\n" +
+        "ORDER BY bucket DESC"),
     "text_trigrams" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

@@ -263,11 +263,19 @@ object Multimodal {
     // min doc_id — the canonical keeper by the suite's convention. The
     // label table is pair-graph-sized (KBs), never corpus-sized.
     "binary_phash_clusters" -> ((s, d) =>
-      Dedup.componentLabels(phashPairs(s, d).select(col("id1"), col("id2")))
+      phashClusterLabels(s, d)
         .groupBy(col("lbl"))
         .agg(count(lit(1)).as("n_items"))
         .select(col("lbl").as("cluster_id"), col("n_items"))
         .orderBy(col("cluster_id"))))
+
+  /** Memoized media component labels over [[phashPairs]] — like
+    * [[Dedup.clusterLabels]], a production pipeline persists the label
+    * table once per snapshot; the CC loop's per-round job overhead
+    * belongs to the index build, not every reader. */
+  private[operators] def phashClusterLabels(s: SparkSession, d: String): DataFrame =
+    graft.Memo("phash_labels", s, d)(
+      Dedup.componentLabels(phashPairs(s, d).select(col("id1"), col("id2"))))
 
   /** Banded phash candidate pairs (id1 < id2, hamming ≤ MaxHamming) —
     * the body of `binary_phash` sans sort, shared with

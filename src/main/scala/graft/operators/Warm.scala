@@ -27,5 +27,6 @@ object Warm {
     Graph.edges(s, d)
     Threat.campaignLabels(s, d)
     Multimodal.phashPairs(s, d)
+    Multimodal.phashClusterLabels(s, d)
   }
 }

@@ -165,6 +165,39 @@ class PropertiesSpec extends AnyFunSuite {
     assert(matches.map(_.toList).toSeq == hashes.map(List(_)))
   }
 
+  test("property: saltedJoin ≡ plain join under an extreme hot key") {
+    // The exact shape saltedJoin exists for: one key carrying 90% of the
+    // big side. Row-SET equality (with multiplicity, via sorted seqs)
+    // against the plain join proves the salt is purely an execution-
+    // layout change — any row duplicated or dropped by the replicate+
+    // filter dance would show here.
+    val big = ((1 to 900).map(i => ("hot", i.toLong)) ++
+      (1 to 100).map(i => (s"k${i % 10}", i.toLong))).toDF("k", "v")
+    val small = (Seq("hot") ++ (0 until 10).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, i * 100L) }.toDF("k", "w")
+    val salted = graft.operators.Salting
+      .saltedJoin(big, small, Seq("k"), col("v"), 16)
+      .select("k", "v", "w").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val plain = big.join(small, Seq("k"))
+      .select("k", "v", "w").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(salted.nonEmpty && salted == plain)
+  }
+
+  test("property: componentLabels converges on a 64-node path (shortcutting beats diameter)") {
+    // A path graph is the adversarial diameter case: naive min-label
+    // propagation needs 63 rounds; the shortcut step doubles the reach
+    // radius per round, so this must converge (no round-cap throw) well
+    // inside ClusterRounds*4 = 20 and label every node with the path's
+    // minimum. Exercises the non-convergence guard from the other side.
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = graft.operators.Dedup.componentLabels(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size == 64 && labels.values.forall(_ == 0L),
+      s"path not fully labeled to min: ${labels.toSeq.sorted.take(5)}...")
+  }
+
   test("property: degree-oriented triangle count ≡ brute force on hub + cliques") {
     // Adversarial shape for orientation bugs: a hub joined to everything
     // (a naive wedge join would blow up exactly here, and a wrong

@@ -156,6 +156,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("native approximate aggregates bound their error vs exact (HLL + approx percentile)") {
+    // The sketch surface the suite's own KMV/bloom implementations sit
+    // beside: Spark's built-in approx_count_distinct (HyperLogLog++) and
+    // percentile_approx are the zero-maintenance defaults at 100 TB, so
+    // pin their error contracts on real data — rsd=0.05 HLL must land
+    // within ±3·rsd of the exact distinct count, and the approx median
+    // must fall between the exact p40 and p60 (rank-error bound, the
+    // guarantee percentile_approx actually makes).
+    val d = "/root/testdata/sf0.01"
+    val e = graft.sources.Tables.events(spark, d)
+    val row = e.agg(
+      approx_count_distinct(col("user_id"), 0.05).as("approx_u"),
+      countDistinct(col("user_id")).as("exact_u"),
+      percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_med"),
+      expr("percentile(value, 0.4)").as("p40"),
+      expr("percentile(value, 0.6)").as("p60")).collect().head
+    val (au, eu) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(au - eu) <= math.max(1L, (eu * 0.15).toLong),
+      s"HLL distinct $au vs exact $eu outside 3*rsd")
+    val (am, p40, p60) = (row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    assert(am >= p40 && am <= p60,
+      s"approx median $am outside exact [p40=$p40, p60=$p60]")
+  }
+
   test("flatMapGroupsWithState running totals accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
