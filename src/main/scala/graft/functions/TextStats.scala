@@ -136,6 +136,31 @@ object TextStats {
         .orderBy(col("doc_id"))
     }),
 
+    // Language-ID CONFUSION MATRIX — the classifier-quality evaluation
+    // the `lang` ground-truth column exists for: per (actual, predicted)
+    // pair, document count and exact-ppm share of the actual class (row-
+    // normalized recall diagonal). This is how the langid heuristic's
+    // per-language error profile gets read before trusting it to route a
+    // 100 TB corpus; one corpus scan, one tiny (|langs|²-row) agg, and a
+    // per-actual total carried by a second lang-keyed agg joined back
+    // (both sides lang-count-sized — broadcast territory).
+    "text_langid_confusion" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val (en, es, de) = (countIn(toks, stopEn), countIn(toks, stopEs), countIn(toks, stopDe))
+      val pred = Tables.documents(s, d).select(
+        col("lang").as("actual"),
+        when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
+          .as("predicted"))
+      val cells = pred.groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+      val totals = cells.groupBy(col("actual"))
+        .agg(sum(col("n_docs")).as("n_actual"))
+      cells.join(broadcast(totals), Seq("actual"))
+        .withColumn("share_ppm", expr("n_docs * 1000000 div n_actual"))
+        .select(col("actual"), col("predicted"), col("n_docs"), col("share_ppm"))
+        .orderBy(col("actual"), col("predicted"))
+    }),
+
     // composite quality score (Gopher-style heuristic filters): character-
     // class ratios + stopword density + a length component, combined into
     // one bounded score with a keep/drop verdict. Per-row Column algebra —
@@ -404,6 +429,23 @@ object TextStats {
          |       ELSE 'de' END AS predicted
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+    "text_langid_confusion" ->
+      s"""WITH pred AS (
+         |  SELECT lang AS actual,
+         |    CASE WHEN ${sqlCountIn(stopEn)} >= ${sqlCountIn(stopEs)} AND ${sqlCountIn(stopEn)} >= ${sqlCountIn(stopDe)} THEN 'en'
+         |         WHEN ${sqlCountIn(stopEs)} >= ${sqlCountIn(stopDe)} THEN 'es'
+         |         ELSE 'de' END AS predicted
+         |  FROM documents),
+         |cells AS (
+         |  SELECT actual, predicted, COUNT(*) AS n_docs
+         |  FROM pred GROUP BY 1, 2),
+         |totals AS (
+         |  SELECT actual, CAST(SUM(n_docs) AS BIGINT) AS n_actual
+         |  FROM cells GROUP BY 1)
+         |SELECT c.actual, c.predicted, c.n_docs,
+         |  CAST(c.n_docs * 1000000 // t.n_actual AS BIGINT) AS share_ppm
+         |FROM cells c JOIN totals t ON t.actual = c.actual
+         |ORDER BY c.actual, c.predicted""".stripMargin,
     "text_quality" ->
       s"""WITH base AS (
          |  SELECT doc_id,
