@@ -96,6 +96,53 @@ object Graph {
           .select(col("dst").as("node"), col("r"))
       }
       r.select(col("node"), col("r").as("rank_ppm")).orderBy(col("node"))
+    }),
+
+    // Per-edge neighborhood Jaccard (link-prediction / edge-embeddedness
+    // primitive): for every edge (a,b), |N(a)∩N(b)| / |N(a)∪N(b)| in
+    // exact ppm. The intersection count per edge IS the edge's triangle
+    // support, so the scale-safe form reuses the degree-ordered
+    // orientation: each triangle is generated ONCE at its apex
+    // (Σ C(outdeg,2) ≤ m^1.5 wedge work, no hub-degree² hotspot) and
+    // then attributed to its three edges with a 3-way explode + one
+    // edge-keyed agg — never a per-pair neighbor-set join. Union size is
+    // pure degree arithmetic (deg(a)+deg(b)−common, ≥2 for an edge, so
+    // the ppm division is total).
+    "graph_jaccard" -> ((s, d) => {
+      val e = edges(s, d)
+      val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val withDeg = e
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      val o = withDeg.select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val wedges = o.as("o1").join(o.as("o2"),
+          col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+        .select(col("o1.src").as("c"), col("o1.dst").as("x"), col("o2.dst").as("y"))
+      val closing = o.select(
+        least(col("src"), col("dst")).as("x"),
+        greatest(col("src"), col("dst")).as("y"))
+      val support = wedges.join(closing, Seq("x", "y"))
+        .select(explode(array(
+          struct(col("x").as("ea"), col("y").as("eb")),
+          struct(least(col("c"), col("x")).as("ea"),
+            greatest(col("c"), col("x")).as("eb")),
+          struct(least(col("c"), col("y")).as("ea"),
+            greatest(col("c"), col("y")).as("eb")))).as("t"))
+        .groupBy(col("t.ea").as("a"), col("t.eb").as("b"))
+        .agg(count(lit(1)).as("common"))
+      withDeg.join(support, Seq("a", "b"), "left")
+        .withColumn("common", coalesce(col("common"), lit(0L)))
+        .withColumn("jaccard_ppm",
+          expr("common * 1000000 div (da + db - common)"))
+        .select(col("a"), col("b"), col("da"), col("db"),
+          col("common"), col("jaccard_ppm"))
+        .orderBy(col("a"), col("b"))
     })
   )
 
@@ -176,6 +223,26 @@ object Graph {
          |  CASE WHEN n_wedges = 0 THEN 0
          |       ELSE 3 * n_triangles * 1000000 // n_wedges END AS closure_ppm
          |FROM nn, ne, w, tri""".stripMargin,
+    "graph_jaccard" ->
+      s"""WITH $edgeCte,
+         |n AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT u, COUNT(*) AS deg FROM n GROUP BY 1),
+         |cm AS (
+         |  SELECT e.a, e.b, COUNT(*) AS common
+         |  FROM e
+         |  JOIN n na ON na.u = e.a
+         |  JOIN n nb ON nb.u = e.b AND nb.v = na.v
+         |  GROUP BY 1, 2)
+         |SELECT e.a, e.b,
+         |  da.deg AS da, db.deg AS db,
+         |  CAST(COALESCE(cm.common, 0) AS BIGINT) AS common,
+         |  CAST(COALESCE(cm.common, 0) * 1000000 //
+         |    (da.deg + db.deg - COALESCE(cm.common, 0)) AS BIGINT) AS jaccard_ppm
+         |FROM e
+         |JOIN deg da ON da.u = e.a
+         |JOIN deg db ON db.u = e.b
+         |LEFT JOIN cm ON cm.a = e.a AND cm.b = e.b
+         |ORDER BY e.a, e.b""".stripMargin,
     "graph_pagerank" ->
       (s"""WITH $edgeCte,
           |adj AS (SELECT a AS src, b AS dst FROM e
