@@ -81,6 +81,23 @@ object SparkEntry {
           countDistinct(col("platform")).as("n_platforms"))
         .orderBy(col("ioc"), col("type"))),
 
+    // New-vs-recurring sighting split — the "is this campaign growing or
+    // echoing" view on the velocity dashboard: per (type, day), sightings
+    // whose indicator was first seen THAT day vs re-sightings of known
+    // infrastructure. The first-seen map rides the same (type, ioc) hash
+    // key as ioc_first_seen; the join back is co-keyed (one exchange
+    // each side), and the final (type, day) agg is dashboard-sized.
+    "ioc_daily_new" -> ((s, d) => {
+      val u = unifiedFeed(s, d)
+        .select(col("type"), col("ioc"), col("date_received").as("day"))
+      val first = u.groupBy(col("type"), col("ioc")).agg(min(col("day")).as("first_day"))
+      u.join(first, Seq("type", "ioc"))
+        .groupBy(col("type"), col("day"))
+        .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L)).as("n_recurring"))
+        .orderBy(col("type"), col("day"))
+    }),
+
     // Cross-feed corroboration — per indicator type, how much of each
     // feed the other confirms (Jaccard overlap of distinct IOC sets in
     // exact ppm). The TI question behind the unified store: is the
@@ -250,6 +267,18 @@ object SparkEntry {
         "  COUNT(DISTINCT platform) AS n_platforms\n" +
         "FROM u GROUP BY ioc, type\n" +
         "ORDER BY ioc, type"),
+    "ioc_daily_new" ->
+      (s"WITH e AS (\n${OracleViews.emailEtlSql(DateAdded)}\n),\n" +
+        s"t AS (\n${OracleViews.tweetEtlSql}\n),\n" +
+        "u AS (SELECT type, ioc, date_received AS day\n" +
+        "      FROM (SELECT * FROM e UNION ALL SELECT * FROM t)),\n" +
+        "fs AS (SELECT type, ioc, MIN(day) AS first_day FROM u GROUP BY 1, 2)\n" +
+        "SELECT u.type, u.day,\n" +
+        "  CAST(SUM(CASE WHEN u.day = fs.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,\n" +
+        "  CAST(SUM(CASE WHEN u.day <> fs.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_recurring\n" +
+        "FROM u JOIN fs ON fs.type = u.type AND fs.ioc = u.ioc\n" +
+        "GROUP BY u.type, u.day\n" +
+        "ORDER BY u.type, u.day"),
     "ioc_feed_overlap" ->
       (s"WITH e AS (\n${OracleViews.emailEtlSql(DateAdded)}\n),\n" +
         s"t AS (\n${OracleViews.tweetEtlSql}\n),\n" +

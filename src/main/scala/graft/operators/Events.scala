@@ -69,6 +69,31 @@ object Events {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Daily bounce rate — the session-QUALITY metric on top of the
+    // sessionize machinery: per day (of session start), the exact-ppm
+    // share of sessions with exactly one event. Same single user-keyed
+    // exchange as events_sessionize (the day roll-up that follows is
+    // |sessions|-sized), same 30-minute gap constant, so the two can
+    // never disagree about what a session is.
+    "events_bounce_rate" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          (col("prev_ts").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+              lit(gapMinutes * 60 * 1000000L))).cast("int"))
+        .withColumn("session_id",
+          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(to_date(col("ts"))).as("day"), count(lit(1)).as("n_events"))
+      sess.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+        .withColumn("bounce_ppm", expr("n_bounces * 1000000 div n_sessions"))
+        .orderBy(col("day"))
+    }),
+
     // Spark's NATIVE session_window operator — the built-in alternative
     // to events_sessionize's hand-rolled gaps-and-islands (same one-
     // shuffle plan, but the session assignment happens inside the
@@ -746,6 +771,28 @@ object Events {
          |FROM sessions
          |GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+    "events_bounce_rate" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w > INTERVAL $gapMinutes MINUTE
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM marked),
+         |sess AS (
+         |  SELECT user_id, session_id, MIN(CAST(ts AS DATE)) AS day,
+         |    COUNT(*) AS n_events
+         |  FROM sessions GROUP BY 1, 2)
+         |SELECT day, COUNT(*) AS n_sessions,
+         |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+         |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000 //
+         |    COUNT(*) AS BIGINT) AS bounce_ppm
+         |FROM sess GROUP BY day
+         |ORDER BY day""".stripMargin,
     "events_session_window" ->
       """WITH marked AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

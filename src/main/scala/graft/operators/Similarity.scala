@@ -277,6 +277,25 @@ object Similarity {
           (col("sxq").cast("double") / (col("n") * lit(10000.0))).as("centroid"))
         .orderBy(col("label"), col("dim"))),
 
+    // Per-DIMENSION variance ranking — the feature-selection/whitening
+    // diagnostic next to the per-label views: a near-constant dimension
+    // carries no retrieval signal (PQ codebooks waste bits on it), a
+    // runaway one dominates unnormalized L2. All integer: q = floor(x·1e4)
+    // per element, one (dim)-keyed agg of (n, Σq, Σq²) with map-side
+    // partials absorbing the 64× fan-out, variance as the scaled integer
+    // n·Σq² − (Σq)² — order-free, bit-identical on both engines, and the
+    // ranking it exists for is monotone in it (divide by n² off-engine
+    // for the real variance).
+    "sim_dim_variance" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("q", floor(col("x").cast("double") * 10000).cast("long"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+          sum(col("q") * col("q")).as("sq2"))
+        .withColumn("var_scaled", expr("n * sq2 - sq * sq"))
+        .orderBy(col("dim"))),
+
     // Centroid DRIFT between two halves of the corpus (vec_id parity is
     // the deterministic stand-in for before/after-re-embed snapshots) —
     // the retrain-the-IVF-index trigger: when per-label centroids move,
@@ -829,6 +848,17 @@ object Similarity {
         |FROM ex
         |GROUP BY label, dim
         |ORDER BY label, dim""".stripMargin,
+    "sim_dim_variance" ->
+      """WITH e AS (
+        |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
+        |  FROM embeddings)
+        |SELECT dim, COUNT(*) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS sq,
+        |  CAST(SUM(q * q) AS BIGINT) AS sq2,
+        |  CAST(COUNT(*) * SUM(q * q) - SUM(q) * SUM(q) AS BIGINT) AS var_scaled
+        |FROM e GROUP BY dim
+        |ORDER BY dim""".stripMargin,
     "sim_centroid_shift" ->
       """WITH e AS (
         |  SELECT label, vec_id % 2 AS half,
