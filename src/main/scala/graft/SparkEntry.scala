@@ -81,6 +81,30 @@ object SparkEntry {
           countDistinct(col("platform")).as("n_platforms"))
         .orderBy(col("ioc"), col("type"))),
 
+    // Source-reliability scoring — the feed-triage view: per source, how
+    // much of what it reports is CORROBORATED (the same (type, ioc) also
+    // sighted by at least one other source) in exact ppm. A source whose
+    // indicators nobody else ever sees is either uniquely valuable or
+    // noise — either way it's the one to audit. The per-indicator
+    // source-count map rides the (type, ioc) key; the join back is
+    // co-keyed; distinct indicators count via the same type|ioc encoding
+    // in both engines so the cut can never disagree.
+    "ioc_source_reliability" -> ((s, d) => {
+      val u = unifiedFeed(s, d).select(col("source"), col("type"), col("ioc"))
+      val ns = u.select(col("type"), col("ioc"), col("source")).distinct()
+        .groupBy(col("type"), col("ioc"))
+        .agg(countDistinct(col("source")).as("n_sources"))
+      u.join(ns, Seq("type", "ioc"))
+        .withColumn("ind", concat_ws("|", col("type"), col("ioc")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sightings"),
+          countDistinct(col("ind")).as("n_indicators"),
+          countDistinct(when(col("n_sources") >= 2, col("ind"))).as("n_corroborated"))
+        .withColumn("corroborated_ppm",
+          expr("n_corroborated * 1000000 div n_indicators"))
+        .orderBy(col("source"))
+    }),
+
     // New-vs-recurring sighting split — the "is this campaign growing or
     // echoing" view on the velocity dashboard: per (type, day), sightings
     // whose indicator was first seen THAT day vs re-sightings of known
@@ -267,6 +291,23 @@ object SparkEntry {
         "  COUNT(DISTINCT platform) AS n_platforms\n" +
         "FROM u GROUP BY ioc, type\n" +
         "ORDER BY ioc, type"),
+    "ioc_source_reliability" ->
+      (s"WITH e AS (\n${OracleViews.emailEtlSql(DateAdded)}\n),\n" +
+        s"t AS (\n${OracleViews.tweetEtlSql}\n),\n" +
+        "u AS (SELECT source, type, ioc\n" +
+        "      FROM (SELECT * FROM e UNION ALL SELECT * FROM t)),\n" +
+        "ns AS (SELECT type, ioc, COUNT(DISTINCT source) AS n_sources\n" +
+        "       FROM u GROUP BY 1, 2)\n" +
+        "SELECT u.source, COUNT(*) AS n_sightings,\n" +
+        "  CAST(COUNT(DISTINCT u.type || '|' || u.ioc) AS BIGINT) AS n_indicators,\n" +
+        "  CAST(COUNT(DISTINCT CASE WHEN ns.n_sources >= 2\n" +
+        "    THEN u.type || '|' || u.ioc END) AS BIGINT) AS n_corroborated,\n" +
+        "  CAST(COUNT(DISTINCT CASE WHEN ns.n_sources >= 2\n" +
+        "    THEN u.type || '|' || u.ioc END) * 1000000 //\n" +
+        "    COUNT(DISTINCT u.type || '|' || u.ioc) AS BIGINT) AS corroborated_ppm\n" +
+        "FROM u JOIN ns ON ns.type = u.type AND ns.ioc = u.ioc\n" +
+        "GROUP BY u.source\n" +
+        "ORDER BY u.source"),
     "ioc_daily_new" ->
       (s"WITH e AS (\n${OracleViews.emailEtlSql(DateAdded)}\n),\n" +
         s"t AS (\n${OracleViews.tweetEtlSql}\n),\n" +

@@ -355,6 +355,45 @@ object Dedup {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // LSH threshold-decision quality — one rung up from dedup_minhash_est's
+    // per-pair errors: at the dedup decision threshold (Jaccard ≥ 0.5),
+    // how often does the K-hash ESTIMATE agree with exact truth across the
+    // candidate set? TP/FP/FN + precision/recall in exact ppm, every
+    // comparison INTEGER (est ≥ ½ ⇔ 2·matches ≥ K; exact ≥ ½ ⇔ 2·∩ ≥ ∪)
+    // so both engines cut identically. FP = wasted verification work,
+    // candidate-set FN = pairs the estimate would wrongly release — the
+    // two numbers that size K before a 100 TB run (band-stage misses are
+    // dedup_bucket_overflow's jurisdiction). Single-row output.
+    "dedup_lsh_precision" -> ((s, d) => {
+      val sig = minhashSigCols(s, d).select(col("doc_id"),
+        array((0 until K).map(j => col(s"m$j")): _*).as("sig"))
+      val p = minhashPairs(s, d)
+      val sh = shingleRows(Tables.documents(s, d))
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = p
+        .join(sh.select(col("doc_id").as("id1"), col("shingle")), Seq("id1"))
+        .join(sh.select(col("doc_id").as("id2"), col("shingle")), Seq("id2", "shingle"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("ni"))
+      p.join(sig.select(col("doc_id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+        .join(sig.select(col("doc_id").as("id2"), col("sig").as("sig2")), Seq("id2"))
+        .join(inter, Seq("id1", "id2"), "left")
+        .join(sz.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+        .join(sz.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+        .withColumn("m", aggregate(zip_with(col("sig1"), col("sig2"),
+          (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L), (acc, x) => acc + x))
+        .withColumn("ni0", coalesce(col("ni"), lit(0L)))
+        .withColumn("est_hi", col("m") * 2 >= K)
+        .withColumn("ex_hi", col("ni0") * 2 >= col("n1") + col("n2") - col("ni0"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("est_hi") && col("ex_hi"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("est_hi") && !col("ex_hi"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("est_hi") && col("ex_hi"), 1L).otherwise(0L)).as("fn"))
+        .withColumn("precision_ppm",
+          expr("CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 div (tp + fp) END"))
+        .withColumn("recall_ppm",
+          expr("CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 div (tp + fn) END"))
+    }),
+
     // SimHash near-dup: 60-bit fingerprints banded into 4 × 15-bit chunks.
     // By pigeonhole, any pair within Hamming distance 3 has at least one
     // UNTOUCHED chunk, so the banded bucket join has PERFECT recall at this
@@ -805,6 +844,46 @@ object Dedup {
            |    - CAST(ni0 AS DOUBLE) / (n1 + n2 - ni0)) AS abs_err
            |FROM scored
            |ORDER BY id1, id2""".stripMargin),
+    "dedup_lsh_precision" ->
+      (s"WITH $minhashPairCtes,\n" +
+        s"""sh AS (
+           |  SELECT DISTINCT doc_id, unnest(s) AS shingle
+           |  FROM (SELECT doc_id, $sqlShingles AS s
+           |        FROM (SELECT doc_id, $sqlToks AS t FROM documents))),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+           |inter AS (
+           |  SELECT p.id1, p.id2, COUNT(*) AS ni
+           |  FROM mh_pairs p
+           |  JOIN sh a ON a.doc_id = p.id1
+           |  JOIN sh b ON b.doc_id = p.id2 AND b.shingle = a.shingle
+           |  GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT p.id1, p.id2,
+           |    CAST(list_sum([CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END
+           |                   for j in range(1, $K + 1)]) AS BIGINT) AS m,
+           |    COALESCE(i.ni, 0) AS ni0, za.n AS n1, zb.n AS n2
+           |  FROM mh_pairs p
+           |  JOIN sig sa ON sa.doc_id = p.id1
+           |  JOIN sig sb ON sb.doc_id = p.id2
+           |  LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+           |  JOIN sz za ON za.doc_id = p.id1
+           |  JOIN sz zb ON zb.doc_id = p.id2),
+           |flags AS (
+           |  SELECT m * 2 >= $K AS est_hi,
+           |    ni0 * 2 >= n1 + n2 - ni0 AS ex_hi
+           |  FROM scored),
+           |agg AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |    CAST(SUM(CASE WHEN est_hi AND ex_hi THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |    CAST(SUM(CASE WHEN est_hi AND NOT ex_hi THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |    CAST(SUM(CASE WHEN NOT est_hi AND ex_hi THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           |  FROM flags)
+           |SELECT n_pairs, tp, fp, fn,
+           |  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END AS BIGINT)
+           |    AS precision_ppm,
+           |  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS BIGINT)
+           |    AS recall_ppm
+           |FROM agg""".stripMargin),
     "dedup_bucket_overflow" ->
       (s"WITH $minhashPairCtes,\n" +
         s"""m AS (
