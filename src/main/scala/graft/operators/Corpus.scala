@@ -378,6 +378,20 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-language document-length spectrum — log2 character buckets
+    // (whole-bit trick: bucket = bit-length of len+1, exact integers, no
+    // IEEE log), the view that tunes short-doc filters and chunk sizes
+    // per language BEFORE committing a 100 TB pass: CJK-style languages
+    // pack more content per char, so one global length cutoff is always
+    // wrong for someone. Scan-fused projection + one histogram-sized agg.
+    "docs_length_hist" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), length(col("text")).cast("long").as("len"))
+        .withColumn("bucket", length(bin(col("len") + 1)).cast("long"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_chars"))
+        .orderBy(col("lang"), col("bucket"))),
+
     // Token-budget corpus cut — "train on the best N tokens": which
     // quality strata fit an exact token budget (here total/2, computed
     // FROM the data so the query scales with SF). The naive formulation
@@ -742,6 +756,13 @@ object Corpus {
          |WHERE o.bucket < 9
          |GROUP BY o.doc_id
          |ORDER BY o.doc_id""".stripMargin,
+    "docs_length_hist" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(LENGTH(text) AS BIGINT) AS len FROM documents)
+        |SELECT lang, CAST(length(bin(len + 1)) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY 1, 2
+        |ORDER BY lang, bucket""".stripMargin,
     "docs_token_budget" ->
       (s"WITH per AS (\n" +
         s"  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks,\n" +

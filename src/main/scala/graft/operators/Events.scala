@@ -69,6 +69,29 @@ object Events {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Inter-event-time distribution — the temporal microstructure the
+    // session gap constant is TUNED from: per event type, a log2-bucketed
+    // histogram of same-user gaps in seconds (bucket = bit-length of the
+    // gap, the text_surprisal whole-bit trick — exact integers, no IEEE
+    // log). One user-keyed lag window (the sessionize exchange), then a
+    // (type, bucket)-keyed agg that is histogram-sized. Read it before
+    // picking a 30-minute gap: the session boundary should sit in the
+    // valley between the intra-session and inter-session modes.
+    "events_gap_hist" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .filter(col("prev_ts").isNotNull)
+        .withColumn("gap_s",
+          expr("(unix_micros(ts) - unix_micros(prev_ts)) div 1000000"))
+        .withColumn("bucket", length(bin(col("gap_s") + 1)).cast("long"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n_gaps"), min(col("gap_s")).as("min_gap_s"),
+          max(col("gap_s")).as("max_gap_s"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // Daily bounce rate — the session-QUALITY metric on top of the
     // sessionize machinery: per day (of session start), the exact-ppm
     // share of sessions with exactly one event. Same single user-keyed
@@ -771,6 +794,20 @@ object Events {
          |FROM sessions
          |GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+    "events_gap_hist" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) -
+        |     epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)) // 1000000 AS gap_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |b AS (
+        |  SELECT event_type, CAST(length(bin(gap_s + 1)) AS BIGINT) AS bucket, gap_s
+        |  FROM g WHERE gap_s IS NOT NULL)
+        |SELECT event_type, bucket, COUNT(*) AS n_gaps,
+        |  MIN(gap_s) AS min_gap_s, MAX(gap_s) AS max_gap_s
+        |FROM b GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin,
     "events_bounce_rate" ->
       s"""WITH marked AS (
          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
