@@ -81,6 +81,39 @@ object SparkEntry {
           countDistinct(col("platform")).as("n_platforms"))
         .orderBy(col("ioc"), col("type"))),
 
+    // Confirmation lag — HOW LONG UNTIL A SECOND SOURCE AGREES: for every
+    // multi-source indicator, days between its global first sighting and
+    // its first sighting by a DIFFERENT source, rolled up per type. The
+    // time-axis companion of ioc_source_reliability's corroborated share:
+    // a short lag means independent telemetry converges fast (high-
+    // confidence infrastructure); a long tail is single-witness intel
+    // that took weeks to confirm. Per-(type,ioc,source) first-seen agg,
+    // then a rank window partitioned by the indicator — frame bounded by
+    // sources-per-indicator, never corpus-wide.
+    "ioc_confirmation_lag" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("type"), col("ioc")).orderBy(col("fd"), col("source"))
+      val ranked = unifiedFeed(s, d)
+        .groupBy(col("type"), col("ioc"), col("source"))
+        .agg(min(col("date_received")).as("fd"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+      val first = ranked.filter(col("rk") === 1)
+        .select(col("type"), col("ioc"), col("fd").as("d1"))
+      val second = ranked.filter(col("rk") === 2)
+        .select(col("type"), col("ioc"), col("fd").as("d2"))
+      first.join(second, Seq("type", "ioc"))
+        .withColumn("lag_days",
+          datediff(to_date(col("d2")), to_date(col("d1"))).cast("long"))
+        .groupBy(col("type"))
+        .agg(count(lit(1)).as("n_confirmed"),
+          sum(when(col("lag_days") === 0, 1L).otherwise(0L)).as("same_day"),
+          sum(when(col("lag_days").between(1, 7), 1L).otherwise(0L)).as("within_week"),
+          sum(when(col("lag_days") > 7, 1L).otherwise(0L)).as("over_week"),
+          max(col("lag_days")).as("max_lag_days"))
+        .orderBy(col("type"))
+    }),
+
     // Source-reliability scoring — the feed-triage view: per source, how
     // much of what it reports is CORROBORATED (the same (type, ioc) also
     // sighted by at least one other source) in exact ppm. A source whose
@@ -291,6 +324,29 @@ object SparkEntry {
         "  COUNT(DISTINCT platform) AS n_platforms\n" +
         "FROM u GROUP BY ioc, type\n" +
         "ORDER BY ioc, type"),
+    "ioc_confirmation_lag" ->
+      (s"WITH e AS (\n${OracleViews.emailEtlSql(DateAdded)}\n),\n" +
+        s"t AS (\n${OracleViews.tweetEtlSql}\n),\n" +
+        "u AS (SELECT * FROM e UNION ALL SELECT * FROM t),\n" +
+        "f AS (SELECT type, ioc, source, MIN(date_received) AS fd\n" +
+        "      FROM u GROUP BY 1, 2, 3),\n" +
+        "r AS (SELECT type, ioc, fd,\n" +
+        "        ROW_NUMBER() OVER (PARTITION BY type, ioc ORDER BY fd, source) AS rk\n" +
+        "      FROM f),\n" +
+        "j AS (\n" +
+        "  SELECT a.type,\n" +
+        "    CAST(date_diff('day', CAST(a.fd AS DATE), CAST(b.fd AS DATE))\n" +
+        "      AS BIGINT) AS lag_days\n" +
+        "  FROM r a JOIN r b ON b.type = a.type AND b.ioc = a.ioc\n" +
+        "    AND a.rk = 1 AND b.rk = 2)\n" +
+        "SELECT type, COUNT(*) AS n_confirmed,\n" +
+        "  CAST(SUM(CASE WHEN lag_days = 0 THEN 1 ELSE 0 END) AS BIGINT) AS same_day,\n" +
+        "  CAST(SUM(CASE WHEN lag_days BETWEEN 1 AND 7 THEN 1 ELSE 0 END) AS BIGINT)\n" +
+        "    AS within_week,\n" +
+        "  CAST(SUM(CASE WHEN lag_days > 7 THEN 1 ELSE 0 END) AS BIGINT) AS over_week,\n" +
+        "  MAX(lag_days) AS max_lag_days\n" +
+        "FROM j GROUP BY type\n" +
+        "ORDER BY type"),
     "ioc_source_reliability" ->
       (s"WITH e AS (\n${OracleViews.emailEtlSql(DateAdded)}\n),\n" +
         s"t AS (\n${OracleViews.tweetEtlSql}\n),\n" +

@@ -136,6 +136,27 @@ object TextStats {
         .orderBy(col("doc_id"))
     }),
 
+    // Character-class composition — the encoding-noise / markup detector
+    // below the token level: alpha/digit/space/other shares in exact ppm
+    // per document. A doc that's 40% "other" is markup, base64, or a
+    // decode failure — none of which the token-level quality score can
+    // name. Pure scan-fused projection (regexp strip + length), no
+    // shuffle at all; the flag threshold is the DEPLOYMENT knob.
+    "text_char_classes" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("n_alpha"),
+          length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digit"),
+          length(regexp_replace(col("text"), "[^ ]", "")).cast("long").as("n_space"))
+        .filter(col("n_chars") > 0)
+        .withColumn("n_other",
+          col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space"))
+        .withColumn("alpha_ppm", expr("n_alpha * 1000000 div n_chars"))
+        .withColumn("other_ppm", expr("n_other * 1000000 div n_chars"))
+        .withColumn("flagged", col("other_ppm") > 400000)
+        .orderBy(col("doc_id"))),
+
     // Language-ID CONFUSION MATRIX — the classifier-quality evaluation
     // the `lang` ground-truth column exists for: per (actual, predicted)
     // pair, document count and exact-ppm share of the actual class (row-
@@ -429,6 +450,22 @@ object TextStats {
          |       ELSE 'de' END AS predicted
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+    "text_char_classes" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        |    CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |    CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |    CAST(LENGTH(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_space
+        |  FROM documents WHERE LENGTH(text) > 0)
+        |SELECT doc_id, n_chars, n_alpha, n_digit, n_space,
+        |  n_chars - n_alpha - n_digit - n_space AS n_other,
+        |  CAST(n_alpha * 1000000 // n_chars AS BIGINT) AS alpha_ppm,
+        |  CAST((n_chars - n_alpha - n_digit - n_space) * 1000000 // n_chars AS BIGINT)
+        |    AS other_ppm,
+        |  (n_chars - n_alpha - n_digit - n_space) * 1000000 // n_chars > 400000 AS flagged
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
     "text_langid_confusion" ->
       s"""WITH pred AS (
          |  SELECT lang AS actual,

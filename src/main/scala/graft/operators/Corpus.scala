@@ -378,6 +378,35 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // N-gram-vocabulary growth (Heaps-law curve) — distinct word
+    // trigrams seen after each tenth of the corpus in doc_id order: the
+    // contamination-index / n-gram-LM sizing planner (if the curve is
+    // still steep at 100%, the shingle universe hasn't saturated and
+    // every index sized off this sample will under-provision). Trigrams,
+    // not unigrams: the synthetic corpus's word vocabulary saturates in
+    // the first bucket, and at scale unigram vocab saturates in the
+    // first shards too — the n-gram space is what keeps growing. Scale
+    // shape: each shingle contributes only its FIRST bucket (one
+    // shingle-keyed agg — no per-prefix distinct scans), per-bucket news
+    // rolls up to ≤10 rows, and the cumulative runs over those 10 via
+    // the array fold — the prefix structure costs nothing corpus-wide.
+    "docs_vocab_growth" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg(max(col("doc_id")).as("mx"))
+      val firstB = shingleOccurrencesN(docs, 3)
+        .crossJoin(broadcast(mx))
+        .select(expr("least(9L, doc_id * 10 div (mx + 1))").as("bucket"),
+          col("shingle"))
+        .groupBy(col("shingle")).agg(min(col("bucket")).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n_new"))
+      firstB.agg(collect_list(struct(col("b"), col("n_new"))).as("bs"))
+        .select(explode(col("bs")).as("x"), col("bs"))
+        .withColumn("cum_vocab", expr(
+          "aggregate(filter(bs, y -> y.b <= x.b), 0L, (a, y) -> a + y.n_new)"))
+        .select(col("x.b").as("bucket"), col("x.n_new").as("n_new"), col("cum_vocab"))
+        .orderBy(col("bucket"))
+    }),
+
     // Per-language document-length spectrum — log2 character buckets
     // (whole-bit trick: bucket = bit-length of len+1, exact integers, no
     // IEEE log), the view that tunes short-doc filters and chunk sizes
@@ -756,6 +785,20 @@ object Corpus {
          |WHERE o.bucket < 9
          |GROUP BY o.doc_id
          |ORDER BY o.doc_id""".stripMargin,
+    "docs_vocab_growth" ->
+      """WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT least(9, doc_id * 10 // (mx + 1)) AS bucket,
+        |    unnest([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, greatest(len(toks)-2, 0)+1)]) AS shingle
+        |  FROM t, mx),
+        |fb AS (SELECT shingle, MIN(bucket) AS b FROM sh GROUP BY 1),
+        |nb AS (SELECT b, COUNT(*) AS n_new FROM fb GROUP BY 1)
+        |SELECT CAST(b AS BIGINT) AS bucket, n_new,
+        |  CAST(SUM(n_new) OVER (ORDER BY b) AS BIGINT) AS cum_vocab
+        |FROM nb
+        |ORDER BY bucket""".stripMargin,
     "docs_length_hist" ->
       """WITH d AS (
         |  SELECT lang, CAST(LENGTH(text) AS BIGINT) AS len FROM documents)

@@ -355,6 +355,21 @@ object Dedup {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // Shingle document-frequency histogram in exact log2 buckets — THE
+    // table MaxShingleDf is tuned from (DEPLOYMENT.md says "set from a
+    // DF histogram"; this ships it): how many shingles live at each DF
+    // magnitude, so the cap lands above the content mass and below the
+    // stop-shingle head. One shingle-keyed agg (the same relation the
+    // dedup/contamination family reads) + a histogram-sized bucket agg.
+    "dedup_shingle_df_hist" -> ((s, d) =>
+      shingleRows(Tables.documents(s, d))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .withColumn("bucket", length(bin(col("df"))).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_shingles"), min(col("df")).as("min_df"),
+          max(col("df")).as("max_df"))
+        .orderBy(col("bucket"))),
+
     // LSH threshold-decision quality — one rung up from dedup_minhash_est's
     // per-pair errors: at the dedup decision threshold (Jaccard ≥ 0.5),
     // how often does the K-hash ESTIMATE agree with exact truth across the
@@ -844,6 +859,16 @@ object Dedup {
            |    - CAST(ni0 AS DOUBLE) / (n1 + n2 - ni0)) AS abs_err
            |FROM scored
            |ORDER BY id1, id2""".stripMargin),
+    "dedup_shingle_df_hist" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, unnest(s) AS shingle
+         |  FROM (SELECT doc_id, $sqlShingles AS s
+         |        FROM (SELECT doc_id, $sqlToks AS t FROM documents))),
+         |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+         |SELECT CAST(length(bin(df)) AS BIGINT) AS bucket,
+         |  COUNT(*) AS n_shingles, MIN(df) AS min_df, MAX(df) AS max_df
+         |FROM df GROUP BY 1
+         |ORDER BY bucket""".stripMargin,
     "dedup_lsh_precision" ->
       (s"WITH $minhashPairCtes,\n" +
         s"""sh AS (

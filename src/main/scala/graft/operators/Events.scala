@@ -69,6 +69,17 @@ object Events {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Hour-of-day seasonality profile — per type, the diurnal volume and
+    // value curve (UTC session zone, so both engines read the same hour
+    // off the same instant). One (type, hour) agg, 24·|types| output
+    // rows; the view capacity planning and anomaly baselines read.
+    "events_value_by_hour" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), hour(col("ts")).cast("long").as("hr"), col("value"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n_events"), Relational.dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"), col("hr"))),
+
     // Inter-event-time distribution — the temporal microstructure the
     // session gap constant is TUNED from: per event type, a log2-bucketed
     // histogram of same-user gaps in seconds (bucket = bit-length of the
@@ -794,6 +805,14 @@ object Events {
          |FROM sessions
          |GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+    "events_value_by_hour" ->
+      """SELECT event_type,
+        |  CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, hr""".stripMargin,
     "events_gap_hist" ->
       """WITH g AS (
         |  SELECT event_type,
