@@ -310,6 +310,21 @@ object Relational {
         .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
         .orderBy(col("nationkey"))),
 
+    // multiset (bag) semantics — the ALL variants DISTINCT-based set ops
+    // silently collapse: how many MORE customers than suppliers each
+    // nation has (except_all keeps multiplicity), and the common count
+    // (intersect_all). Spark plans both as aggregate-count + generate —
+    // one shuffle each, no join.
+    "setop_except_all" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .exceptAll(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))),
+
+    "setop_intersect_all" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersectAll(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))),
+
     // as-of join: latest order (by date) of the matching customer at or
     // before each event's timestamp. Spark lacks a native ASOF operator —
     // composed as the union/melt single-window plan: orders and events are
@@ -568,6 +583,24 @@ object Relational {
           lead(col("o_totalprice"), 1).over(w).as("next_price"),
           first(col("o_totalprice")).over(w).as("first_price"),
           ntile(4).over(w).cast("long").as("quartile")),
+        col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // frame-pinned positional window functions — nth_value and last over
+    // the FULL partition frame (the default running frame makes "last"
+    // mean "current", the classic window gotcha; the explicit unbounded
+    // frame is the semantics people actually want). Deterministic: the
+    // (date, orderkey) order is unique per customer.
+    "window_nth" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      sortedOnce(Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          nth_value(col("o_totalprice"), 2).over(wf).as("second_price"),
+          last(col("o_totalprice")).over(wf).as("last_price")),
         col("o_custkey"), col("o_orderkey"))
     }),
 
@@ -1454,6 +1487,16 @@ object Relational {
         |EXCEPT
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+    "setop_except_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT ALL
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "setop_intersect_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT ALL
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
     "q13_custdist" ->
       """WITH counts AS (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
@@ -1593,6 +1636,14 @@ object Relational {
         |  NTILE(4) OVER w AS quartile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_nth" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+        |  LAST_VALUE(o_totalprice) OVER w AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "window_ranks" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
