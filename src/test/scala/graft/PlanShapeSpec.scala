@@ -547,6 +547,34 @@ class PlanShapeSpec extends AnyFunSuite {
       ov.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("round-7 additions hold their audited shapes") {
+    // Pin the plan properties the round's new queries were DESIGNED
+    // around, so a refactor can't silently regress them into the shapes
+    // they exist to avoid.
+    // dedup_soft_weights: labels+sizes BROADCAST onto one corpus scan —
+    // a sort-merge join here means the broadcast assumption broke.
+    val sw = plan("dedup_soft_weights")
+    assert(!sw.contains("SortMergeJoin") &&
+      "Exchange hashpartitioning".r.findAllIn(sw).size <= 1,
+      s"dedup_soft_weights lost its broadcast-only single-exchange shape:\n$sw")
+    // docs_token_budget: ONE bucket-agg exchange; the cumulative is an
+    // array fold, never a corpus-wide sorted prefix.
+    val tb = plan("docs_token_budget")
+    assert("Exchange hashpartitioning".r.findAllIn(tb).size <= 1,
+      s"docs_token_budget grew beyond its single bucket-agg exchange:\n$tb")
+    // events_session_window: the native operator rides ONE user-key
+    // exchange with no join.
+    val swin = plan("events_session_window")
+    assert(!swin.contains("Join") &&
+      "Exchange hashpartitioning".r.findAllIn(swin).size <= 1,
+      s"events_session_window lost its one-exchange join-free shape:\n$swin")
+    // sim_dim_variance: one dim-keyed agg, map-side partials absorb the
+    // 64x explode fan-out before the exchange.
+    val dv = plan("sim_dim_variance")
+    assert("Exchange hashpartitioning".r.findAllIn(dv).size <= 1,
+      s"sim_dim_variance grew beyond its single dim-agg exchange:\n$dv")
+  }
+
   test("docs_spans: n_toks is a projection, not a count window over exploded tokens") {
     // r6 shipped n_toks as count(1).over(partitionBy(doc_id)) on the
     // EXPLODED token table — a full-corpus-of-tokens shuffle to recover a
