@@ -44,6 +44,23 @@ object TextStats {
       lit(0.3) * least(size(toks).cast("double") / lit(100.0), lit(1.0))
   }
 
+  /** Per-doc 60-bit SimHash over token md5s — the body text_fingerprint
+    * and text_simhash_bit_balance share (a fork would let the index and
+    * its health check disagree about the fingerprint). */
+  private def docSimhash60(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val hash60 = (t: Column) =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+    val bits = Tables.documents(s, d)
+      .select(col("doc_id"), explode(transform(tokens(col("text")), hash60)).as("b"))
+    bits.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n"),
+        (1 to 60).map(p =>
+          sum(shiftright(col("b"), 60 - p).bitwiseAND(lit(1L))).as(s"c$p")): _*)
+      .select(col("doc_id"),
+        concat((1 to 60).map(p =>
+          when(col(s"c$p") * 2 > col("n"), "1").otherwise("0")): _*).as("simhash60"))
+  }
+
   /** The keep/drop cut over [[qualityScore]]. */
   def qualityKeep(text: Column): Column =
     qualityScore(text) >= 0.5 && size(tokens(text)) >= 10
@@ -289,25 +306,32 @@ object TextStats {
     // per token; the aggregate()-fold twin [[simhash]] is the interpreted
     // reference, equality asserted in OperatorsSpec). Shuffle key is
     // doc_id: high cardinality, balanced.
-    "text_fingerprint" -> ((s, d) => {
-      val hash60 = (t: Column) =>
-        conv(substring(md5(t), 1, 15), 16, 10).cast("long")
-      val bits = Tables.documents(s, d)
-        .select(col("doc_id"), explode(transform(tokens(col("text")), hash60)).as("b"))
-      val sums = bits.groupBy(col("doc_id")).agg(
-        count(lit(1)).as("n"),
-        (1 to 60).map(p =>
-          sum(shiftright(col("b"), 60 - p).bitwiseAND(lit(1L))).as(s"c$p")): _*)
-      val sh = sums.select(col("doc_id"),
-        concat((1 to 60).map(p =>
-          when(col(s"c$p") * 2 > col("n"), "1").otherwise("0")): _*).as("simhash60"))
+    "text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
           md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("md5_norm"))
-        .join(sh, Seq("doc_id"))
+        .join(docSimhash60(s, d), Seq("doc_id"))
         .select(col("doc_id"), col("md5_norm"), col("simhash60"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
+
+    // Per-bit balance of the 60-bit SimHash — the fingerprint-index
+    // health check: banding (dedup_simhash, binary_phash) assumes each
+    // bit splits the corpus ~evenly; a bit stuck near all-0 or all-1
+    // carries no information, its band degenerates into giant buckets,
+    // and the MaxBucketSize cap starts dropping real pairs. One
+    // |docs|×60 explode folded by a 60-row agg — run it after changing
+    // the token hash or the corpus mix, before trusting the bands.
+    "text_simhash_bit_balance" -> ((s, d) =>
+      docSimhash60(s, d)
+        .select(col("simhash60"), explode(sequence(lit(1), lit(60))).as("p"))
+        .select(col("p").cast("long").as("bit_pos"),
+          expr("substring(simhash60, p, 1)").as("bit"))
+        .groupBy(col("bit_pos"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("bit") === "1", 1L).otherwise(0L)).as("n_ones"))
+        .withColumn("ones_ppm", expr("n_ones * 1000000 div n_docs"))
+        .withColumn("skewed", abs(col("ones_ppm") - 500000) > 300000)
+        .orderBy(col("bit_pos"))),
 
     // Unigram-surprisal quality filter (the perplexity-proxy pass of an
     // LLM corpus build): a document whose tokens are mostly corpus-rare is
@@ -566,6 +590,31 @@ object TextStats {
         |  sh.simhash60
         |FROM documents d JOIN sh ON d.doc_id = sh.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "text_simhash_bit_balance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    lpad(bin(CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)), 60, '0') AS b
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, r.p,
+        |    SUM(CASE WHEN substr(b, CAST(r.p AS INTEGER), 1) = '1' THEN 1 ELSE -1 END) AS sgn
+        |  FROM hashed, range(1, 61) r(p) GROUP BY doc_id, r.p),
+        |sh AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN sgn > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash60
+        |  FROM bits GROUP BY doc_id)
+        |SELECT CAST(r.p AS BIGINT) AS bit_pos, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN substr(simhash60, CAST(r.p AS INTEGER), 1) = '1'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ones,
+        |  CAST(SUM(CASE WHEN substr(simhash60, CAST(r.p AS INTEGER), 1) = '1'
+        |    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS ones_ppm,
+        |  abs(SUM(CASE WHEN substr(simhash60, CAST(r.p AS INTEGER), 1) = '1'
+        |    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) - 500000) > 300000 AS skewed
+        |FROM sh, range(1, 61) r(p)
+        |GROUP BY r.p
+        |ORDER BY bit_pos""".stripMargin,
     "text_surprisal" ->
       """WITH occ AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),

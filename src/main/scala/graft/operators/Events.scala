@@ -69,6 +69,23 @@ object Events {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Value↔hour covariance — DOES the metric follow the clock: the
+    // scaled covariance n·Σxy − Σx·Σy per type, with x = exact cents
+    // (decimal → integer) and y = the hour. Division-free integers (the
+    // sim_centroid_shift discipline): sign and relative magnitude are
+    // the signal; divide by n² off-engine for the real covariance. One
+    // type-keyed agg; at 100 TB swap the products to DECIMAL(38,0).
+    "events_cov_value_hour" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("x"),
+          hour(col("ts")).cast("long").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("cov_scaled", expr("n * sxy - sx * sy"))
+        .orderBy(col("event_type"))),
+
     // Hour-of-day seasonality profile — per type, the diurnal volume and
     // value curve (UTC session zone, so both engines read the same hour
     // off the same instant). One (type, hour) agg, 24·|types| output
@@ -805,6 +822,18 @@ object Events {
          |FROM sessions
          |GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+    "events_cov_value_hour" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+        |    CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS BIGINT) AS y
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |  CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |  CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS cov_scaled
+        |FROM e GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "events_value_by_hour" ->
       """SELECT event_type,
         |  CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
