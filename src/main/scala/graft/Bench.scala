@@ -36,7 +36,12 @@ object Bench {
         "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet")
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
+      catch { case e: Throwable =>
+        // a missing/renamed table (the schema-drift scenario) must not
+        // silently skip warming — the first-touch cost would land inside
+        // the first timed query that scans it, corrupting its number
+        System.err.println(s"[bench] warmup of $t failed: ${e.getMessage}")
+      }
     }
     // materialize the memoized shared intermediates (pair graph, IVF
     // assignment, partsupp, RFM profile) BEFORE timing: in production

@@ -68,15 +68,22 @@ object SparkEntry {
     // The unified store's primary lookup: per-indicator sighting history
     // — first/last seen, sighting count, distinct sources and platforms.
     // "Have we seen this IOC before, where, and how often" is the
-    // question a TI team asks the canonical table; one hash agg on the
-    // high-cardinality (ioc, type) key over the merged feed (dates are
-    // yyyy-MM-dd strings, so string min/max IS chronological min/max).
+    // question a TI team asks the canonical table (dates are yyyy-MM-dd
+    // strings, so string min/max IS chronological min/max). Two-level
+    // agg: the feed collapses per (ioc, type, source, platform) FIRST —
+    // one full-width exchange with map-side partials — and the distinct
+    // counts run over that indicator-cardinality relation, so the
+    // multi-countDistinct Expand (×3) multiplies the tiny pre-agg, never
+    // the full feed.
     "ioc_first_seen" -> ((s, d) =>
       unifiedFeed(s, d)
+        .groupBy(col("ioc"), col("type"), col("source"), col("platform"))
+        .agg(count(lit(1)).as("n"), min(col("date_received")).as("mn"),
+          max(col("date_received")).as("mx"))
         .groupBy(col("ioc"), col("type"))
-        .agg(min(col("date_received")).as("first_seen"),
-          max(col("date_received")).as("last_seen"),
-          count(lit(1)).as("n_sightings"),
+        .agg(min(col("mn")).as("first_seen"),
+          max(col("mx")).as("last_seen"),
+          sum(col("n")).as("n_sightings"),
           countDistinct(col("source")).as("n_sources"),
           countDistinct(col("platform")).as("n_platforms"))
         .orderBy(col("ioc"), col("type"))),
@@ -118,21 +125,23 @@ object SparkEntry {
     // much of what it reports is CORROBORATED (the same (type, ioc) also
     // sighted by at least one other source) in exact ppm. A source whose
     // indicators nobody else ever sees is either uniquely valuable or
-    // noise — either way it's the one to audit. The per-indicator
-    // source-count map rides the (type, ioc) key; the join back is
-    // co-keyed; distinct indicators count via the same type|ioc encoding
-    // in both engines so the cut can never disagree.
+    // noise — either way it's the one to audit. Pre-aggregate per
+    // (type, ioc, source) FIRST — after that collapse every downstream
+    // count is a plain count over already-distinct rows, so NO
+    // countDistinct (and no Expand) ever touches the feed: the
+    // source-count map is a row count per (type, ioc), the join back is
+    // co-keyed, and the per-source roll-up counts pre-agg rows.
     "ioc_source_reliability" -> ((s, d) => {
-      val u = unifiedFeed(s, d).select(col("source"), col("type"), col("ioc"))
-      val ns = u.select(col("type"), col("ioc"), col("source")).distinct()
-        .groupBy(col("type"), col("ioc"))
-        .agg(countDistinct(col("source")).as("n_sources"))
-      u.join(ns, Seq("type", "ioc"))
-        .withColumn("ind", concat_ws("|", col("type"), col("ioc")))
+      val pre = unifiedFeed(s, d)
+        .groupBy(col("type"), col("ioc"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val ns = pre.groupBy(col("type"), col("ioc"))
+        .agg(count(lit(1)).as("n_sources"))
+      pre.join(ns, Seq("type", "ioc"))
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_sightings"),
-          countDistinct(col("ind")).as("n_indicators"),
-          countDistinct(when(col("n_sources") >= 2, col("ind"))).as("n_corroborated"))
+        .agg(sum(col("n")).as("n_sightings"),
+          count(lit(1)).as("n_indicators"),
+          count(when(col("n_sources") >= 2, true)).as("n_corroborated"))
         .withColumn("corroborated_ppm",
           expr("n_corroborated * 1000000 div n_indicators"))
         .orderBy(col("source"))

@@ -54,6 +54,17 @@ object Corpus {
         concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"t$i")): _*).as("shingle"))
   }
 
+  /** MEMOIZED full-corpus 5-gram occurrence relation — the
+    * contamination/boilerplate/leakage index, persisted once per corpus
+    * snapshot at 100 TB exactly like the 3-gram dedup index
+    * ([[Dedup.shingleOcc]]). Consumers filter it by doc_id (shingles are
+    * per-doc, so filtering the index ≡ filtering the docs first); a
+    * checkpoint scan + filter beats re-running the posexplode+window
+    * pipeline per query side. */
+  private[graft] def shingleOcc5(s: SparkSession, d: String): DataFrame =
+    graft.Memo("corpus_occ5", s, d)(
+      shingleOccurrencesN(Tables.documents(s, d), 5).localCheckpoint())
+
   /** Shared scrub patterns — plain (not defanged) PII shapes; the defanged
     * variants are the IOC-extraction surface in [[graft.extract.Iocs]]. */
   val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -223,10 +234,10 @@ object Corpus {
     // its occurrence rows through the broadcast join and aggregates once
     // on doc_id — the corpus is never shuffled on the shingle.
     "text_contamination" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val bench = shingleOccurrencesN(docs.filter(col("doc_id") < 10), 5)
+      val occ = shingleOcc5(s, d)
+      val bench = occ.filter(col("doc_id") < 10)
         .select(col("shingle")).distinct()
-      shingleOccurrencesN(docs.filter(col("doc_id") >= 10), 5)
+      occ.filter(col("doc_id") >= 10)
         .join(broadcast(bench), Seq("shingle"))
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("shingle")).as("n_overlap"))
@@ -248,9 +259,9 @@ object Corpus {
     // against the benchmark shard that owns them, which is the standard
     // two-phase shape; the bitmap is what keeps phase 1 broadcastable.
     "text_contamination_bloom" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val occ = shingleOcc5(s, d)
       val probes = (0 until BloomK).map(j => bloomPos(col("shingle"), j))
-      val benchPos = shingleOccurrencesN(docs.filter(col("doc_id") < 10), 5)
+      val benchPos = occ.filter(col("doc_id") < 10)
         .select(col("shingle")).distinct()
         .select(explode(array(probes: _*)).as("pos"))
       val bloomRow = benchPos
@@ -267,7 +278,7 @@ object Corpus {
         val mask = call_function("shiftleft", lit(1L), (p % 64).cast("int"))
         coalesce(element_at(col("bloom"), word), lit(0L)).bitwiseAND(mask) =!= 0
       }
-      shingleOccurrencesN(docs.filter(col("doc_id") >= 10), 5)
+      occ.filter(col("doc_id") >= 10)
         .select(col("doc_id"), col("shingle"),
           conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h1"),
           conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long").as("h2"))
@@ -365,11 +376,11 @@ object Corpus {
     // the documented escalation when test outgrows a broadcast.
     "dq_split_leakage" -> ((s, d) => {
       val split = Sampling.hashBucket(col("doc_id"), 10)
-      val docs = Tables.documents(s, d)
-      val testShingles = shingleOccurrencesN(docs.filter(split >= 9), 5)
+      val occ = shingleOcc5(s, d)
+      val testShingles = occ.filter(split >= 9)
         .select(col("shingle")).distinct()
         .select(col("shingle"), lit(1).as("leak"))
-      shingleOccurrencesN(docs.filter(split < 9), 5)
+      occ.filter(split < 9)
         .join(broadcast(testShingles), Seq("shingle"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
@@ -393,7 +404,7 @@ object Corpus {
     "docs_vocab_growth" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val mx = docs.agg(max(col("doc_id")).as("mx"))
-      val firstB = shingleOccurrencesN(docs, 3)
+      val firstB = Dedup.shingleOcc(s, d)
         .crossJoin(broadcast(mx))
         .select(expr("least(9L, doc_id * 10 div (mx + 1))").as("bucket"),
           col("shingle"))
@@ -462,11 +473,13 @@ object Corpus {
     // which is small BY DEFINITION (high-DF strings are the Zipf head) and
     // broadcasts — the corpus-side occurrence stream never shuffles on the
     // shingle, exactly the text_contamination discipline. Phase 2 is a
-    // per-doc fold: boilerplate fraction in exact ppm. At 100 TB persist
-    // the occurrence relation once per snapshot (DEPLOYMENT.md) — DF, the
-    // vocab, contamination, and this gate all read it.
+    // per-doc fold: boilerplate fraction in exact ppm. The occurrence
+    // relation is the MEMOIZED per-snapshot index ([[shingleOcc5]]) — DF,
+    // the vocab, contamination, and this gate all read it, and this
+    // query's two consumers (DF agg + join-back) share ONE
+    // materialization instead of re-running the pipeline per branch.
     "text_boilerplate" -> ((s, d) => {
-      val occ = shingleOccurrencesN(Tables.documents(s, d), 5)
+      val occ = shingleOcc5(s, d)
       val boiler = occ.groupBy(col("shingle"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= BoilerplateDf)
@@ -490,7 +503,7 @@ object Corpus {
     // (n_occur DESC, shingle) tie-break is a total order, so the cut is
     // deterministic in both engines.
     "text_trigrams" -> ((s, d) =>
-      shingleOccurrencesN(Tables.documents(s, d), 3)
+      Dedup.shingleOcc(s, d)
         .groupBy(col("shingle"))
         .agg(count(lit(1)).as("n_occur"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n_occur").desc, col("shingle"))

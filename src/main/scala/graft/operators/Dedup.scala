@@ -64,6 +64,22 @@ object Dedup {
   def shingleRows(docs: DataFrame): DataFrame =
     shingleOccurrences(docs).distinct()
 
+  /** MEMOIZED 3-gram occurrence relation over the corpus — the inverted
+    * index's raw postings, built once per (session, dataset) like the pair
+    * graph and IVF file ([[graft.Memo]]). Production analog: the shingle
+    * relation is persisted once per corpus snapshot and every consumer
+    * (signatures, DF stats, vocab growth, trigram LM) reads the table —
+    * rebuilding a posexplode+window pass per query was the dominant
+    * repeated cost of the dedup family. */
+  private[graft] def shingleOcc(s: SparkSession, d: String): DataFrame =
+    memoized("shingle_occ", s, d)(
+      shingleOccurrences(Tables.documents(s, d)).localCheckpoint())
+
+  /** MEMOIZED distinct (doc_id, shingle) set — [[shingleOcc]] deduplicated,
+    * the SET-semantics face of the same persisted index. */
+  private[graft] def shingleRowsIdx(s: SparkSession, d: String): DataFrame =
+    memoized("shingle_rows", s, d)(shingleOcc(s, d).distinct().localCheckpoint())
+
   /** Two 32-bit halves of md5(x) — seeds of the multiplicative MinHash
     * family h_j(x) = ((C_j·h1) mod 2³¹) + ((D_j·h2) mod 2³¹). ONE digest
     * per shingle instead of one per (shingle × signature index): the
@@ -148,16 +164,16 @@ object Dedup {
         .filter(col("n_dups") > 1)
         .orderBy(col("content_key"))),
 
-    // n-gram Jaccard via a DF-capped shingle inverted index: explode
-    // distinct shingles, drop shingles above [[MaxShingleDf]], gather each
-    // surviving shingle's posting list with ONE aggregation, and generate
-    // doc pairs inside the posting-list array (fan-out per shingle bounded
-    // by MaxShingleDf²/2 — the whole point of the cap). The plan evaluates
-    // the shingle pipeline ONCE — the join formulation evaluated it four
-    // times — and every step rides an existing partitioning: the distinct
-    // and the TRUE set-size window reuse the lead-window's doc_id exchange,
-    // and the posting-list aggregation reuses the DF-window's shingle
-    // exchange, so the whole query is 2 data exchanges + the pair agg.
+    // n-gram Jaccard via a DF-capped shingle inverted index: read the
+    // MEMOIZED distinct-shingle relation ([[shingleRowsIdx]] — the
+    // persisted inverted index at 100 TB), drop shingles above
+    // [[MaxShingleDf]], gather each surviving shingle's posting list with
+    // ONE aggregation, and generate doc pairs inside the posting-list
+    // array (fan-out per shingle bounded by MaxShingleDf²/2 — the whole
+    // point of the cap). The posting-list aggregation reuses the
+    // DF-window's shingle exchange, so the query is the index scan + 2
+    // data exchanges + the pair agg — the shingle pipeline itself is paid
+    // once per corpus snapshot, not per query.
     //
     // Semantics: denominators are the TRUE distinct-shingle set sizes;
     // only the intersection is counted over the capped index. Dropping
@@ -168,7 +184,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, d) => {
       val dfw = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
       val szw = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-      val sh = shingleRows(Tables.documents(s, d))
+      val sh = shingleRowsIdx(s, d)
         .withColumn("sz", count(lit(1)).over(szw)) // TRUE size; doc_id partitioning reused
         .withColumn("df", count(lit(1)).over(dfw))
         .filter(col("df") <= MaxShingleDf)
@@ -326,25 +342,12 @@ object Dedup {
     // quadratic, nothing corpus-wide beyond the passes the LSH already
     // ran. Exact Jaccard over DISTINCT shingle sets (the standard
     // definition) — ratios of small ints, bit-stable in both engines.
-    "dedup_minhash_est" -> ((s, d) => {
-      val sig = minhashSigCols(s, d).select(col("doc_id"),
-        array((0 until K).map(j => col(s"m$j")): _*).as("sig"))
-      val p = minhashPairs(s, d)
-      val sh = shingleRows(Tables.documents(s, d))
-      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = p
-        .join(sh.select(col("doc_id").as("id1"), col("shingle")), Seq("id1"))
-        .join(sh.select(col("doc_id").as("id2"), col("shingle")), Seq("id2", "shingle"))
-        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("ni"))
-      p.join(sig.select(col("doc_id").as("id1"), col("sig").as("sig1")), Seq("id1"))
-        .join(sig.select(col("doc_id").as("id2"), col("sig").as("sig2")), Seq("id2"))
-        .join(inter, Seq("id1", "id2"), "left")
-        .join(sz.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
-        .join(sz.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
-        .withColumn("n_matches",
-          aggregate(zip_with(col("sig1"), col("sig2"),
-            (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L), (acc, x) => acc + x))
-        .withColumn("ni0", coalesce(col("ni"), lit(0L)))
+    // Consumes the MEMOIZED scored-candidate relation ([[pairScored]] —
+    // shared with dedup_lsh_precision, which aggregates the same rows to
+    // its decision-quality verdict): the per-pair arithmetic here is a
+    // pure projection over it.
+    "dedup_minhash_est" -> ((s, d) =>
+      pairScored(s, d)
         .select(col("id1"), col("id2"), col("n_matches"),
           (col("n_matches").cast("double") / K).as("est_jaccard"),
           (col("ni0").cast("double") / (col("n1") + col("n2") - col("ni0")))
@@ -352,17 +355,18 @@ object Dedup {
           abs(col("n_matches").cast("double") / K -
             col("ni0").cast("double") / (col("n1") + col("n2") - col("ni0")))
             .as("abs_err"))
-        .orderBy(col("id1"), col("id2"))
-    }),
+        .orderBy(col("id1"), col("id2"))),
 
     // Shingle document-frequency histogram in exact log2 buckets — THE
     // table MaxShingleDf is tuned from (DEPLOYMENT.md says "set from a
     // DF histogram"; this ships it): how many shingles live at each DF
     // magnitude, so the cap lands above the content mass and below the
-    // stop-shingle head. One shingle-keyed agg (the same relation the
-    // dedup/contamination family reads) + a histogram-sized bucket agg.
+    // stop-shingle head. One shingle-keyed agg over the MEMOIZED
+    // distinct-shingle index ([[shingleRowsIdx]] — the same persisted
+    // relation the dedup/contamination family reads) + a histogram-sized
+    // bucket agg.
     "dedup_shingle_df_hist" -> ((s, d) =>
-      shingleRows(Tables.documents(s, d))
+      shingleRowsIdx(s, d)
         .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .withColumn("bucket", length(bin(col("df"))).cast("long"))
         .groupBy(col("bucket"))
@@ -378,25 +382,14 @@ object Dedup {
     // so both engines cut identically. FP = wasted verification work,
     // candidate-set FN = pairs the estimate would wrongly release — the
     // two numbers that size K before a 100 TB run (band-stage misses are
-    // dedup_bucket_overflow's jurisdiction). Single-row output.
-    "dedup_lsh_precision" -> ((s, d) => {
-      val sig = minhashSigCols(s, d).select(col("doc_id"),
-        array((0 until K).map(j => col(s"m$j")): _*).as("sig"))
-      val p = minhashPairs(s, d)
-      val sh = shingleRows(Tables.documents(s, d))
-      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = p
-        .join(sh.select(col("doc_id").as("id1"), col("shingle")), Seq("id1"))
-        .join(sh.select(col("doc_id").as("id2"), col("shingle")), Seq("id2", "shingle"))
-        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("ni"))
-      p.join(sig.select(col("doc_id").as("id1"), col("sig").as("sig1")), Seq("id1"))
-        .join(sig.select(col("doc_id").as("id2"), col("sig").as("sig2")), Seq("id2"))
-        .join(inter, Seq("id1", "id2"), "left")
-        .join(sz.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
-        .join(sz.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
-        .withColumn("m", aggregate(zip_with(col("sig1"), col("sig2"),
-          (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L), (acc, x) => acc + x))
-        .withColumn("ni0", coalesce(col("ni"), lit(0L)))
+    // dedup_bucket_overflow's jurisdiction). Single-row output. Rides the
+    // MEMOIZED [[pairScored]] relation (shared with dedup_minhash_est) —
+    // the query itself is one scalar aggregation over the scored pairs,
+    // down from the 8-exchange/6-scan plan that rebuilt the shingle AND
+    // signature pipelines per run.
+    "dedup_lsh_precision" -> ((s, d) =>
+      pairScored(s, d)
+        .withColumn("m", col("n_matches"))
         .withColumn("est_hi", col("m") * 2 >= K)
         .withColumn("ex_hi", col("ni0") * 2 >= col("n1") + col("n2") - col("ni0"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -406,8 +399,7 @@ object Dedup {
         .withColumn("precision_ppm",
           expr("CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 div (tp + fp) END"))
         .withColumn("recall_ppm",
-          expr("CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 div (tp + fn) END"))
-    }),
+          expr("CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 div (tp + fn) END"))),
 
     // SimHash near-dup: 60-bit fingerprints banded into 4 × 15-bit chunks.
     // By pigeonhole, any pair within Hamming distance 3 has at least one
@@ -661,16 +653,56 @@ object Dedup {
     * signature computation shared by banding ([[minhashBanded]]) and the
     * estimator gate (`dedup_minhash_est`). md5 evaluated ONCE per
     * occurrence row; the K minima are integer multiply-adds over its
-    * halves. */
-  private[graft] def minhashSigCols(s: SparkSession, d: String): DataFrame = {
-    val hashed = shingleOccurrences(Tables.documents(s, d))
-      .select(col("doc_id"),
-        mhashH1(col("shingle")).as("h1"), mhashH2(col("shingle")).as("h2"))
-    hashed.groupBy(col("doc_id")).agg(
-      min(mhash(0, col("h1"), col("h2"))).as("m0"),
-      (1 until K).map(j =>
-        min(mhash(j, col("h1"), col("h2"))).as(s"m$j")): _*)
-  }
+    * halves. MEMOIZED: the signature table is the second half of the
+    * persisted dedup index (next to [[shingleOcc]]) — banding, the
+    * incremental admission gate, and both estimator gates read it, and
+    * at 100 TB it is written once per corpus snapshot. Consumes the
+    * memoized occurrence relation, so warm-up builds occurrences →
+    * signatures → pairs as one pipeline stage. */
+  private[graft] def minhashSigCols(s: SparkSession, d: String): DataFrame =
+    memoized("sig", s, d) {
+      val hashed = shingleOcc(s, d)
+        .select(col("doc_id"),
+          mhashH1(col("shingle")).as("h1"), mhashH2(col("shingle")).as("h2"))
+      hashed.groupBy(col("doc_id")).agg(
+        min(mhash(0, col("h1"), col("h2"))).as("m0"),
+        (1 until K).map(j =>
+          min(mhash(j, col("h1"), col("h2"))).as(s"m$j")): _*)
+        .localCheckpoint()
+    }
+
+  /** MEMOIZED scored LSH-candidate relation (id1, id2, n_matches, ni0,
+    * n1, n2): every candidate pair with its signature match count, exact
+    * shingle-set intersection, and the two set sizes — the estimate-vs-
+    * truth table BOTH quality gates (`dedup_minhash_est`,
+    * `dedup_lsh_precision`) are projections/aggregations of. Cost shape:
+    * the pair set (near-dups only — tiny) joins the memoized signature
+    * and shingle indexes doc-keyed; nothing quadratic, nothing
+    * corpus-wide beyond the persisted relations it reads. */
+  private[graft] def pairScored(s: SparkSession, d: String): DataFrame =
+    memoized("pair_scored", s, d) {
+      val sig = minhashSigCols(s, d).select(col("doc_id"),
+        array((0 until K).map(j => col(s"m$j")): _*).as("sig"))
+      val p = minhashPairs(s, d)
+      val sh = shingleRowsIdx(s, d)
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = p
+        .join(sh.select(col("doc_id").as("id1"), col("shingle")), Seq("id1"))
+        .join(sh.select(col("doc_id").as("id2"), col("shingle")), Seq("id2", "shingle"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("ni"))
+      p.join(sig.select(col("doc_id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+        .join(sig.select(col("doc_id").as("id2"), col("sig").as("sig2")), Seq("id2"))
+        .join(inter, Seq("id1", "id2"), "left")
+        .join(sz.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+        .join(sz.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+        .withColumn("n_matches",
+          aggregate(zip_with(col("sig1"), col("sig2"),
+            (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L), (acc, x) => acc + x))
+        .withColumn("ni0", coalesce(col("ni"), lit(0L)))
+        .select(col("id1"), col("id2"), col("n_matches"),
+          col("ni0"), col("n1"), col("n2"))
+        .localCheckpoint()
+    }
 
   private[graft] def minhashBanded(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSigCols(s, d)

@@ -74,16 +74,26 @@ object Events {
     // (decimal → integer) and y = the hour. Division-free integers (the
     // sim_centroid_shift discipline): sign and relative magnitude are
     // the signal; divide by n² off-engine for the real covariance. One
-    // type-keyed agg; at 100 TB swap the products to DECIMAL(38,0).
+    // type-keyed agg. Accumulation is DECIMAL(38,0) end-to-end — long
+    // sums wrap silently while DuckDB sums in HUGEINT, so at a larger
+    // SF the engines would diverge with no signal; decimal matches the
+    // oracle's widen-then-CAST semantics (n·Σxy alone exceeds int64
+    // near n ≈ 1e7 at these value bounds).
     "events_cov_value_hour" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_type"),
           expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("x"),
           hour(col("ts")).cast("long").as("y"))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"))
-        .withColumn("cov_scaled", expr("n * sxy - sx * sy"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sxd"),
+          sum(col("y").cast("decimal(38,0)")).as("syd"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxyd"))
+        .select(col("event_type"), col("n"),
+          col("sxd").cast("long").as("sx"), col("syd").cast("long").as("sy"),
+          col("sxyd").cast("long").as("sxy"),
+          (col("n").cast("decimal(38,0)") * col("sxyd") - col("sxd") * col("syd"))
+            .cast("long").as("cov_scaled"))
         .orderBy(col("event_type"))),
 
     // Hour-of-day seasonality profile — per type, the diurnal volume and

@@ -253,9 +253,10 @@ object Relational {
     "grouping_sets" -> ((s, d) => {
       // the temp view is session-global state: name it per-dataset so two
       // datasets (or concurrent query builds) sharing one SparkSession
-      // can't race registration vs analysis and bind to the wrong table
-      val view = "graft_lineitem_gs_" +
-        java.lang.Integer.toHexString(d.hashCode).replace('-', '_')
+      // can't race registration vs analysis and bind to the wrong table.
+      // The FULL path is sanitized into the name — a 32-bit hash could
+      // collide two paths and silently bind both builds to one view
+      val view = "graft_lineitem_gs_" + d.replaceAll("[^A-Za-z0-9]", "_")
       Tables.lineitem(s, d).createOrReplaceTempView(view)
       s.sql(
         s"""SELECT l_returnflag, l_linestatus,

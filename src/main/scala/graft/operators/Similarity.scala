@@ -285,15 +285,22 @@ object Similarity {
     // partials absorbing the 64× fan-out, variance as the scaled integer
     // n·Σq² − (Σq)² — order-free, bit-identical on both engines, and the
     // ranking it exists for is monotone in it (divide by n² off-engine
-    // for the real variance).
+    // for the real variance). Accumulation is DECIMAL(38,0): long sums
+    // wrap silently where DuckDB widens to HUGEINT, so the decimal path
+    // is what keeps the engines agreeing past the tested SFs (same
+    // rationale as events_cov_value_hour).
     "sim_dim_variance" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(posexplode(col("embedding")).as(Seq("dim", "x")))
         .withColumn("q", floor(col("x").cast("double") * 10000).cast("long"))
         .groupBy(col("dim"))
-        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
-          sum(col("q") * col("q")).as("sq2"))
-        .withColumn("var_scaled", expr("n * sq2 - sq * sq"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("q").cast("decimal(38,0)")).as("sqd"),
+          sum((col("q") * col("q")).cast("decimal(38,0)")).as("sq2d"))
+        .select(col("dim"), col("n"),
+          col("sqd").cast("long").as("sq"), col("sq2d").cast("long").as("sq2"),
+          (col("n").cast("decimal(38,0)") * col("sq2d") - col("sqd") * col("sqd"))
+            .cast("long").as("var_scaled"))
         .orderBy(col("dim"))),
 
     // Centroid DRIFT between two halves of the corpus (vec_id parity is

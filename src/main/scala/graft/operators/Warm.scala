@@ -19,8 +19,17 @@ import org.apache.spark.sql.SparkSession
 object Warm {
   def all(s: SparkSession, d: String): Unit = {
     graft.sources.Tables.partsupp(s, d)
+    // shingle index family, in dependency order: 3-gram occurrences →
+    // distinct set → K-minima signatures → banded pair graph → labels.
+    // Each build READS the previous memoized stage, so warm-up runs the
+    // posexplode+window pass once, like the snapshot pipeline it models.
+    Dedup.shingleOcc(s, d)
+    Dedup.shingleRowsIdx(s, d)
+    Dedup.minhashSigCols(s, d)
     Dedup.minhashPairs(s, d)
     Dedup.clusterLabels(s, d)
+    Dedup.pairScored(s, d)
+    Corpus.shingleOcc5(s, d)
     Similarity.ivfAssign(s, d)
     Events.rfmPerUser(s, d)
     graft.SparkEntry.unifiedFeed(s, d)

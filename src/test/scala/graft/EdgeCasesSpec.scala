@@ -33,13 +33,16 @@ class EdgeCasesSpec extends AnyFunSuite {
   }
 
   test("session_window on a single event yields one [ts, ts+gap) session") {
-    val e = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
-      .toDF("user_id", "ts")
+    // timestamp built from an Instant, assertions on epoch millis — a
+    // Timestamp.valueOf literal + string render would couple the test to
+    // the host JVM's default timezone vs the UTC session zone
+    val t0 = java.time.Instant.parse("2024-01-01T10:00:00Z")
+    val e = Seq((1L, java.sql.Timestamp.from(t0))).toDF("user_id", "ts")
     val r = e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n"))
-      .select(col("w.start").cast("string"), col("w.end").cast("string"), col("n"))
+      .select(col("w.start"), col("w.end"), col("n"))
       .collect().head
-    assert(r.getString(0) == "2024-01-01 10:00:00" &&
-      r.getString(1) == "2024-01-01 10:30:00" && r.getLong(2) == 1L)
+    assert(r.getTimestamp(0).toInstant == t0 &&
+      r.getTimestamp(1).toInstant == t0.plusSeconds(30 * 60) && r.getLong(2) == 1L)
   }
 }
