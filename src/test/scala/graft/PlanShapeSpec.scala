@@ -587,6 +587,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n <= 2, s"docs_spans has $n hash exchanges (want <= 2) — the n_toks count window is back:\n$p")
   }
 
+  test("exchange budgets for the heavy tail: pinned at audited counts") {
+    // The whole-inventory sweep catches cartesians and global windows but
+    // not exchange pile-ups; the per-query pins above cover design shapes.
+    // This pins the bench's top-cost queries at their PLANS.md-audited
+    // hash-exchange counts, so a refactor that adds a shuffle to any of
+    // them fails sbt test instead of only regenerating PLANS.md.
+    val budgets = Seq(
+      // ETL parity surface: regex pipelines are per-row + range-sort only
+      "ioc_email_etl" -> 0, "ioc_tweet_etl" -> 0, "ioc_json_encode" -> 0,
+      "ioc_classify" -> 0,
+      // unified-feed analytics (two-level pre-agg shapes)
+      "ioc_first_seen" -> 3, "ioc_source_reliability" -> 4,
+      "ioc_confirmation_lag" -> 5,
+      // memoized shingle/signature index consumers: index scan + own aggs
+      "dedup_lsh_precision" -> 1, "dedup_minhash_est" -> 1,
+      "dedup_shingle_df_hist" -> 2, "text_trigrams" -> 2,
+      "docs_vocab_growth" -> 2, "text_boilerplate" -> 3,
+      // aggregation/sketch family
+      "agg_percentiles" -> 1, "agg_percentile_hist" -> 3,
+      "agg_sketch_merge" -> 2, "agg_stats" -> 2, "grouping_sets" -> 1,
+      // text fingerprints
+      "text_fingerprint" -> 1, "text_winnowing" -> 1,
+      "text_simhash_bit_balance" -> 2,
+      // similarity / quantization sweeps (multi-branch by design — the
+      // budget guards against further growth, not a target)
+      "sim_pq_adc" -> 7, "sim_probe_sweep" -> 16, "sim_recall_pq" -> 11,
+      "embed_kmeans" -> 2, "join_bloom_semi" -> 2, "graph_pagerank" -> 7)
+    val over = budgets.flatMap { case (q, max) =>
+      val n = "Exchange hashpartitioning".r.findAllIn(plan(q)).size
+      if (n > max) Some(s"$q: $n exchanges (budget $max)") else None
+    }
+    assert(over.isEmpty, s"exchange budgets exceeded:\n  ${over.mkString("\n  ")}")
+  }
+
   test("whole-inventory sweep: no cartesian, no partitionless Window in any plan") {
     // The class-of-bug guard the per-query shape pins can't give: EVERY
     // query's physical plan is traversed (tree nodes, not string match)
