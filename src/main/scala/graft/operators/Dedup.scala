@@ -75,10 +75,20 @@ object Dedup {
     memoized("shingle_occ", s, d)(
       shingleOccurrences(Tables.documents(s, d)).localCheckpoint())
 
-  /** MEMOIZED distinct (doc_id, shingle) set — [[shingleOcc]] deduplicated,
-    * the SET-semantics face of the same persisted index. */
+  /** MEMOIZED distinct (doc_id, shingle, sz) set — [[shingleOcc]]
+    * deduplicated, the SET-semantics face of the same persisted index.
+    * `sz` is the document's TRUE distinct-shingle count, computed at
+    * index build (one doc_id window, paid once per snapshot) — a real
+    * inverted index stores set sizes next to the postings, and carrying
+    * it saves every Jaccard-denominator consumer a per-query window
+    * exchange over the whole relation. */
   private[graft] def shingleRowsIdx(s: SparkSession, d: String): DataFrame =
-    memoized("shingle_rows", s, d)(shingleOcc(s, d).distinct().localCheckpoint())
+    memoized("shingle_rows", s, d) {
+      val szw = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      shingleOcc(s, d).distinct()
+        .withColumn("sz", count(lit(1)).over(szw))
+        .localCheckpoint()
+    }
 
   /** Two 32-bit halves of md5(x) — seeds of the multiplicative MinHash
     * family h_j(x) = ((C_j·h1) mod 2³¹) + ((D_j·h2) mod 2³¹). ONE digest
@@ -183,9 +193,7 @@ object Dedup {
     // (max DF 25 < cap) the output equals the exact join's.
     "dedup_ngram_jaccard" -> ((s, d) => {
       val dfw = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-      val szw = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-      val sh = shingleRowsIdx(s, d)
-        .withColumn("sz", count(lit(1)).over(szw)) // TRUE size; doc_id partitioning reused
+      val sh = shingleRowsIdx(s, d) // carries the TRUE set size `sz`
         .withColumn("df", count(lit(1)).over(dfw))
         .filter(col("df") <= MaxShingleDf)
         .drop("df")
