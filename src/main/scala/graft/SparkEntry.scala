@@ -289,9 +289,13 @@ object SparkEntry {
     }),
 
     // X6: JSON struct encode — the streaming payload shape
-    // (generate_payload's 6 fields, firehose.py:125-128).
+    // (generate_payload's 6 fields, firehose.py:125-128). Encodes from
+    // the MEMOIZED canonical store (the production shape: payloads are
+    // serialized from the persisted table, not by re-running the regex
+    // ETL); the per-feed extraction cost stays measured by
+    // ioc_tweet_etl.
     "ioc_json_encode" -> ((s, d) =>
-      sortedOnce(TweetPipeline.extract(Tables.tweets(s, d))
+      sortedOnce(unifiedFeed(s, d).filter(col("platform") === "Twitter")
         .select(col("id"), to_json(struct(
           col("id"), col("date_added"), col("type"), col("tag"),
           col("ioc"), col("source"))).as("payload")),

@@ -44,22 +44,31 @@ object TextStats {
       lit(0.3) * least(size(toks).cast("double") / lit(100.0), lit(1.0))
   }
 
-  /** Per-doc 60-bit SimHash over token md5s — the body text_fingerprint
-    * and text_simhash_bit_balance share (a fork would let the index and
-    * its health check disagree about the fingerprint). */
-  private def docSimhash60(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val hash60 = (t: Column) =>
-      conv(substring(md5(t), 1, 15), 16, 10).cast("long")
-    val bits = Tables.documents(s, d)
-      .select(col("doc_id"), explode(transform(tokens(col("text")), hash60)).as("b"))
-    bits.groupBy(col("doc_id")).agg(
-        count(lit(1)).as("n"),
-        (1 to 60).map(p =>
-          sum(shiftright(col("b"), 60 - p).bitwiseAND(lit(1L))).as(s"c$p")): _*)
-      .select(col("doc_id"),
-        concat((1 to 60).map(p =>
-          when(col(s"c$p") * 2 > col("n"), "1").otherwise("0")): _*).as("simhash60"))
-  }
+  /** Per-doc 60-bit SimHash as a bit string — a rendering of the MEMOIZED
+    * integer fingerprint table ([[graft.operators.Dedup.simhashFp]]), the
+    * one body text_fingerprint, text_simhash_bit_balance, and
+    * dedup_simhash share (a fork would let the index and its health check
+    * disagree about the fingerprint). Bit p of the string is bit 60−p of
+    * `sh`, which is exactly the vote `c_p·2 > n` — lpad(bin()) is the
+    * identity rendering, asserted in OperatorsSpec. */
+  private def docSimhash60(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Dedup.simhashFp(s, d)
+      .select(col("doc_id"), lpad(bin(col("sh")), 60, "0").as("simhash60"))
+
+  /** MEMOIZED term-frequency relation (doc_id, doc_len, token, tf) — the
+    * unigram postings table, persisted once per corpus snapshot like the
+    * shingle index ([[graft.operators.Dedup.shingleOcc]]): TF-IDF and the
+    * vocabulary view read it instead of re-exploding every token. Rows
+    * are unique per (doc, token), so window/aggregation counts over it
+    * ARE document frequencies. */
+  private[graft] def tokenTf(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.Memo("text_tf", s, d)(
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).as("doc_len"),
+          explode(tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("doc_len"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint())
 
   /** The keep/drop cut over [[qualityScore]]. */
   def qualityKeep(text: Column): Column =
@@ -232,10 +241,12 @@ object TextStats {
     // its reducer as ONE partial row per task, not a row per occurrence),
     // so the skewed key never concentrates data movement.
     "text_vocab" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      // rides the MEMOIZED postings table: n_occur = Σtf, and tf rows are
+      // unique per (doc, token) so the plain row count IS the distinct
+      // document count — no countDistinct Expand anywhere
+      tokenTf(s, d)
         .groupBy(col("token"))
-        .agg(count(lit(1)).as("n_occur"), countDistinct(col("doc_id")).as("n_docs"))
+        .agg(sum(col("tf")).as("n_occur"), count(lit(1)).as("n_docs"))
         .orderBy(col("n_occur").desc, col("token"))
         .limit(50)),
 
@@ -249,11 +260,7 @@ object TextStats {
     // drop-in at deployment, traded away here only for cross-engine
     // hash-stability of the oracle gate).
     "text_tfidf" -> ((s, d) => {
-      val tf = Tables.documents(s, d)
-        .select(col("doc_id"), size(tokens(col("text"))).as("doc_len"),
-          explode(tokens(col("text"))).as("token"))
-        .groupBy(col("doc_id"), col("doc_len"), col("token"))
-        .agg(count(lit(1)).as("tf"))
+      val tf = tokenTf(s, d) // MEMOIZED postings table
       val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       // df as a count-over-token-partition window on the tf relation:
       // tf rows are unique per (doc, token), so the window count IS the

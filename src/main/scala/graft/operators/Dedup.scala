@@ -740,24 +740,39 @@ object Dedup {
       .select(col("p.id1").as("id1"), col("p.id2").as("id2")).distinct()
   }
 
+  /** MEMOIZED per-document 60-bit SimHash fingerprint (doc_id, sh) — the
+    * per-bit majority vote over token md5s, computed as 60 codegen bit-sum
+    * columns in ONE doc-keyed aggregation. THE fingerprint table: the
+    * banded near-dup search (`dedup_simhash`), the fingerprint export
+    * (`text_fingerprint`), and the bit-health check
+    * (`text_simhash_bit_balance`) all read it, so index, export, and
+    * health check can never disagree — and the token-explode vote pass
+    * runs once per corpus snapshot, not three times per dashboard
+    * refresh. n_docs rows × 16 bytes — tiny at any SF. */
+  private[graft] def simhashFp(s: SparkSession, d: String): DataFrame =
+    memoized("simhash_fp", s, d) {
+      val hash60 = (t: Column) => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+      val bits = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(transform(graft.functions.TextStats.tokens(col("text")), hash60)).as("b"))
+      val sums = bits.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n"),
+        (1 to 60).map(p =>
+          sum(shiftright(col("b"), 60 - p).bitwiseAND(lit(1L))).as(s"c$p")): _*)
+      sums.select(col("doc_id"),
+        (1 to 60).map(p =>
+          when(col(s"c$p") * 2 > col("n"), lit(1L << (60 - p))).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
+        .localCheckpoint()
+    }
+
   /** Body of `dedup_simhash` sans final sort — `cap` as in
-    * [[computeMinhashPairs]]. The 60-bit fingerprint is a per-bit majority
-    * vote over token hashes; note the cap means the pigeonhole-exactness
+    * [[computeMinhashPairs]]. Reads the MEMOIZED fingerprint table
+    * ([[simhashFp]]); note the cap means the pigeonhole-exactness
     * claim holds per KEPT bucket members — overflowed members trade recall
     * for a bounded task, like the MinHash cap. */
   private[graft] def simhashPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
-    val hash60 = (t: Column) => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
-    val bits = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(transform(graft.functions.TextStats.tokens(col("text")), hash60)).as("b"))
-    val sums = bits.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n"),
-      (1 to 60).map(p =>
-        sum(shiftright(col("b"), 60 - p).bitwiseAND(lit(1L))).as(s"c$p")): _*)
-    val fp = sums.select(col("doc_id"),
-      (1 to 60).map(p =>
-        when(col(s"c$p") * 2 > col("n"), lit(1L << (60 - p))).otherwise(lit(0L)))
-        .reduce(_ + _).as("sh"))
+    val fp = simhashFp(s, d)
     val banded = fp.select(col("doc_id"), col("sh"),
       posexplode(array((0 until SimhashBands).map(b =>
         shiftright(col("sh"), b * SimhashBandBits).bitwiseAND(lit(0x7FFFL))): _*)))

@@ -29,7 +29,9 @@ object Warm {
     Dedup.minhashPairs(s, d)
     Dedup.clusterLabels(s, d)
     Dedup.pairScored(s, d)
+    Dedup.simhashFp(s, d)
     Corpus.shingleOcc5(s, d)
+    graft.functions.TextStats.tokenTf(s, d)
     Similarity.ivfAssign(s, d)
     Events.rfmPerUser(s, d)
     graft.SparkEntry.unifiedFeed(s, d)

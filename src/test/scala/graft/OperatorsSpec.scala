@@ -31,6 +31,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fast.except(slow).count() == 0 && slow.except(fast).count() == 0)
   }
 
+  test("simhashFp lpad(bin) rendering equals the per-row HOF simhash string") {
+    // the memoized integer fingerprint (codegen 60-bit-sum agg) rendered
+    // as a bit string must equal the per-row aggregate-fold formulation —
+    // the identity every fingerprint consumer (index, export, health
+    // check, streaming gate) relies on
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+    val fast = graft.operators.Dedup.simhashFp(spark, d)
+      .select(col("doc_id"), lpad(bin(col("sh")), 60, "0").as("s60"))
+    val slow = docs.select(col("doc_id"),
+      TextStats.simhash(TextStats.tokens(col("text"))).as("s60"))
+    assert(fast.except(slow).count() == 0 && slow.except(fast).count() == 0)
+  }
+
   test("shingleOccurrencesN(5) equals the 5-gram HOF slice formulation") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val fast = graft.operators.Corpus.shingleOccurrencesN(docs, 5).distinct()
