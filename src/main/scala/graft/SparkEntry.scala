@@ -40,8 +40,15 @@ object SparkEntry {
     * per-feed costs stay measured by ioc_email_etl / ioc_tweet_etl. */
   private[graft] def unifiedFeed(s: SparkSession, d: String): DataFrame =
     Memo("ioc_unified_feed", s, d)(
+      // repartition at BUILD time (one exchange, paid once at warm like a
+      // snapshot writer partitioning its output): the regex union is
+      // otherwise input-split-bound — a single-file test input leaves the
+      // checkpoint with 1-2 partitions, serializing the first stage of
+      // EVERY downstream feed consumer; a persisted canonical table is
+      // written partitioned for reader parallelism
       EmailPipeline(Tables.emails(s, d), DateAdded)
         .unionByName(TweetPipeline.extract(Tables.tweets(s, d)))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
         .localCheckpoint())
 
   /** Parity queries over the reference's own surface (SURVEY.md §2.1-§2.4). */
