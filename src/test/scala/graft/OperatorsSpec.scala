@@ -933,4 +933,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(chained.filter(col("next_from").isNotNull &&
       col("valid_to") =!= col("next_from")).count() == 0)
   }
+
+  test("iocSightings rollup is lossless for every derived history query") {
+    // the persisted sighting index carries (n, mn, mx) per (type, ioc,
+    // source, platform); its consumers only ever regroup by SUBSETS of
+    // that key, so sum/min/max over the rollup must equal the same fold
+    // over the raw feed — the invariant that makes reading the index
+    // instead of the feed a pure plan change
+    val d = "/root/testdata/sf0.001"
+    val feed = SparkEntry.unifiedFeed(spark, d)
+    val direct = feed
+      .groupBy(col("type"), col("ioc"), col("source"))
+      .agg(count(lit(1)).as("n"), min(col("date_received")).as("mn"),
+        max(col("date_received")).as("mx"))
+    val viaIdx = SparkEntry.iocSightings(spark, d)
+      .groupBy(col("type"), col("ioc"), col("source"))
+      .agg(sum(col("n")).as("n"), min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"))
+    assert(direct.except(viaIdx).count() == 0 &&
+      viaIdx.except(direct).count() == 0)
+  }
 }

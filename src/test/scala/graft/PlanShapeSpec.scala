@@ -597,9 +597,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // ETL parity surface: regex pipelines are per-row + range-sort only
       "ioc_email_etl" -> 0, "ioc_tweet_etl" -> 0, "ioc_json_encode" -> 0,
       "ioc_classify" -> 0,
-      // unified-feed analytics (two-level pre-agg shapes)
-      "ioc_first_seen" -> 3, "ioc_source_reliability" -> 4,
-      "ioc_confirmation_lag" -> 5,
+      // unified-feed analytics: all read the persisted (type, ioc,
+      // source, platform) sighting rollup, so every exchange is over
+      // indicator-cardinality input and none duplicates a subtree
+      "ioc_first_seen" -> 2, "ioc_source_reliability" -> 3,
+      "ioc_confirmation_lag" -> 3, "ioc_feed_overlap" -> 2,
+      "ioc_ttl_status" -> 2,
       // memoized shingle/signature index consumers: index scan + own aggs
       "dedup_lsh_precision" -> 1, "dedup_minhash_est" -> 1,
       "dedup_shingle_df_hist" -> 2, "text_trigrams" -> 2,
