@@ -91,6 +91,17 @@ object SparkEntry {
       sortedOnce(unifiedFeed(s, d),
         col("platform"), col("id"), col("type"), col("ioc"))),
 
+    // The sighting index ITSELF, oracle-verified: the persisted
+    // per-(type, ioc, source, platform) rollup every history dashboard
+    // reads ([[iocSightings]]) is a first-class artifact, so its content
+    // is hash-checked directly — not just through its consumers.
+    "ioc_sightings" -> ((s, d) =>
+      sortedOnce(iocSightings(s, d)
+        .select(col("type"), col("ioc"), col("source"), col("platform"),
+          col("n").as("n_sightings"), col("mn").as("first_seen"),
+          col("mx").as("last_seen")),
+        col("type"), col("ioc"), col("source"), col("platform"))),
+
     // The unified store's primary lookup: per-indicator sighting history
     // — first/last seen, sighting count, distinct sources and platforms.
     // "Have we seen this IOC before, where, and how often" is the
@@ -358,6 +369,15 @@ object SparkEntry {
         s"t AS (\n${OracleViews.tweetEtlSql}\n)\n" +
         "SELECT * FROM e UNION ALL SELECT * FROM t\n" +
         "ORDER BY platform, id, type, ioc"),
+    "ioc_sightings" ->
+      (s"WITH e AS (\n${OracleViews.emailEtlSql(DateAdded)}\n),\n" +
+        s"t AS (\n${OracleViews.tweetEtlSql}\n),\n" +
+        "u AS (SELECT * FROM e UNION ALL SELECT * FROM t)\n" +
+        "SELECT type, ioc, source, platform, COUNT(*) AS n_sightings,\n" +
+        "  MIN(date_received) AS first_seen,\n" +
+        "  MAX(date_received) AS last_seen\n" +
+        "FROM u GROUP BY type, ioc, source, platform\n" +
+        "ORDER BY type, ioc, source, platform"),
     "ioc_first_seen" ->
       (s"WITH e AS (\n${OracleViews.emailEtlSql(DateAdded)}\n),\n" +
         s"t AS (\n${OracleViews.tweetEtlSql}\n),\n" +

@@ -953,4 +953,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(direct.except(viaIdx).count() == 0 &&
       viaIdx.except(direct).count() == 0)
   }
+
+  test("iocSightings maintains incrementally: partial rollups merge losslessly") {
+    // the IVM property that lets the index be MAINTAINED at 100 TB
+    // instead of rebuilt: rollup(segment A) merged with rollup(segment B)
+    // by (sum n, min mn, max mx) equals rollup(A ∪ B) — count/min/max are
+    // all associative+commutative folds, so per-ingest-window partials
+    // (or per-shard partials across 1000 executors) combine exactly.
+    // Segments split by an md5 bit of the message key: deterministic,
+    // correlated with nothing.
+    val d = "/root/testdata/sf0.001"
+    val feed = SparkEntry.unifiedFeed(spark, d)
+    val key = Seq(col("type"), col("ioc"), col("source"), col("platform"))
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(key: _*).agg(count(lit(1)).as("n"),
+        min(col("date_received")).as("mn"), max(col("date_received")).as("mx"))
+    val seg = substring(md5(concat(col("platform"), lit("|"), col("id"))), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7")
+    val merged = rollup(feed.filter(seg)).unionByName(rollup(feed.filter(!seg)))
+      .groupBy(key: _*).agg(sum(col("n")).as("n"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+    val full = rollup(feed)
+    assert(merged.except(full).count() == 0 && full.except(merged).count() == 0)
+  }
 }

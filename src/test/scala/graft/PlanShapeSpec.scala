@@ -602,7 +602,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // indicator-cardinality input and none duplicates a subtree
       "ioc_first_seen" -> 2, "ioc_source_reliability" -> 3,
       "ioc_confirmation_lag" -> 3, "ioc_feed_overlap" -> 2,
-      "ioc_ttl_status" -> 2,
+      "ioc_ttl_status" -> 2, "ioc_sightings" -> 0,
       // memoized shingle/signature index consumers: index scan + own aggs
       "dedup_lsh_precision" -> 1, "dedup_minhash_est" -> 1,
       "dedup_shingle_df_hist" -> 2, "text_trigrams" -> 2,

@@ -181,4 +181,37 @@ class TweetStreamSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(kept.toSeq == Seq("30"))
   }
+
+  test("sighting rollup maintained by streaming aggregation ≡ batch rebuild") {
+    // the streaming half of the iocSightings IVM story: Spark's stateful
+    // streaming agg IS the incremental maintainer of the per-(type, ioc,
+    // source, platform) index — count/min/max state folds each
+    // micro-batch, so after any number of batches the maintained table
+    // must equal a batch rebuild over everything ingested (the same
+    // lossless-merge property OperatorsSpec proves for partial rollups)
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    implicit val sq = spark.sqlContext
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      TweetPipeline.extract(TweetPipeline.flatten(df))
+        .groupBy(col("type"), col("ioc"), col("source"), col("platform"))
+        .agg(count(lit(1)).as("n"), min(col("date_received")).as("mn"),
+          max(col("date_received")).as("mx"))
+    val r1 = Seq(
+      tweet(60, "c2 9.9.9.9", user = "alice"),
+      tweet(61, "seen 9.9.9.9 too", user = "bob"))
+    val r2 = Seq(
+      tweet(62, "third 9.9.9.9", user = "alice"),
+      tweet(63, "hash d41d8cd98f00b204e9800998ecf8427e", user = "alice"))
+    val mem = MemoryStream[String]
+    val q = rollup(mem.toDF()).writeStream.format("memory")
+      .queryName("sightings_stream").outputMode("complete").start()
+    mem.addData(r1: _*); q.processAllAvailable()
+    mem.addData(r2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sightings_stream")
+    val batch = rollup((r1 ++ r2).toDF("value"))
+    assert(streamed.except(batch).count() == 0 &&
+      batch.except(streamed).count() == 0,
+      "streaming-maintained sighting index diverged from the batch rebuild")
+  }
 }
