@@ -24,6 +24,46 @@ object Events {
 
   private val gapMinutes = 30
 
+  /** Shared funnel automaton: one scan (step filter pushed) + one
+    * user-keyed exchange; the user's sorted step events fold through a
+    * (t_view, t_click, t_purchase) state struct. `windowed` adds the
+    * 7-day conversion bounds as two comparisons inside the step
+    * function. Semantics are identical to the min-after-min
+    * formulation: the first qualifying event in timestamp order IS the
+    * minimum qualifying timestamp, and same-ts ties can never qualify
+    * (strict '>' both here and in the oracle). */
+  private def funnelFold(s: SparkSession, d: String, windowed: Boolean): DataFrame = {
+    val cBound = if (windowed) " AND e.ts <= a.tv + INTERVAL 7 DAYS" else ""
+    val pBound = if (windowed) " AND e.ts <= a.tc + INTERVAL 7 DAYS" else ""
+    val nullTs = "CAST(NULL AS TIMESTAMP)"
+    val step =
+      "(a, e) -> CASE " +
+        "WHEN e.et = 'view' AND a.tv IS NULL " +
+        "THEN named_struct('tv', e.ts, 'tc', a.tc, 'tp', a.tp) " +
+        "WHEN e.et = 'click' AND a.tv IS NOT NULL AND a.tc IS NULL " +
+        s"AND e.ts > a.tv$cBound " +
+        "THEN named_struct('tv', a.tv, 'tc', e.ts, 'tp', a.tp) " +
+        "WHEN e.et = 'purchase' AND a.tc IS NOT NULL AND a.tp IS NULL " +
+        s"AND e.ts > a.tc$pBound " +
+        "THEN named_struct('tv', a.tv, 'tc', a.tc, 'tp', e.ts) " +
+        "ELSE a END"
+    Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        struct(col("ts"), col("event_type").as("et")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col("user_id"), expr(
+        s"aggregate(es, named_struct('tv', $nullTs, 'tc', $nullTs, 'tp', $nullTs), $step)"
+      ).as("f"))
+      .filter(col("f.tv").isNotNull)
+      .select(col("user_id"), col("f.tv").as("t_view"),
+        col("f.tc").as("t_click"), col("f.tp").as("t_purchase"),
+        (lit(1L) + when(col("f.tc").isNotNull, 1L).otherwise(0L)
+          + when(col("f.tp").isNotNull, 1L).otherwise(0L)).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-user RFM profile (last_ts, frequency, monetary) — the branch
     * root events_rfm's bucket-count and scoring sides both read. In
     * production this IS a persisted table built once per corpus
@@ -187,53 +227,23 @@ object Events {
     // Sequential-pattern funnel (MATCH_RECOGNIZE-lite): per user, the
     // earliest view, the earliest click AFTER that view, and the earliest
     // purchase AFTER that click — the canonical 3-step conversion funnel.
-    // Three user-keyed aggregations, each a single shuffle on the
-    // high-cardinality user key with the step filter pushed to the scan;
-    // left joins keep users who stall mid-funnel (stage counts them).
-    "events_funnel" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-      val c = ev.filter(col("event_type") === "click")
-        .join(v, Seq("user_id")).filter(col("ts") > col("t_view"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .join(c, Seq("user_id")).filter(col("ts") > col("t_click"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
-        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
-          (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
-            + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("stage"))
-        .orderBy(col("user_id"))
-    }),
+    // ONE scan (step filter pushed) + ONE user-keyed exchange + a per-user
+    // ordered fold: the sorted step events fold left-to-right through a
+    // (t_view, t_click, t_purchase) state struct — exactly how a
+    // MATCH_RECOGNIZE automaton runs — replacing the 3-aggregation /
+    // 2-join formulation (3 scans, 5 exchanges) whose every stage
+    // re-shuffled the same user key. Fold input is the user's OWN step
+    // events (frame bounded by events-per-user, the window_median
+    // discipline), never partition-sized.
+    "events_funnel" -> ((s, d) => funnelFold(s, d, windowed = false)),
 
     // Time-boxed funnel — events_funnel with the conversion-window
     // constraint real product analytics uses (a click must land within
     // 7 days of the view, the purchase within 7 days of the click):
     // unbounded funnels silently count year-later conversions as funnel
-    // successes. Identical plan shape to the fixed funnel (user-keyed
-    // mins + small joins); the interval predicate rides the same join —
-    // zero extra cost for the correct semantics.
-    "events_funnel_windowed" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-      val c = ev.filter(col("event_type") === "click")
-        .join(v, Seq("user_id"))
-        .filter(col("ts") > col("t_view") &&
-          col("ts") <= col("t_view") + expr("INTERVAL 7 DAYS"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .join(c, Seq("user_id"))
-        .filter(col("ts") > col("t_click") &&
-          col("ts") <= col("t_click") + expr("INTERVAL 7 DAYS"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
-        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
-          (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
-            + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("stage"))
-        .orderBy(col("user_id"))
-    }),
+    // successes. Identical single-fold shape — the interval bound is two
+    // extra comparisons inside the automaton step, zero extra plan cost.
+    "events_funnel_windowed" -> ((s, d) => funnelFold(s, d, windowed = true)),
 
     // cohort retention: users grouped by first-seen day, actives counted
     // per (cohort, day-offset) — the product-analytics retention matrix.

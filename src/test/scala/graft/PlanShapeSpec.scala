@@ -236,11 +236,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("events_funnel: user-keyed aggregations only, no cartesian") {
+  test("events_funnel: one user-keyed fold, no cartesian") {
+    // the per-user ordered-fold automaton: ONE hash exchange (the
+    // user_id collect) + the final range sort — the old 3-agg/2-join
+    // shape (5 exchanges, 3 scans) must not come back
     val p = plan("events_funnel")
     assert(!p.contains("CartesianProduct"), s"funnel has a cartesian product:\n$p")
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(n <= 6, s"funnel has $n hash exchanges (max 6) — user partitioning lost:\n$p")
+    assert(n <= 1, s"funnel has $n hash exchanges (max 1) — the multi-agg/join shape is back:\n$p")
+    val nw = "Exchange hashpartitioning".r.findAllIn(plan("events_funnel_windowed")).size
+    assert(nw <= 1, s"windowed funnel has $nw hash exchanges (max 1):\n$p")
   }
 
   test("simhash dedup: no cartesian, bounded exchanges, integer banding") {
