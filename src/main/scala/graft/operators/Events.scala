@@ -32,7 +32,15 @@ object Events {
     * formulation: the first qualifying event in timestamp order IS the
     * minimum qualifying timestamp, and same-ts ties can never qualify
     * (strict '>' both here and in the oracle). */
-  private def funnelFold(s: SparkSession, d: String, windowed: Boolean): DataFrame = {
+  private def funnelFold(s: SparkSession, d: String, windowed: Boolean): DataFrame =
+    funnelFoldOn(Tables.events(s, d), windowed)
+
+  /** PropertiesSpec seam: the unbounded automaton over an arbitrary
+    * (user_id, ts, event_type) frame. */
+  private[graft] def funnelFoldForTest(ev: DataFrame): DataFrame =
+    funnelFoldOn(ev, windowed = false)
+
+  private def funnelFoldOn(events: DataFrame, windowed: Boolean): DataFrame = {
     val cBound = if (windowed) " AND e.ts <= a.tv + INTERVAL 7 DAYS" else ""
     val pBound = if (windowed) " AND e.ts <= a.tc + INTERVAL 7 DAYS" else ""
     val nullTs = "CAST(NULL AS TIMESTAMP)"
@@ -47,7 +55,7 @@ object Events {
         s"AND e.ts > a.tc$pBound " +
         "THEN named_struct('tv', a.tv, 'tc', a.tc, 'tp', e.ts) " +
         "ELSE a END"
-    Tables.events(s, d)
+    events
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"),
         struct(col("ts"), col("event_type").as("et")).as("e"))

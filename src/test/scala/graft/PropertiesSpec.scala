@@ -227,4 +227,39 @@ class PropertiesSpec extends AnyFunSuite {
     assert(got == brute && got > 0,
       s"oriented count $got != brute-force $brute")
   }
+
+  test("property: funnel fold ≡ min-after-min reference on random event logs") {
+    // the ordered-fold automaton (Events.funnelFold) against an
+    // independent driver-side reference of the DECLARED semantics:
+    // t_view = min view ts; t_click = min click ts > t_view;
+    // t_purchase = min purchase ts > t_click; stage counts the non-nulls.
+    // Dense ts range (0-49s) forces same-ts collisions across users and
+    // types — the tie territory where a sloppy fold (>= for >, order
+    // sensitivity among equal timestamps) diverges. Fixed seed.
+    val evGen = Gen.listOfN(400, for {
+      u <- Gen.choose(1, 25)
+      t <- Gen.choose(0L, 49L)
+      k <- Gen.oneOf("view", "click", "purchase", "other")
+    } yield (u, t, k)).pureApply(org.scalacheck.Gen.Parameters.default,
+      org.scalacheck.rng.Seed(8L))
+    val df = evGen.toDF("user_id", "sec", "event_type")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("event_type"))
+    val got = graft.operators.Events.funnelFoldForTest(df)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4)))
+      .toMap
+    val want = evGen.groupBy(_._1).flatMap { case (u, es) =>
+      val byType = es.groupBy(_._3).map { case (k, xs) => k -> xs.map(_._2).sorted }
+      byType.get("view").map(_.head).map { tv =>
+        val tc = byType.getOrElse("click", Nil).find(_ > tv)
+        val tp = tc.flatMap(c => byType.getOrElse("purchase", Nil).find(_ > c))
+        val ts = (s: Long) => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+        u -> (ts(tv), tc.map(ts).orNull, tp.map(ts).orNull,
+          1L + tc.size + tp.size)
+      }
+    }
+    assert(got == want,
+      s"fold diverged from reference on ${got.keySet.union(want.keySet).count(k => got.get(k) != want.get(k))} users")
+  }
 }
