@@ -188,14 +188,88 @@ object Similarity {
         .orderBy(col("qid"), col("nid"))
     }),
 
-    // scale path: SRP-LSH bucket assignment + bucket population.
+    // scale path: SRP-LSH bucket population — the index-health inventory
+    // (reads the ONE memoized assignment table the search serves from;
+    // a bucket approaching LshMaxBucket here is the signal to raise H).
     "sim_lsh_buckets" -> ((s, d) =>
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), srpBucket(col("embedding")).as("bucket"))
+      lshAssign(s, d)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
-        .orderBy(col("bucket")))
-      ,
+        .orderBy(col("bucket"))),
+
+    // LSH-bucketed ANN top-k — the hash-table alternative to the IVF
+    // probe path: candidates are exactly the query's own-bucket cohabitants
+    // (Σ_b n_b² pairs, never n²; expected n_b = n/2^H, skew capped by
+    // LshMaxBucket), re-ranked by exact cosine. Unlike IVF there is no
+    // centroid training step — the index is one narrow projection pass —
+    // which is the trade: recall comes only from probe multiplicity
+    // (sim_lsh_recall measures it), not from data-adaptive cells. The pair
+    // join shuffles on the H-bit bucket string; the rank window on qid.
+    "sim_lsh_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+      val ok = lshAssign(s, d).groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_b")).filter(col("n_b") <= LshMaxBucket)
+        .select(col("bucket"))
+      val bk = lshAssign(s, d).join(broadcast(ok), Seq("bucket"), "left_semi")
+      val q = bk.join(e, Seq("vec_id"))
+        .select(col("bucket"), col("vec_id").as("qid"),
+          col("embedding").as("qe"), col("nsq").as("qn"))
+      val x = bk.join(e, Seq("vec_id"))
+        .select(col("bucket"), col("vec_id"),
+          col("embedding").as("ne"), col("nsq").as("nn"))
+      val byQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      q.join(x, Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosine", dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")))
+        .withColumn("rank", row_number().over(byQ).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("vec_id").as("nid"), col("cosine"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // The SRP-LSH recall gate, with the MULTIPROBE tuning curve folded in:
+    // per query (first-RecallQueries sample, the sim_recall discipline),
+    // what fraction of the TRUE cosine top-k is reachable (a) in the
+    // query's own bucket, (b) adding the H one-bit-flip probe buckets.
+    // Candidate recall is the metric the H/probe knobs directly control —
+    // re-rank cannot recover a neighbor the probe set never reaches.
+    // Exact ground truth is the same one-pass corpus × broadcast-sample
+    // join sim_recall uses; the probe side joins the tiny probe list to
+    // the memoized assignment on bucket, so nothing here is quadratic.
+    "sim_lsh_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+      val q = e.filter(col("vec_id") < RecallQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nsq").as("qn"))
+      val byQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      val exact = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosine", dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nsq")))
+        .withColumn("rank", row_number().over(byQ))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("vec_id").as("nid"))
+      // a neighbor lives in exactly ONE bucket, but min(lvl) keeps the
+      // per-(qid, nid) row unique by construction even if probe lists
+      // ever overlap (e.g. a future multi-table variant)
+      val cand = lshProbes(s, d).join(
+          lshAssign(s, d).select(col("vec_id").as("nid"), col("bucket").as("pbucket")),
+          Seq("pbucket"))
+        .filter(col("nid") =!= col("qid"))
+        .groupBy(col("qid"), col("nid")).agg(min(col("lvl")).as("lvl"))
+      exact.join(cand, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(when(col("lvl") === 0, lit(1))).as("n_hits_own"),
+          count(col("lvl")).as("n_hits_mp"))
+        .select(col("qid"),
+          col("n_hits_own"),
+          (col("n_hits_own").cast("double") / lit(TopK)).as("recall_own"),
+          col("n_hits_mp"),
+          (col("n_hits_mp").cast("double") / lit(TopK)).as("recall_mp"))
+        .orderBy(col("qid"))
+    }),
 
     // IVF coarse quantization: deterministic seed centroids (every 64th
     // vector), each vector assigned to its nearest centroid by exact L2
@@ -595,6 +669,17 @@ object Similarity {
     * size — that is what keeps exact ground truth affordable at 100 TB. */
   val RecallQueries = 50
 
+  /** Skew guard for the SRP-LSH bucketed search: buckets holding more than
+    * this many vectors are excluded from the pair join (same discipline as
+    * [[Dedup.MaxBucketSize]] for the MinHash bands — real embedding spaces
+    * are anisotropic, and one dense bucket re-introduces the n² hot key the
+    * bucketing exists to prevent). The cap is a deterministic exact-count
+    * filter, so both engines agree; at the tested SFs (≤2000 vectors over
+    * 2^[[Hyperplanes]] buckets) no bucket reaches it, and at scale the
+    * H knob is raised FIRST (expected population n/2^H) with the cap as
+    * the backstop the `sim_lsh_buckets` inventory monitors. */
+  val LshMaxBucket = 256
+
   /** IVF list count (`nlist`): seeds are every 64th vector, BOUNDED to the
     * first [[MaxCentroids]] — the assignment pass is O(n · MaxCentroids)
     * and average cell population is n / MaxCentroids. nlist is the
@@ -723,6 +808,38 @@ object Similarity {
       .select(col("vec_id"), col("sid").as("cell"))
   }
 
+  /** SRP-LSH bucket assignment: (vec_id, bucket) — the hash table the
+    * sign-random-projection index serves from. MEMOIZED like [[ivfAssign]]
+    * (persisted-index stand-in): the bucket inventory, the bucketed top-k
+    * search, and the multiprobe recall gate all read this ONE table; in
+    * production it is written once per index build, and the H-bit bucket
+    * string is the shuffle/join key (expected population n/2^H — H is the
+    * knob that keeps per-bucket pair work bounded as n grows). */
+  private[operators] def lshAssign(s: SparkSession, d: String): DataFrame =
+    graft.Memo("sim_lsh_assign", s, d)(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), srpBucket(col("embedding")).as("bucket"))
+        .localCheckpoint())
+
+  /** One-bit-flip multiprobe list for the first [[RecallQueries]] query
+    * vectors: (qid, lvl, pbucket) — lvl 0 is the vector's own bucket, lvl
+    * 1 the [[Hyperplanes]] buckets at Hamming distance 1 (the planes the
+    * query was CLOSEST to crossing are the likeliest to hide true
+    * neighbors; flipping each buys recall without rebuilding the index). */
+  private[graft] def lshProbes(s: SparkSession, d: String): DataFrame = {
+    val own = struct(lit(0).as("lvl"), col("bucket").as("pbucket"))
+    val flips = (0 until Hyperplanes).map { p =>
+      struct(lit(1).as("lvl"),
+        concat(
+          substring(col("bucket"), 1, p),
+          when(substring(col("bucket"), p + 1, 1) === "1", "0").otherwise("1"),
+          substring(col("bucket"), p + 2, Hyperplanes)).as("pbucket"))
+    }
+    lshAssign(s, d).filter(col("vec_id") < RecallQueries)
+      .select(col("vec_id").as("qid"), explode(array(own +: flips: _*)).as("pr"))
+      .select(col("qid"), col("pr.lvl").as("lvl"), col("pr.pbucket").as("pbucket"))
+  }
+
   /** 2-probe list: each vector's 2 nearest cells, (qid, cell). */
   private def ivfProbes(s: SparkSession, d: String, probes: Int = 2): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -739,6 +856,26 @@ object Similarity {
     "list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in range(1, len(embedding)+1)])"
 
   /** Shared IVF CTE chain (e → seeds → dists → assign), DuckDB dialect. */
+  /** Shared SRP-LSH CTE chain (e → signed → bk), DuckDB dialect: the
+    * md5-parity sign derivation is the reference formulation
+    * [[srpBucketExpr]] mirrors — the Spark fast path uses the identical
+    * constant matrix as ±1 literals (equality asserted in OperatorsSpec). */
+  private val lshCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding, $nsqSql AS nsq
+       |  FROM embeddings),
+       |signed AS (
+       |  SELECT vec_id,
+       |    [CASE WHEN list_sum([
+       |        CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i-1 AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0
+       |             THEN CAST(embedding[i] AS DOUBLE)
+       |             ELSE -CAST(embedding[i] AS DOUBLE) END
+       |        for i in range(1, len(embedding)+1)]) > 0
+       |      THEN '1' ELSE '0' END
+       |     for j in range(0, $Hyperplanes)] AS bits
+       |  FROM embeddings),
+       |bk AS (SELECT vec_id, array_to_string(bits, '') AS bucket FROM signed)""".stripMargin
+
   private[operators] val ivfCtes: String =
     s"""e AS (
        |  SELECT vec_id, embedding, $nsqSql AS nsq
@@ -1137,20 +1274,63 @@ object Similarity {
            |FROM levels l LEFT JOIN hits h ON h.n_probes = l.n_probes
            |ORDER BY l.n_probes""".stripMargin),
     "sim_lsh_buckets" ->
-      s"""WITH signed AS (
-         |  SELECT vec_id,
-         |    [CASE WHEN list_sum([
-         |        CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i-1 AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0
-         |             THEN CAST(embedding[i] AS DOUBLE)
-         |             ELSE -CAST(embedding[i] AS DOUBLE) END
-         |        for i in range(1, len(embedding)+1)]) > 0
-         |      THEN '1' ELSE '0' END
-         |     for j in range(0, $Hyperplanes)] AS bits
-         |  FROM embeddings)
-         |SELECT array_to_string(bits, '') AS bucket,
-         |  COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
-         |FROM signed
-         |GROUP BY 1
-         |ORDER BY bucket""".stripMargin
+      (s"WITH $lshCtes\n" +
+        s"""SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+           |FROM bk
+           |GROUP BY 1
+           |ORDER BY bucket""".stripMargin),
+    "sim_lsh_topk" ->
+      (s"WITH $lshCtes,\n" +
+        s"""ok AS (SELECT bucket FROM bk GROUP BY 1 HAVING COUNT(*) <= $LshMaxBucket),
+           |bko AS (SELECT bk.* FROM bk JOIN ok USING (bucket)),
+           |cands AS (
+           |  SELECT q.vec_id AS qid, x.vec_id AS nid,
+           |    ${dotSql("q", "x")} / sqrt(q.nsq * x.nsq) AS cosine
+           |  FROM bko bq
+           |  JOIN e q ON q.vec_id = bq.vec_id
+           |  JOIN bko bx ON bx.bucket = bq.bucket AND bx.vec_id <> bq.vec_id
+           |  JOIN e x ON x.vec_id = bx.vec_id)
+           |SELECT qid, nid, cosine, CAST(rank AS BIGINT) AS rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+           |  FROM cands)
+           |WHERE rank <= $TopK
+           |ORDER BY qid, rank""".stripMargin),
+    "sim_lsh_recall" ->
+      (s"WITH $lshCtes,\n" +
+        s"""probes AS (
+           |  SELECT vec_id AS qid, bucket AS pbucket, 0 AS lvl
+           |  FROM bk WHERE vec_id < $RecallQueries
+           |  UNION ALL
+           |  SELECT vec_id AS qid,
+           |    substr(bucket, 1, CAST(p AS INTEGER)) ||
+           |      (CASE WHEN substr(bucket, CAST(p AS INTEGER) + 1, 1) = '1' THEN '0' ELSE '1' END) ||
+           |      substr(bucket, CAST(p AS INTEGER) + 2) AS pbucket,
+           |    1 AS lvl
+           |  FROM bk CROSS JOIN (SELECT unnest(range(0, $Hyperplanes)) AS p) t
+           |  WHERE vec_id < $RecallQueries),
+           |cand AS (
+           |  SELECT p.qid, n.vec_id AS nid, MIN(p.lvl) AS lvl
+           |  FROM probes p
+           |  JOIN bk n ON n.bucket = p.pbucket AND n.vec_id <> p.qid
+           |  GROUP BY 1, 2),
+           |ex_cands AS (
+           |  SELECT q.vec_id AS qid, x.vec_id AS nid,
+           |    ${dotSql("q", "x")} / sqrt(q.nsq * x.nsq) AS cosine
+           |  FROM e q CROSS JOIN e x
+           |  WHERE q.vec_id < $RecallQueries AND x.vec_id <> q.vec_id),
+           |exact AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+           |    FROM ex_cands)
+           |  WHERE rank <= $TopK)
+           |SELECT g.qid,
+           |  COUNT(CASE WHEN c.lvl = 0 THEN 1 END) AS n_hits_own,
+           |  CAST(COUNT(CASE WHEN c.lvl = 0 THEN 1 END) AS DOUBLE) / $TopK AS recall_own,
+           |  COUNT(c.lvl) AS n_hits_mp,
+           |  CAST(COUNT(c.lvl) AS DOUBLE) / $TopK AS recall_mp
+           |FROM exact g
+           |LEFT JOIN cand c ON c.qid = g.qid AND c.nid = g.nid
+           |GROUP BY g.qid
+           |ORDER BY g.qid""".stripMargin)
   )
 }

@@ -160,6 +160,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(b(0) != b(2))           // opposite direction → complement
   }
 
+  test("lsh multiprobe list: own bucket at lvl 0 plus exactly H one-bit flips") {
+    val d = "/root/testdata/sf0.001"
+    val own = Similarity.lshProbes(spark, d).filter(col("lvl") === 0)
+      .select(col("qid"), col("pbucket").as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val flips = Similarity.lshProbes(spark, d).filter(col("lvl") === 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2))
+    // one flip probe per hyperplane per query, each at Hamming distance
+    // exactly 1 from the query's own bucket, all H of them distinct
+    assert(flips.length == own.size * Similarity.Hyperplanes)
+    flips.foreach { case (qid, p) =>
+      val b = own(qid)
+      assert(p.length == b.length &&
+        p.zip(b).count { case (x, y) => x != y } == 1,
+        s"probe $p is not a one-bit flip of $b")
+    }
+    assert(flips.groupBy(_._1).values.forall(g => g.map(_._2).distinct.length == g.length))
+  }
+
+  test("lsh recall gate: multiprobe recall dominates own-bucket recall") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Similarity.queries("sim_lsh_recall")(spark, d).collect()
+    assert(rows.length == Similarity.RecallQueries)
+    // candidate sets are nested (own ⊆ own+flips), so recall is monotone
+    // in probes — the property the multiprobe knob exists to buy
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall_mp") >= r.getAs[Double]("recall_own"))
+    }
+  }
+
   test("simhash fast path (explode+agg query) equals the aggregate() fold") {
     val d = "/root/testdata/sf0.001"
     val fast = TextStats.queries("text_fingerprint")(spark, d)

@@ -266,6 +266,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh search path: bucket join only, skew filter broadcasts, no cartesian") {
+    val topk = plan("sim_lsh_topk")
+    assert(!topk.contains("CartesianProduct"), s"sim_lsh_topk has a cartesian:\n$topk")
+    // the LshMaxBucket skew filter is a ≤2^H-row bucket list — it must
+    // reach the assignment scan as a broadcast semi join, never a shuffle
+    assert(topk.contains("BroadcastExchange"),
+      s"sim_lsh_topk: bucket skew filter no longer broadcasts:\n$topk")
+    val recall = plan("sim_lsh_recall")
+    assert(!recall.contains("CartesianProduct"), s"sim_lsh_recall cartesian:\n$recall")
+    // exact ground truth = corpus scan × BROADCAST query sample (the
+    // sim_recall discipline); losing the broadcast is the n² coming back
+    assert(recall.contains("BroadcastNestedLoopJoin") && recall.contains("BroadcastExchange"),
+      s"sim_lsh_recall: ground truth no longer broadcasts the sample:\n$recall")
+  }
+
   test("text_surprisal: frequency as window, no vocab join, two real exchanges") {
     val p = plan("text_surprisal")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
