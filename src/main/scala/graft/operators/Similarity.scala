@@ -271,6 +271,45 @@ object Similarity {
         .orderBy(col("qid"))
     }),
 
+    // Incremental vector-index admission — the vector-store twin of
+    // dedup_incremental: today's arrivals (vec_id % 10 = 0, the suite's
+    // split convention) probe the EXISTING index (own bucket + one-bit
+    // flips) and are admitted unless a probed old vector clears the
+    // cosine duplicate threshold. Only new×old is ever compared — the
+    // old×old work was done when those vectors arrived, and the per-probe
+    // candidate list is bucket-capped exactly like the MinHash admission
+    // index (a hot bucket degrades recall, never cost). Admission joins
+    // back to ALL arrivals so admitted vectors surface with dup_of NULL.
+    "sim_incremental" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+      val isNew = col("vec_id") % 10 === 0
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pbucket")).orderBy(col("old_id"))
+      val oldIdx = lshAssign(s, d).filter(!isNew)
+        .select(col("bucket").as("pbucket"), col("vec_id").as("old_id"))
+        .withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= LshMaxBucket).drop("rn")
+      // an old vector lives in ONE bucket and the probe list is distinct,
+      // so (qid, old_id) pairs are unique without a dedup pass
+      val dups = lshProbesOf(lshAssign(s, d).filter(isNew))
+        .join(oldIdx, Seq("pbucket"))
+        .select(col("qid").as("vec_id"), col("old_id"))
+        .join(e.select(col("vec_id"), col("embedding").as("qe"), col("nsq").as("qn")),
+          Seq("vec_id"))
+        .join(e.select(col("vec_id").as("old_id"), col("embedding").as("oe"),
+          col("nsq").as("onsq")), Seq("old_id"))
+        // integer-ppm threshold (sim_range_search discipline): compare on
+        // floor(cosine·1e6) so an ulp can't flip admission between engines
+        .filter(floor(dot(col("qe"), col("oe")) / sqrt(col("qn") * col("onsq")) * 1e6)
+          .cast("long") >= (IncrementalSimTau * 1e6).toLong)
+        .groupBy(col("vec_id")).agg(min(col("old_id")).as("dup_of"))
+      e.filter(isNew).select(col("vec_id"))
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("dup_of"), col("dup_of").isNull.as("admitted"))
+        .orderBy(col("vec_id"))
+    }),
+
     // IVF coarse quantization: deterministic seed centroids (every 64th
     // vector), each vector assigned to its nearest centroid by exact L2
     // (nsq_v − 2·dot + nsq_c, all left-fold doubles → bit-stable).
@@ -669,6 +708,12 @@ object Similarity {
     * size — that is what keeps exact ground truth affordable at 100 TB. */
   val RecallQueries = 50
 
+  /** Duplicate threshold for `sim_incremental` admission — aligned with
+    * the batch embedding near-dup pass (`dedup_embedding_cosine`'s 0.3),
+    * so the incremental gate and the batch sweep agree on what counts as
+    * a duplicate; production sets it from the same labeled boundary. */
+  val IncrementalSimTau = 0.3
+
   /** Skew guard for the SRP-LSH bucketed search: buckets holding more than
     * this many vectors are excluded from the pair join (same discipline as
     * [[Dedup.MaxBucketSize]] for the MinHash bands — real embedding spaces
@@ -826,7 +871,13 @@ object Similarity {
     * 1 the [[Hyperplanes]] buckets at Hamming distance 1 (the planes the
     * query was CLOSEST to crossing are the likeliest to hide true
     * neighbors; flipping each buys recall without rebuilding the index). */
-  private[graft] def lshProbes(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lshProbes(s: SparkSession, d: String): DataFrame =
+    lshProbesOf(lshAssign(s, d).filter(col("vec_id") < RecallQueries))
+
+  /** The probe expansion over any (vec_id, bucket) subset — the recall
+    * gate probes the query sample, the incremental admission probes the
+    * day's new arrivals. */
+  private def lshProbesOf(assign: DataFrame): DataFrame = {
     val own = struct(lit(0).as("lvl"), col("bucket").as("pbucket"))
     val flips = (0 until Hyperplanes).map { p =>
       struct(lit(1).as("lvl"),
@@ -835,7 +886,7 @@ object Similarity {
           when(substring(col("bucket"), p + 1, 1) === "1", "0").otherwise("1"),
           substring(col("bucket"), p + 2, Hyperplanes)).as("pbucket"))
     }
-    lshAssign(s, d).filter(col("vec_id") < RecallQueries)
+    assign
       .select(col("vec_id").as("qid"), explode(array(own +: flips: _*)).as("pr"))
       .select(col("qid"), col("pr.lvl").as("lvl"), col("pr.pbucket").as("pbucket"))
   }
@@ -1331,6 +1382,37 @@ object Similarity {
            |FROM exact g
            |LEFT JOIN cand c ON c.qid = g.qid AND c.nid = g.nid
            |GROUP BY g.qid
-           |ORDER BY g.qid""".stripMargin)
+           |ORDER BY g.qid""".stripMargin),
+    "sim_incremental" ->
+      (s"WITH $lshCtes,\n" +
+        s"""old_idx AS (
+           |  SELECT pbucket, old_id FROM (
+           |    SELECT bucket AS pbucket, vec_id AS old_id,
+           |      row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+           |    FROM bk WHERE vec_id % 10 <> 0)
+           |  WHERE rn <= $LshMaxBucket),
+           |probes AS (
+           |  SELECT vec_id AS qid, bucket AS pbucket
+           |  FROM bk WHERE vec_id % 10 = 0
+           |  UNION ALL
+           |  SELECT vec_id AS qid,
+           |    substr(bucket, 1, CAST(p AS INTEGER)) ||
+           |      (CASE WHEN substr(bucket, CAST(p AS INTEGER) + 1, 1) = '1' THEN '0' ELSE '1' END) ||
+           |      substr(bucket, CAST(p AS INTEGER) + 2) AS pbucket
+           |  FROM bk CROSS JOIN (SELECT unnest(range(0, $Hyperplanes)) AS p) t
+           |  WHERE vec_id % 10 = 0),
+           |dups AS (
+           |  SELECT p.qid AS vec_id, MIN(o.old_id) AS dup_of
+           |  FROM probes p
+           |  JOIN old_idx o ON o.pbucket = p.pbucket
+           |  JOIN e q ON q.vec_id = p.qid
+           |  JOIN e x ON x.vec_id = o.old_id
+           |  WHERE CAST(floor(${dotSql("q", "x")} / sqrt(q.nsq * x.nsq) * 1e6) AS BIGINT)
+           |    >= ${(IncrementalSimTau * 1e6).toLong}
+           |  GROUP BY 1)
+           |SELECT n.vec_id, d.dup_of, d.dup_of IS NULL AS admitted
+           |FROM (SELECT vec_id FROM bk WHERE vec_id % 10 = 0) n
+           |LEFT JOIN dups d ON d.vec_id = n.vec_id
+           |ORDER BY n.vec_id""".stripMargin)
   )
 }

@@ -190,6 +190,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_incremental: verdict for every arrival, dup_of always an old vector") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Similarity.queries("sim_incremental")(spark, d).collect()
+    val nNew = graft.sources.Tables.embeddings(spark, d)
+      .filter(col("vec_id") % 10 === 0).count()
+    assert(rows.length == nNew)                    // admitted rows surface too
+    rows.foreach { r =>
+      val dup = Option(r.get(1)).map(_.asInstanceOf[Long])
+      assert(r.getBoolean(2) == dup.isEmpty)       // admitted ⇔ no duplicate
+      dup.foreach(o => assert(o % 10 != 0,         // new×old only, never new×new
+        s"dup_of $o is itself an arrival — the index admitted a new vector"))
+    }
+  }
+
   test("simhash fast path (explode+agg query) equals the aggregate() fold") {
     val d = "/root/testdata/sf0.001"
     val fast = TextStats.queries("text_fingerprint")(spark, d)
