@@ -232,4 +232,58 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows((1L, 2L, 5.0)) && rows((2L, 1L, 7.0)), s"batch-1 state wrong: $rows")
     assert(rows((1L, 3L, 9.0)), s"batch-2 did not accumulate: $rows")
   }
+
+  test("streaming funnel (transformWithState) ends batch-identical to events_funnel") {
+    implicit val sq = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val d = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+    // the ordered log: globally ts-ordered, (ts, et) tie-break matching
+    // the batch fold's sort_array key, cut at an arbitrary point so the
+    // batch boundary falls mid-funnel for most users
+    val log = ev.select(col("user_id"), expr("unix_micros(ts)"), col("event_type"))
+      .as[(Long, Long, String)].collect().sortBy(r => (r._2, r._3, r._1))
+    val (b1, b2) = log.splitAt(log.length * 2 / 5)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val out = mem.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "tv", "tc", "tp", "stage")
+    val q = out.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    mem.addData(b1.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    prevProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+    // the automaton only advances, so a user's FINAL state is their
+    // max-stage emission (same-stage emissions are identical rows)
+    val streamed = spark.table("funnel_out")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+         Option(r.get(2)).map(_.asInstanceOf[Long]),
+         Option(r.get(3)).map(_.asInstanceOf[Long]),
+         r.getLong(4)))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._4) }
+    val batch = graft.operators.Events.funnelFoldForTest(ev)
+      .select(col("user_id"), expr("unix_micros(t_view)"),
+        expr("unix_micros(t_click)"), expr("unix_micros(t_purchase)"), col("stage"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+         Option(r.get(2)).map(_.asInstanceOf[Long]),
+         Option(r.get(3)).map(_.asInstanceOf[Long]),
+         r.getLong(4))).toMap
+    assert(streamed == batch,
+      s"stream/batch funnel divergence:\n stream=$streamed\n batch=$batch")
+  }
 }
