@@ -891,14 +891,28 @@ object Similarity {
       .select(col("qid"), col("pr.lvl").as("lvl"), col("pr.pbucket").as("pbucket"))
   }
 
-  /** 2-probe list: each vector's 2 nearest cells, (qid, cell). */
-  private def ivfProbes(s: SparkSession, d: String, probes: Int = 2): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("dist"), col("sid"))
-    seedDists(s, d)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= probes)
-      .select(col("vec_id").as("qid"), col("sid").as("cell"))
-  }
+  /** Ranked probe list: each vector's [[ProbeSweepLevels]].max nearest
+    * cells, (qid, cell, rn). MEMOIZED like [[ivfAssign]] — the probe
+    * list is index METADATA (every search and recall gate reads it), and
+    * without the memo each consumer re-ran the corpus × centroids
+    * distance pass ([[seedDists]]) just to rank cells already ranked for
+    * the assignment. One table at the deepest measured probe level
+    * serves every shallower level by an rn filter. */
+  private[operators] def ivfProbesAll(s: SparkSession, d: String): DataFrame =
+    graft.Memo("sim_ivf_probes", s, d)({
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist"), col("sid"))
+      seedDists(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= ProbeSweepLevels.max)
+        .select(col("vec_id").as("qid"), col("sid").as("cell"), col("rn"))
+        .localCheckpoint()
+    })
+
+  /** n-probe list: each vector's `probes` nearest cells, (qid, cell). */
+  private def ivfProbes(s: SparkSession, d: String, probes: Int = 2): DataFrame =
+    ivfProbesAll(s, d).filter(col("rn") <= probes)
+      .select(col("qid"), col("cell"))
 
   private def dotSql(x: String, y: String) =
     s"list_sum([CAST($x.embedding[i] AS DOUBLE) * CAST($y.embedding[i] AS DOUBLE) for i in range(1, len($x.embedding)+1)])"

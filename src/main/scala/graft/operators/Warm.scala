@@ -33,6 +33,7 @@ object Warm {
     Corpus.shingleOcc5(s, d)
     graft.functions.TextStats.tokenTf(s, d)
     Similarity.ivfAssign(s, d)
+    Similarity.ivfProbesAll(s, d)
     Similarity.lshAssign(s, d)
     Events.rfmPerUser(s, d)
     graft.SparkEntry.unifiedFeed(s, d)

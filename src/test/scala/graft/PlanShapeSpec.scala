@@ -635,7 +635,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "text_simhash_bit_balance" -> 2,
       // similarity / quantization sweeps (multi-branch by design — the
       // budget guards against further growth, not a target)
-      "sim_pq_adc" -> 7, "sim_probe_sweep" -> 16, "sim_recall_pq" -> 11,
+      "sim_pq_adc" -> 6, "sim_probe_sweep" -> 13, "sim_recall_pq" -> 10,
       "embed_kmeans" -> 2, "join_bloom_semi" -> 2, "graph_pagerank" -> 7)
     val over = budgets.flatMap { case (q, max) =>
       val n = "Exchange hashpartitioning".r.findAllIn(plan(q)).size
