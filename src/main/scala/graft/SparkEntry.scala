@@ -109,16 +109,19 @@ object SparkEntry {
     // strings, so string min/max IS chronological min/max). Reads the
     // persisted sighting rollup ([[iocSightings]]) — the (type, ioc,
     // source, platform) collapse is index maintenance, not query work —
-    // so the multi-countDistinct Expand (×3) multiplies the tiny
-    // indicator-cardinality relation, never the full feed.
+    // and the multi-countDistinct is a set-size fold: sighting rows are
+    // DISTINCT on (type, ioc, source, platform) by construction, so
+    // size(collect_set(..)) counts exactly — ONE agg pass, no ×3 Expand
+    // duplication of the input, and the sets are witness-cardinality
+    // (a handful of sources/platforms per indicator), never row-sized.
     "ioc_first_seen" -> ((s, d) =>
       iocSightings(s, d)
         .groupBy(col("ioc"), col("type"))
         .agg(min(col("mn")).as("first_seen"),
           max(col("mx")).as("last_seen"),
           sum(col("n")).as("n_sightings"),
-          countDistinct(col("source")).as("n_sources"),
-          countDistinct(col("platform")).as("n_platforms"))
+          size(collect_set(col("source"))).cast("long").as("n_sources"),
+          size(collect_set(col("platform"))).cast("long").as("n_platforms"))
         .orderBy(col("ioc"), col("type"))),
 
     // Confirmation lag — HOW LONG UNTIL A SECOND SOURCE AGREES: for every

@@ -266,6 +266,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("ioc_first_seen: set-size distinct fold, no Expand duplication") {
+    // countDistinct over the already-distinct sighting rollup would plan
+    // an Expand tripling the input; the collect_set fold must keep the
+    // plan at one agg exchange with no Expand node
+    val p = plan("ioc_first_seen")
+    assert(!p.contains("Expand"), s"ioc_first_seen re-grew a distinct Expand:\n$p")
+  }
+
   test("lsh search path: bucket join only, skew filter broadcasts, no cartesian") {
     val topk = plan("sim_lsh_topk")
     assert(!topk.contains("CartesianProduct"), s"sim_lsh_topk has a cartesian:\n$topk")
@@ -620,7 +628,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // unified-feed analytics: all read the persisted (type, ioc,
       // source, platform) sighting rollup, so every exchange is over
       // indicator-cardinality input and none duplicates a subtree
-      "ioc_first_seen" -> 2, "ioc_source_reliability" -> 3,
+      "ioc_first_seen" -> 1, "ioc_source_reliability" -> 3,
       "ioc_confirmation_lag" -> 3, "ioc_feed_overlap" -> 2,
       "ioc_ttl_status" -> 2, "ioc_sightings" -> 0,
       // memoized shingle/signature index consumers: index scan + own aggs
