@@ -204,6 +204,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_incremental rejections are justified: cosine(vec, dup_of) clears tau") {
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / math.sqrt(na * nb)
+    }
+    val rejected = Similarity.queries("sim_incremental")(spark, d)
+      .filter(!col("admitted")).collect()
+    rejected.foreach { r =>
+      val (v, o) = (r.getLong(0), r.getLong(1))
+      val c = cos(emb(v), emb(o))
+      // the engine compares on floor(cosine·1e6); one ppm of slack keeps
+      // this independent re-computation from flipping on the last ulp
+      assert(c >= Similarity.IncrementalSimTau - 1e-6,
+        s"vector $v rejected for $o but cosine is only $c")
+    }
+  }
+
   test("simhash fast path (explode+agg query) equals the aggregate() fold") {
     val d = "/root/testdata/sf0.001"
     val fast = TextStats.queries("text_fingerprint")(spark, d)
