@@ -419,13 +419,16 @@ object TextStats {
     // lexicographically-last gram on ties — the identical total order
     // DuckDB's struct max applies, so the oracle agrees exactly.
     "text_repetition" -> ((s, d) => {
-      val byPos = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      // bigrams are formed IN ARRAY LAND (zip_with of the token array
+      // against its own tail) and exploded — no posexplode + lead()
+      // window, so no doc_id exchange-and-sort of every token row
+      // before the gram counts; the first shuffle already carries
+      // map-side-combined (doc_id, gram, cnt) partials
       val occ = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-        .withColumn("t1", lead(col("tok"), 1).over(byPos))
-        .filter(col("t1").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("gram"))
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+            " (a, b) -> concat(a, ' ', b))")).as("gram"))
       occ.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("doc_id"))
         .agg(sum(col("cnt")).as("n_2grams"),

@@ -316,13 +316,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n <= 3, s"sample_temperature has $n hash exchanges:\n$p")
   }
 
-  test("text_repetition: the doc_id window partitioning feeds both aggs — one real exchange") {
+  test("text_repetition: sort-free array-land bigrams, no window, no join") {
     val p = plan("text_repetition")
     assert(!p.contains("Join"), s"text_repetition needs no join:\n$p")
+    // grams come from zip_with over the token array — a posexplode +
+    // lead() window would re-introduce a full exchange-and-sort of every
+    // token row before any combining happens
+    assert(!p.contains("Window"), s"text_repetition re-grew a token window:\n$p")
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(n == 1,
-      s"text_repetition has $n hash exchanges (want 1: the gram window; " +
-        s"both aggs must reuse its doc_id partitioning):\n$p")
+    assert(n <= 2,
+      s"text_repetition has $n hash exchanges (max 2: combined gram " +
+        s"partials, then one-row-per-doc partials):\n$p")
   }
 
   test("dedup_substring: linear hash-agg chain - no join, no gram-keyed sort") {
