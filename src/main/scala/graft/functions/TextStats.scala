@@ -418,6 +418,58 @@ object TextStats {
     // one scan. Top gram selected by max(struct(cnt, gram)): count first,
     // lexicographically-last gram on ties — the identical total order
     // DuckDB's struct max applies, so the oracle agrees exactly.
+    // RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    // Extraction from Individual Documents"): candidate phrases are the
+    // maximal stopword-free token runs; each word scores degree/freq
+    // (degree = Σ phrase-length over its occurrences — words that travel
+    // in long phrases rank up), a phrase scores the sum of its member
+    // word scores, and the top-3 phrases per document are the keywords.
+    // Scoring is integer-exact: word score is floor(degree·1e6 / freq)
+    // and the phrase score a SUM of those integers — order-free at any
+    // partitioning, no IEEE accumulation to diverge between engines.
+    // Plan: the island key (running stopword count) needs ONE doc_id
+    // exchange; the phrase-length count window, both aggs, the word-stat
+    // join back, and the rank window all reuse that partitioning (doc_id
+    // is a subset of every later key) — a second corpus-wide shuffle
+    // never happens.
+    "text_rake" -> ((s, d) => {
+      val byPos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val isStop = (c: Column) => c.isInCollection(stopEn)
+      val kw = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("pid", sum(when(isStop(col("tok")), 1L).otherwise(0L)).over(byPos))
+        .filter(!isStop(col("tok")))
+      val withLen = kw.withColumn("plen",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"), col("pid"))))
+      // word stats as WINDOWS over (doc_id, tok) — the doc_id exchange
+      // already satisfies their distribution, and a groupBy + join-back
+      // formulation would duplicate the whole corpus subtree (2 scans,
+      // 2 island windows) just to look its own aggregate back up
+      val byWord = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"), col("tok"))
+      val phrases = withLen
+        .withColumn("degree", sum(col("plen")).over(byWord))
+        .withColumn("freq", count(lit(1)).over(byWord))
+        .withColumn("wscore_ppm", expr("degree * 1000000 div freq"))
+        .groupBy(col("doc_id"), col("pid"))
+        .agg(
+          concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("phrase"),
+          sum(col("wscore_ppm")).as("score_ppm"),
+          count(lit(1)).as("n_words"))
+      val byScore = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score_ppm").desc, col("phrase"), col("pid"))
+      phrases.withColumn("rank", row_number().over(byScore).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("phrase"),
+          col("score_ppm"), col("n_words"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     "text_repetition" -> ((s, d) => {
       // bigrams are formed IN ARRAY LAND (zip_with of the token array
       // against its own tail) and exploded — no posexplode + lead()
@@ -658,6 +710,40 @@ object TextStats {
         |FROM bits
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "text_rake" -> {
+      val stops = stopEn.map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         |tok0 AS (
+         |  SELECT doc_id, u['pos'] AS pos, u['tok'] AS tok
+         |  FROM (SELECT doc_id,
+         |          unnest([{'pos': i, 'tok': t[i]} for i in range(1, len(t)+1)]) AS u
+         |        FROM base)),
+         |tok AS (
+         |  SELECT doc_id, pos, tok,
+         |    SUM(CASE WHEN tok IN ($stops) THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+         |  FROM tok0),
+         |wl AS (
+         |  SELECT *, COUNT(*) OVER (PARTITION BY doc_id, pid) AS plen
+         |  FROM tok WHERE tok NOT IN ($stops)),
+         |ws AS (
+         |  SELECT doc_id, tok, SUM(plen) * 1000000 // COUNT(*) AS wscore_ppm
+         |  FROM wl GROUP BY 1, 2),
+         |ph AS (
+         |  SELECT w.doc_id, w.pid,
+         |    string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+         |    CAST(SUM(s.wscore_ppm) AS BIGINT) AS score_ppm,
+         |    COUNT(*) AS n_words
+         |  FROM wl w JOIN ws s ON s.doc_id = w.doc_id AND s.tok = w.tok
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase, score_ppm, n_words
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY doc_id ORDER BY score_ppm DESC, phrase, pid) AS rank
+         |  FROM ph)
+         |WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin
+    },
     "text_repetition" ->
       """WITH occ AS (
         |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS gram

@@ -316,6 +316,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n <= 3, s"sample_temperature has $n hash exchanges:\n$p")
   }
 
+  test("text_rake: one doc_id exchange serves islands, word windows, aggs and rank") {
+    val p = plan("text_rake")
+    assert(!p.contains("Join"),
+      s"text_rake re-grew the word-stats join-back (duplicates the corpus subtree):\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"text_rake has $n hash exchanges (want 1 — every window and " +
+      s"agg key extends doc_id):\n$p")
+  }
+
   test("text_repetition: sort-free array-land bigrams, no window, no join") {
     val p = plan("text_repetition")
     assert(!p.contains("Join"), s"text_repetition needs no join:\n$p")
