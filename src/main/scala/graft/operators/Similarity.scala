@@ -874,10 +874,9 @@ object Similarity {
   private[graft] def lshProbes(s: SparkSession, d: String): DataFrame =
     lshProbesOf(lshAssign(s, d).filter(col("vec_id") < RecallQueries))
 
-  /** The probe expansion over any (vec_id, bucket) subset — the recall
-    * gate probes the query sample, the incremental admission probes the
-    * day's new arrivals. */
-  private def lshProbesOf(assign: DataFrame): DataFrame = {
+  /** (lvl, pbucket) probe structs over a `bucket` column: lvl 0 = the
+    * bucket itself, lvl 1 = its [[Hyperplanes]] one-bit flips. */
+  private def probeStructs: Seq[Column] = {
     val own = struct(lit(0).as("lvl"), col("bucket").as("pbucket"))
     val flips = (0 until Hyperplanes).map { p =>
       struct(lit(1).as("lvl"),
@@ -886,9 +885,57 @@ object Similarity {
           when(substring(col("bucket"), p + 1, 1) === "1", "0").otherwise("1"),
           substring(col("bucket"), p + 2, Hyperplanes)).as("pbucket"))
     }
+    own +: flips
+  }
+
+  /** The probe expansion over any (vec_id, bucket) subset — the recall
+    * gate probes the query sample, the incremental admission probes the
+    * day's new arrivals. */
+  private def lshProbesOf(assign: DataFrame): DataFrame =
     assign
-      .select(col("vec_id").as("qid"), explode(array(own +: flips: _*)).as("pr"))
+      .select(col("vec_id").as("qid"), explode(array(probeStructs: _*)).as("pr"))
       .select(col("qid"), col("pr.lvl").as("lvl"), col("pr.pbucket").as("pbucket"))
+
+  /** The `sim_incremental` admission index in join-ready form:
+    * (pbucket, old_id, oe, onsq) — bucket-capped old-vector postings
+    * carrying the embedding and its squared norm, so an admission pass
+    * (batch or stream-static) scores candidates without a second join. */
+  private[graft] def lshOldIndex(s: SparkSession, d: String): DataFrame = {
+    val isNew = col("vec_id") % 10 === 0
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pbucket")).orderBy(col("old_id"))
+    lshAssign(s, d).filter(!isNew)
+      .select(col("bucket").as("pbucket"), col("vec_id").as("old_id"))
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= LshMaxBucket).drop("rn")
+      .join(Tables.embeddings(s, d)
+        .select(col("vec_id").as("old_id"), col("embedding").as("oe"),
+          normSq(col("embedding")).as("onsq")), Seq("old_id"))
+  }
+
+  /** Streaming-compatible LSH admission: arriving (vec_id, embedding)
+    * rows are bucketed, probe-expanded WITH their embedding carried (no
+    * stream-stream join back), left-joined against the static admission
+    * index and admitted unless a probed old vector clears the cosine
+    * threshold — the same integer-ppm comparison as `sim_incremental`,
+    * whose verdicts the parity spec asserts this reproduces across
+    * arbitrary micro-batch splits. Complete-mode groupBy, like the
+    * MinHash streaming gate. */
+  def lshAdmitted(vecs: DataFrame, oldIdx: DataFrame): DataFrame = {
+    val probes = vecs
+      .select(col("vec_id"), col("embedding").as("qe"),
+        normSq(col("embedding")).as("qn"),
+        srpBucket(col("embedding")).as("bucket"))
+      .select(col("vec_id"), col("qe"), col("qn"),
+        explode(array(probeStructs: _*)).as("pr"))
+      .select(col("vec_id"), col("qe"), col("qn"), col("pr.pbucket").as("pbucket"))
+    probes.join(oldIdx, Seq("pbucket"), "left")
+      .withColumn("okid",
+        when(floor(dot(col("qe"), col("oe")) / sqrt(col("qn") * col("onsq")) * 1e6)
+          .cast("long") >= (IncrementalSimTau * 1e6).toLong, col("old_id")))
+      .groupBy(col("vec_id"))
+      .agg(min(col("okid")).as("dup_of"))
+      .select(col("vec_id"), col("dup_of"), col("dup_of").isNull.as("admitted"))
   }
 
   /** Ranked probe list: each vector's [[ProbeSweepLevels]].max nearest

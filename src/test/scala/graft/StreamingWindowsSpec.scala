@@ -336,6 +336,36 @@ class StreamingWindowsSpec extends AnyFunSuite {
         s"batch-only=${(batch -- streamed).take(3)}")
   }
 
+  test("LSH vector admission: stream verdicts equal the batch sim_incremental gate") {
+    // the vector-store twin of the MinHash parity below: arriving
+    // vectors stream against the static capped LSH index and must get
+    // EXACTLY the batch sim_incremental verdicts, wherever the
+    // micro-batch boundaries fall
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val oldIdx = graft.operators.Similarity.lshOldIndex(spark, d)
+    val newVecs = graft.sources.Tables.embeddings(spark, d)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val res = graft.operators.Similarity.lshAdmitted(
+      mem.toDF().toDF("vec_id", "embedding"), oldIdx)
+    val q = res.writeStream.format("memory").queryName("lsh_admit_out")
+      .outputMode("complete").start()
+    newVecs.grouped(math.max(1, newVecs.length / 2)).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2))
+    val streamed = spark.table("lsh_admit_out").collect().map(key).toSet
+    val batch = SparkEntry.queries("sim_incremental")(spark, d).collect().map(key).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream/batch LSH vector admission divergence: " +
+        s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+  }
+
   test("banded MinHash admission: stream verdicts equal the batch dedup_incremental gate") {
     // The LSH half of the flagship dedup story: incoming docs (≡0 mod 10,
     // the synthetic increment) stream against the persisted corpus banded
