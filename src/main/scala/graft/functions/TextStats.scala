@@ -432,43 +432,7 @@ object TextStats {
     // join back, and the rank window all reuse that partitioning (doc_id
     // is a subset of every later key) — a second corpus-wide shuffle
     // never happens.
-    "text_rake" -> ((s, d) => {
-      val byPos = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      val isStop = (c: Column) => c.isInCollection(stopEn)
-      val kw = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-        .withColumn("pid", sum(when(isStop(col("tok")), 1L).otherwise(0L)).over(byPos))
-        .filter(!isStop(col("tok")))
-      val withLen = kw.withColumn("plen",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id"), col("pid"))))
-      // word stats as WINDOWS over (doc_id, tok) — the doc_id exchange
-      // already satisfies their distribution, and a groupBy + join-back
-      // formulation would duplicate the whole corpus subtree (2 scans,
-      // 2 island windows) just to look its own aggregate back up
-      val byWord = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id"), col("tok"))
-      val phrases = withLen
-        .withColumn("degree", sum(col("plen")).over(byWord))
-        .withColumn("freq", count(lit(1)).over(byWord))
-        .withColumn("wscore_ppm", expr("degree * 1000000 div freq"))
-        .groupBy(col("doc_id"), col("pid"))
-        .agg(
-          concat_ws(" ", transform(
-            sort_array(collect_list(struct(col("pos"), col("tok")))),
-            x => x.getField("tok"))).as("phrase"),
-          sum(col("wscore_ppm")).as("score_ppm"),
-          count(lit(1)).as("n_words"))
-      val byScore = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id"))
-        .orderBy(col("score_ppm").desc, col("phrase"), col("pid"))
-      phrases.withColumn("rank", row_number().over(byScore).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("rank"), col("phrase"),
-          col("score_ppm"), col("n_words"))
-        .orderBy(col("doc_id"), col("rank"))
-    }),
+    "text_rake" -> ((s, d) => rakeOn(Tables.documents(s, d))),
 
     "text_repetition" -> ((s, d) => {
       // bigrams are formed IN ARRAY LAND (zip_with of the token array
@@ -498,6 +462,47 @@ object TextStats {
         .orderBy(col("doc_id"))
     })
   )
+
+  /** The RAKE fold over any (doc_id, text) frame — the `text_rake` query
+    * runs it on the corpus; PropertiesSpec runs it against a driver-side
+    * reference implementation on generated documents. */
+  private[graft] def rakeOn(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val isStop = (c: Column) => c.isInCollection(stopEn)
+    val kw = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("pid", sum(when(isStop(col("tok")), 1L).otherwise(0L)).over(byPos))
+      .filter(!isStop(col("tok")))
+    val withLen = kw.withColumn("plen",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"), col("pid"))))
+    // word stats as WINDOWS over (doc_id, tok) — the doc_id exchange
+    // already satisfies their distribution, and a groupBy + join-back
+    // formulation would duplicate the whole corpus subtree (2 scans,
+    // 2 island windows) just to look its own aggregate back up
+    val byWord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("tok"))
+    val phrases = withLen
+      .withColumn("degree", sum(col("plen")).over(byWord))
+      .withColumn("freq", count(lit(1)).over(byWord))
+      .withColumn("wscore_ppm", expr("degree * 1000000 div freq"))
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("phrase"),
+        sum(col("wscore_ppm")).as("score_ppm"),
+        count(lit(1)).as("n_words"))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_ppm").desc, col("phrase"), col("pid"))
+    phrases.withColumn("rank", row_number().over(byScore).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("phrase"),
+        col("score_ppm"), col("n_words"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
 
   private val sqlToks = "string_split(lower(text), ' ')"
   private def sqlCountIn(words: Seq[String]): String =

@@ -310,6 +310,55 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // Index-migration A/B gate: per query (the recall-sample discipline),
+    // how much of the IVF 2-probe top-k the SRP-LSH own-bucket top-k
+    // reproduces — the agreement metric a team watches while switching
+    // index technology (both recall gates score each index against exact
+    // ground truth; THIS query scores them against each other, which is
+    // what an online A/B actually observes). Both sides read their
+    // memoized index tables; the comparison is a full outer join of two
+    // ≤k-row-per-query lists — nothing corpus-sized moves.
+    "sim_index_agreement" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+      val byQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      val q = e.filter(col("vec_id") < RecallQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nsq").as("qn"))
+      val ivf = q.join(ivfProbes(s, d).filter(col("qid") < RecallQueries), Seq("qid"))
+        .join(ivfAssign(s, d), Seq("cell"))
+        .join(e.select(col("vec_id"), col("embedding").as("ne"), col("nsq").as("nn")),
+          Seq("vec_id"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosine", dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")))
+        .withColumn("rank", row_number().over(byQ))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("vec_id").as("nid"), lit(1).as("in_ivf"))
+      val ok = lshAssign(s, d).groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_b")).filter(col("n_b") <= LshMaxBucket)
+        .select(col("bucket"))
+      val bk = lshAssign(s, d).join(broadcast(ok), Seq("bucket"), "left_semi")
+      val lsh = bk.filter(col("vec_id") < RecallQueries)
+        .join(e, Seq("vec_id"))
+        .select(col("bucket"), col("vec_id").as("qid"),
+          col("embedding").as("qe"), col("nsq").as("qn"))
+        .join(bk.join(e, Seq("vec_id"))
+          .select(col("bucket"), col("vec_id"),
+            col("embedding").as("ne"), col("nsq").as("nn")), Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosine", dot(col("qe"), col("ne")) / sqrt(col("qn") * col("nn")))
+        .withColumn("rank", row_number().over(byQ))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("vec_id").as("nid"), lit(1).as("in_lsh"))
+      ivf.join(lsh, Seq("qid", "nid"), "full")
+        .groupBy(col("qid"))
+        .agg(count(col("in_ivf")).as("n_ivf"),
+          count(col("in_lsh")).as("n_lsh"),
+          count(when(col("in_ivf") === 1 && col("in_lsh") === 1, lit(1))).as("n_common"))
+        .withColumn("agreement_ppm", expr(s"n_common * 1000000 div $TopK"))
+        .orderBy(col("qid"))
+    }),
+
     // IVF coarse quantization: deterministic seed centroids (every 64th
     // vector), each vector assigned to its nearest centroid by exact L2
     // (nsq_v − 2·dot + nsq_c, all left-fold doubles → bit-stable).
@@ -972,11 +1021,11 @@ object Similarity {
     * md5-parity sign derivation is the reference formulation
     * [[srpBucketExpr]] mirrors — the Spark fast path uses the identical
     * constant matrix as ±1 literals (equality asserted in OperatorsSpec). */
-  private val lshCtes: String =
-    s"""e AS (
-       |  SELECT vec_id, embedding, $nsqSql AS nsq
-       |  FROM embeddings),
-       |signed AS (
+  /** The bucket-derivation tail of [[lshCtes]] (signed → bk), factored so
+    * queries that already carry the `e` CTE (e.g. composed with
+    * [[ivfCtes]]) can append just the LSH chain without redefining it. */
+  private val lshTailCtes: String =
+    s"""signed AS (
        |  SELECT vec_id,
        |    [CASE WHEN list_sum([
        |        CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i-1 AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0
@@ -987,6 +1036,12 @@ object Similarity {
        |     for j in range(0, $Hyperplanes)] AS bits
        |  FROM embeddings),
        |bk AS (SELECT vec_id, array_to_string(bits, '') AS bucket FROM signed)""".stripMargin
+
+  private val lshCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding, $nsqSql AS nsq
+       |  FROM embeddings),
+       |""".stripMargin + lshTailCtes
 
   private[operators] val ivfCtes: String =
     s"""e AS (
@@ -1474,6 +1529,50 @@ object Similarity {
            |SELECT n.vec_id, d.dup_of, d.dup_of IS NULL AS admitted
            |FROM (SELECT vec_id FROM bk WHERE vec_id % 10 = 0) n
            |LEFT JOIN dups d ON d.vec_id = n.vec_id
-           |ORDER BY n.vec_id""".stripMargin)
+           |ORDER BY n.vec_id""".stripMargin),
+    "sim_index_agreement" ->
+      (s"WITH $ivfCtes,\n$lshTailCtes,\n" +
+        s"""probes AS (
+           |  SELECT vec_id AS qid, sid AS cell FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+           |    FROM dists WHERE vec_id < $RecallQueries)
+           |  WHERE rn <= 2),
+           |ivf_c AS (
+           |  SELECT q.vec_id AS qid, x.vec_id AS nid,
+           |    ${dotSql("q", "x")} / sqrt(q.nsq * x.nsq) AS cosine
+           |  FROM e q
+           |  JOIN probes p ON p.qid = q.vec_id
+           |  JOIN assign a ON a.cell = p.cell
+           |  JOIN e x ON x.vec_id = a.vec_id AND x.vec_id <> q.vec_id),
+           |ivf AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+           |    FROM ivf_c)
+           |  WHERE rank <= $TopK),
+           |ok AS (SELECT bucket FROM bk GROUP BY 1 HAVING COUNT(*) <= $LshMaxBucket),
+           |bko AS (SELECT bk.* FROM bk JOIN ok USING (bucket)),
+           |lsh_c AS (
+           |  SELECT bq.vec_id AS qid, bx.vec_id AS nid,
+           |    ${dotSql("q", "x")} / sqrt(q.nsq * x.nsq) AS cosine
+           |  FROM bko bq
+           |  JOIN e q ON q.vec_id = bq.vec_id
+           |  JOIN bko bx ON bx.bucket = bq.bucket AND bx.vec_id <> bq.vec_id
+           |  JOIN e x ON x.vec_id = bx.vec_id
+           |  WHERE bq.vec_id < $RecallQueries),
+           |lsh AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+           |    FROM lsh_c)
+           |  WHERE rank <= $TopK)
+           |SELECT COALESCE(i.qid, l.qid) AS qid,
+           |  COUNT(i.nid) AS n_ivf,
+           |  COUNT(l.nid) AS n_lsh,
+           |  COUNT(CASE WHEN i.nid IS NOT NULL AND l.nid IS NOT NULL THEN 1 END) AS n_common,
+           |  COUNT(CASE WHEN i.nid IS NOT NULL AND l.nid IS NOT NULL THEN 1 END)
+           |    * 1000000 // $TopK AS agreement_ppm
+           |FROM ivf i
+           |FULL JOIN lsh l ON l.qid = i.qid AND l.nid = i.nid
+           |GROUP BY 1
+           |ORDER BY qid""".stripMargin)
   )
 }

@@ -262,4 +262,44 @@ class PropertiesSpec extends AnyFunSuite {
     assert(got == want,
       s"fold diverged from reference on ${got.keySet.union(want.keySet).count(k => got.get(k) != want.get(k))} users")
   }
+
+  test("property: RAKE fold ≡ driver-side reference on random stopword-laced docs") {
+    // distributed RAKE (TextStats.rakeOn: island windows + integer-ppm
+    // scores) against an independent reference of the DECLARED
+    // semantics. Small vocab + stopword rate ~1/3 forces repeated words
+    // ACROSS phrases (degree ≠ freq·len territory) and duplicate
+    // phrases (tie-break territory). Fixed seed.
+    val words = Seq("alpha", "beta", "gamma", "delta", "the", "of", "in")
+    val docGen = Gen.listOfN(40, Gen.listOfN(30,
+      Gen.oneOf(words)).map(_.mkString(" ")))
+      .pureApply(org.scalacheck.Gen.Parameters.default, org.scalacheck.rng.Seed(21L))
+    val docs = docGen.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = graft.functions.TextStats.rakeOn(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    val stop = graft.functions.TextStats.stopEn.toSet
+    val want = docs.flatMap { case (id, text) =>
+      // phrases: maximal stopword-free runs, in order, with their pid =
+      // count of stopwords before the run (the island key)
+      val toks = text.toLowerCase.split(" ", -1)
+      val phrases = scala.collection.mutable.ListBuffer[(Long, Vector[String])]()
+      var pid = 0L; var cur = Vector.empty[String]
+      toks.foreach { t =>
+        if (stop(t)) { if (cur.nonEmpty) phrases += ((pid, cur)); cur = Vector.empty; pid += 1 }
+        else cur :+= t
+      }
+      if (cur.nonEmpty) phrases += ((pid, cur))
+      val occs = phrases.toList.flatMap { case (_, ws) => ws.map(_ -> ws.length) }
+      val wscore = occs.groupBy(_._1).map { case (w, xs) =>
+        w -> xs.map(_._2.toLong).sum * 1000000L / xs.length }
+      phrases.toList.map { case (p, ws) =>
+        (id, p, ws.mkString(" "), ws.map(wscore).sum, ws.length.toLong) }
+        .sortBy { case (_, p, ph, sc, _) => (-sc, ph, p) }
+        .take(3).zipWithIndex
+        .map { case ((_, _, ph, sc, nw), i) => (id, i + 1L) -> (ph, sc, nw) }
+    }.toMap
+    assert(got == want,
+      s"RAKE diverged on ${got.keySet.union(want.keySet).count(k => got.get(k) != want.get(k))} rows")
+  }
 }
