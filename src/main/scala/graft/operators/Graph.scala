@@ -62,6 +62,20 @@ object Graph {
         .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("degree"))),
 
+    // Connected components over the co-purchase graph — per node, its
+    // component id (= the component's minimum node id), via the SAME
+    // generic min-label propagation with path shortcutting every cluster
+    // family rides ([[Dedup.componentLabels]]: near-dup clusters, TI
+    // campaigns, media clusters) — here exposed on the generic edge
+    // relation, oracle-matched against DuckDB's recursive reachability.
+    // Rounds ≈ log₂(component diameter); each round shuffles the
+    // pair-graph-sized label map, never the corpus.
+    "graph_cc" -> ((s, d) =>
+      Dedup.componentLabels(
+        edges(s, d).select(col("a").as("id1"), col("b").as("id2")))
+        .select(col("node"), col("lbl").as("component_id"))
+        .orderBy(col("node"))),
+
     // Exact triangle count + global clustering coefficient, via
     // degree-ordered orientation (scaladoc above). All-integer output
     // (ppm ratio) — bit-stable against the oracle's a<b<c three-way
@@ -196,6 +210,19 @@ object Graph {
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "graph_cc" ->
+      (s"WITH RECURSIVE $edgeCte,\n" +
+        """dir AS (
+          |  SELECT a AS src, b AS dst FROM e
+          |  UNION ALL
+          |  SELECT b, a FROM e),
+          |reach(node, lbl) AS (
+          |  SELECT DISTINCT src, src FROM dir
+          |  UNION
+          |  SELECT d2.src, r.lbl FROM dir d2 JOIN reach r ON r.node = d2.dst)
+          |SELECT node, MIN(lbl) AS component_id
+          |FROM reach GROUP BY node
+          |ORDER BY node""".stripMargin),
     "graph_degree" ->
       s"""WITH $edgeCte,
          |deg AS (
