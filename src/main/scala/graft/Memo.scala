@@ -29,7 +29,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * on every access, so the memo never pins dead `SparkSession`s.
   */
 private[graft] object Memo {
-  // Must exceed the number of relations Warm.all materializes (18 today):
+  // Must exceed the number of relations Warm.all materializes (21 today):
   // a cap below that evicts the first-warmed entries before the bench
   // even starts timing, silently re-introducing their build cost into
   // the first query that touches them. The entries are sf-bounded

@@ -39,6 +39,7 @@ object Warm {
     graft.SparkEntry.unifiedFeed(s, d)
     graft.SparkEntry.iocSightings(s, d)
     Graph.edges(s, d)
+    Graph.ccLabels(s, d)
     Threat.campaignLabels(s, d)
     Multimodal.phashPairs(s, d)
     Multimodal.phashClusterLabels(s, d)
