@@ -32,6 +32,26 @@ class EdgeCasesSpec extends AnyFunSuite {
       rows.head.getString(1) == "a b c d e")
   }
 
+  test("RAKE on degenerate docs: all-stopword text vanishes, no-stopword text is one phrase") {
+    val docs = Seq(
+      (1L, "the of and in"),              // stopwords only → zero phrases
+      (2L, "alpha beta gamma"),           // no stopwords → ONE whole-doc phrase
+      (3L, "alpha the alpha the alpha")   // 3 identical 1-word phrases → rank ties by pid
+    ).toDF("doc_id", "text")
+    val rows = graft.functions.TextStats.rakeOn(docs).collect()
+    assert(!rows.exists(_.getLong(0) == 1L), "all-stopword doc produced phrases")
+    val d2 = rows.filter(_.getLong(0) == 2L)
+    // each distinct word: degree 3 (one phrase of length 3), freq 1 → 3e6 each
+    assert(d2.length == 1 && d2.head.getString(2) == "alpha beta gamma" &&
+      d2.head.getLong(3) == 9000000L && d2.head.getLong(4) == 3L)
+    val d3 = rows.filter(_.getLong(0) == 3L)
+    // alpha: degree 1+1+1=3, freq 3 → wscore 1e6; three identical phrases,
+    // deterministic rank order by pid
+    assert(d3.length == 3 && d3.forall(r => r.getString(2) == "alpha" &&
+      r.getLong(3) == 1000000L))
+    assert(d3.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("session_window on a single event yields one [ts, ts+gap) session") {
     // timestamp built from an Instant, assertions on epoch millis — a
     // Timestamp.valueOf literal + string render would couple the test to

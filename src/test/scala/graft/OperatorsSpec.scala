@@ -226,6 +226,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_cc labels: both endpoints of every edge share a component") {
+    val d = "/root/testdata/sf0.001"
+    val lbl = graft.operators.Graph.queries("graph_cc")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = graft.operators.Graph.edges(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(lbl(a) == lbl(b), s"edge ($a,$b) spans components ${lbl(a)}/${lbl(b)}")
+    }
+    // the label IS the component's minimum member
+    lbl.groupBy(_._2).foreach { case (c, m) => assert(m.keys.min == c) }
+  }
+
   test("simhash fast path (explode+agg query) equals the aggregate() fold") {
     val d = "/root/testdata/sf0.001"
     val fast = TextStats.queries("text_fingerprint")(spark, d)
