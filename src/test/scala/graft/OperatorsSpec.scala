@@ -226,6 +226,19 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_index_agreement: overlap bounded by both lists, lists bounded by k") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Similarity.queries("sim_index_agreement")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nIvf, nLsh, nCommon) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nIvf <= Similarity.TopK && nLsh <= Similarity.TopK)
+      assert(nCommon <= math.min(nIvf, nLsh),
+        s"qid ${r.getLong(0)}: overlap $nCommon exceeds a side ($nIvf, $nLsh)")
+      assert(r.getLong(4) == nCommon * 1000000L / Similarity.TopK)
+    }
+  }
+
   test("graph_cc labels: both endpoints of every edge share a component") {
     val d = "/root/testdata/sf0.001"
     val lbl = graft.operators.Graph.queries("graph_cc")(spark, d)
