@@ -654,6 +654,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // text fingerprints
       "text_fingerprint" -> 1, "text_winnowing" -> 1,
       "text_simhash_bit_balance" -> 2,
+      // round-8 vector/graph/text additions at their audited counts
+      "sim_lsh_topk" -> 5, "sim_lsh_recall" -> 4, "sim_incremental" -> 3,
+      "sim_index_agreement" -> 11, "graph_cc" -> 0, "text_rake" -> 1,
       // similarity / quantization sweeps (multi-branch by design — the
       // budget guards against further growth, not a target)
       "sim_pq_adc" -> 6, "sim_probe_sweep" -> 13, "sim_recall_pq" -> 10,
