@@ -110,7 +110,11 @@ object Bench {
     // the driver's tail budget, and per-query regressions on the fast
     // half must stay visible somewhere.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), full2 + "\n")
-    catch { case _: Throwable => }
+    catch { case e: Throwable =>
+      // stdout line is the primary channel; losing the mirror only costs
+      // the full-precision fast-query map, but it must not be silent
+      System.err.println(s"[bench] bench_last.json mirror write failed: ${e.getMessage}")
+    }
     // stop the session BEFORE printing so no Spark shutdown log line can
     // land after (or inside) the result line in the captured tail
     spark.stop()

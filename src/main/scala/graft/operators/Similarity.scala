@@ -253,9 +253,17 @@ object Similarity {
         .select(col("qid"), col("vec_id").as("nid"))
       // a neighbor lives in exactly ONE bucket, but min(lvl) keeps the
       // per-(qid, nid) row unique by construction even if probe lists
-      // ever overlap (e.g. a future multi-table variant)
+      // ever overlap (e.g. a future multi-table variant).
+      // The candidate side drops over-cap buckets with the SAME semi-join
+      // discipline as sim_lsh_topk's search path: the gate must measure
+      // the recall the CAPPED index can actually reach, not uncapped
+      // probe reachability the serving path never sees.
+      val okR = lshAssign(s, d).groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_b")).filter(col("n_b") <= LshMaxBucket)
+        .select(col("bucket"))
       val cand = lshProbes(s, d).join(
-          lshAssign(s, d).select(col("vec_id").as("nid"), col("bucket").as("pbucket")),
+          lshAssign(s, d).join(broadcast(okR), Seq("bucket"), "left_semi")
+            .select(col("vec_id").as("nid"), col("bucket").as("pbucket")),
           Seq("pbucket"))
         .filter(col("nid") =!= col("qid"))
         .groupBy(col("qid"), col("nid")).agg(min(col("lvl")).as("lvl"))
@@ -1475,10 +1483,12 @@ object Similarity {
            |    1 AS lvl
            |  FROM bk CROSS JOIN (SELECT unnest(range(0, $Hyperplanes)) AS p) t
            |  WHERE vec_id < $RecallQueries),
+           |ok AS (SELECT bucket FROM bk GROUP BY 1 HAVING COUNT(*) <= $LshMaxBucket),
+           |bko AS (SELECT bk.* FROM bk JOIN ok USING (bucket)),
            |cand AS (
            |  SELECT p.qid, n.vec_id AS nid, MIN(p.lvl) AS lvl
            |  FROM probes p
-           |  JOIN bk n ON n.bucket = p.pbucket AND n.vec_id <> p.qid
+           |  JOIN bko n ON n.bucket = p.pbucket AND n.vec_id <> p.qid
            |  GROUP BY 1, 2),
            |ex_cands AS (
            |  SELECT q.vec_id AS qid, x.vec_id AS nid,

@@ -19,6 +19,15 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * parity test cuts the log at an arbitrary point and asserts exactly
   * that.
   *
+  * Memory bound: the per-key batch is folded in fixed [[FoldChunk]]-sized
+  * chunks (each chunk sorted locally) rather than materialized whole, so
+  * a hot user key buffers at most FoldChunk rows on its task. A chunk
+  * boundary has exactly the semantics of a micro-batch boundary — under
+  * the ordered-log premise the chunk-local sort is a no-op and the result
+  * is identical; on a premise-violating (out-of-order) feed, disorder
+  * across a chunk cut degrades the same way disorder across a batch cut
+  * already does.
+  *
   * Input rows are (user_id, ts_micros, event_type); emission is the
   * current per-user automaton state each batch (Update mode), `None`
   * components for stages not yet reached; users with no view yet emit
@@ -36,17 +45,21 @@ class FunnelProcessor
       "funnel", Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
 
   private val Unset = Long.MinValue
+  private val FoldChunk = 1 << 16 // max rows a hot key may buffer per task
 
   override def handleInputRows(
       key: Long,
       inputRows: Iterator[(Long, Long, String)],
       timerValues: TimerValues): Iterator[(Long, Option[Long], Option[Long], Option[Long], Long)] = {
     var (tv, tc, tp) = if (st.exists()) st.get() else (Unset, Unset, Unset)
-    // same within-batch order as the batch fold's sort_array(struct(ts, et))
-    inputRows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, ts, et) =>
-      if (et == "view" && tv == Unset) tv = ts
-      else if (et == "click" && tv != Unset && tc == Unset && ts > tv) tc = ts
-      else if (et == "purchase" && tc != Unset && tp == Unset && ts > tc) tp = ts
+    // same within-chunk order as the batch fold's sort_array(struct(ts, et));
+    // chunking bounds memory (see scaladoc) — a chunk cut ≡ a batch cut
+    inputRows.grouped(FoldChunk).foreach { chunk =>
+      chunk.sortBy(r => (r._2, r._3)).foreach { case (_, ts, et) =>
+        if (et == "view" && tv == Unset) tv = ts
+        else if (et == "click" && tv != Unset && tc == Unset && ts > tv) tc = ts
+        else if (et == "purchase" && tc != Unset && tp == Unset && ts > tc) tp = ts
+      }
     }
     st.update((tv, tc, tp))
     if (tv == Unset) Iterator.empty

@@ -655,7 +655,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "text_fingerprint" -> 1, "text_winnowing" -> 1,
       "text_simhash_bit_balance" -> 2,
       // round-8 vector/graph/text additions at their audited counts
-      "sim_lsh_topk" -> 5, "sim_lsh_recall" -> 4, "sim_incremental" -> 3,
+      // sim_lsh_recall: +1 exchange in round 9 for the ok-bucket cap agg
+      // (the gate now candidates only from buckets the capped search path
+      // serves, same semi-join discipline as sim_lsh_topk)
+      "sim_lsh_topk" -> 5, "sim_lsh_recall" -> 5, "sim_incremental" -> 3,
       "sim_index_agreement" -> 11, "graph_cc" -> 0, "text_rake" -> 1,
       // similarity / quantization sweeps (multi-branch by design — the
       // budget guards against further growth, not a target)

@@ -209,21 +209,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     val prevProv = spark.conf.getOption(provKey)
     spark.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
-    val out = mem.toDS()
-      .groupByKey(_._1)
-      .transformWithState(new graft.streaming.RunningStatsProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
-        org.apache.spark.sql.streaming.OutputMode.Update())
-      .toDF("key", "n", "max_value")
-    val q = out.writeStream.format("memory").queryName("tws_out")
-      .outputMode("update").start()
-    mem.addData((1L, 5.0), (1L, 3.0), (2L, 7.0))
-    q.processAllAvailable()
-    mem.addData((1L, 9.0)) // key 1 state must carry n=2 → 3, max 5 → 9
-    q.processAllAvailable()
-    q.stop()
-    prevProv match {
+    // try/finally: a mid-test failure must not leak the provider override
+    // (or a running query) into the shared session for later suites
+    try {
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+      val out = mem.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.RunningStatsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("key", "n", "max_value")
+      val q = out.writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      try {
+        mem.addData((1L, 5.0), (1L, 3.0), (2L, 7.0))
+        q.processAllAvailable()
+        mem.addData((1L, 9.0)) // key 1 state must carry n=2 → 3, max 5 → 9
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally prevProv match {
       case Some(v) => spark.conf.set(provKey, v)
       case None    => spark.conf.unset(provKey)
     }
@@ -248,21 +252,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     val log = ev.select(col("user_id"), expr("unix_micros(ts)"), col("event_type"))
       .as[(Long, Long, String)].collect().sortBy(r => (r._2, r._3, r._1))
     val (b1, b2) = log.splitAt(log.length * 2 / 5)
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
-    val out = mem.toDS()
-      .groupByKey(_._1)
-      .transformWithState(new graft.streaming.FunnelProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
-        org.apache.spark.sql.streaming.OutputMode.Update())
-      .toDF("user_id", "tv", "tc", "tp", "stage")
-    val q = out.writeStream.format("memory").queryName("funnel_out")
-      .outputMode("update").start()
-    mem.addData(b1.toIndexedSeq)
-    q.processAllAvailable()
-    mem.addData(b2.toIndexedSeq)
-    q.processAllAvailable()
-    q.stop()
-    prevProv match {
+    // try/finally: a mid-test failure must not leak the provider override
+    // (or a running query) into the shared session for later suites
+    try {
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+      val out = mem.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.FunnelProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "tv", "tc", "tp", "stage")
+      val q = out.writeStream.format("memory").queryName("funnel_out")
+        .outputMode("update").start()
+      try {
+        mem.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally prevProv match {
       case Some(v) => spark.conf.set(provKey, v)
       case None    => spark.conf.unset(provKey)
     }
