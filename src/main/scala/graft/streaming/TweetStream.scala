@@ -68,7 +68,20 @@ object TweetStream {
 
   /** Start the stream: extraction → batched REST sink per micro-batch.
     * `checkpointDir` replaces the reference's meta.json `last_run` watermark
-    * (h-isac.py:125-139 → source offsets, SURVEY.md §2.1 S11). */
+    * (h-isac.py:125-139 → source offsets, SURVEY.md §2.1 S11).
+    *
+    * Delivery is exactly-once PER EPOCH: foreachBatch is at-least-once (a
+    * crash after the sink posts but before the checkpoint commit-marker
+    * lands replays the whole epoch on restart), and `keyed = true` is the
+    * half that turns the replay into a no-op — every record carries the
+    * deterministic md5 `_key`, so the KV upsert converges to the same end
+    * state no matter how many times an epoch is delivered
+    * ([[graft.sinks.RestBatchSink.write]]; asserted end-to-end by
+    * TweetStreamSpec's commit-marker-deletion replay test). Identical rows
+    * WITHIN an epoch collapse to one KV record under keying — the keyed
+    * store's semantics; the unkeyed reference framing (one server-assigned
+    * key per POST, duplicates preserved) remains available via
+    * RestBatchSink directly for the batch-parity path. */
   def start(raw: DataFrame, endpoint: String, transport: Transport,
             checkpointDir: String): StreamingQuery =
     iocStream(raw).writeStream
@@ -76,7 +89,7 @@ object TweetStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        RestBatchSink.write(batch, endpoint, transport)
+        RestBatchSink.write(batch, endpoint, transport, keyed = true)
       }
       .start()
 

@@ -226,6 +226,13 @@ class ScaleOpsSpec extends AnyFunSuite {
         q.processAllAvailable()
         mem.addData((1L, 9.0)) // key 1 state must carry n=2 → 3, max 5 → 9
         q.processAllAvailable()
+        // state-bound audit: the store holds one row per (key, state
+        // variable) — 2 distinct keys × 2 ValueStates (count, maxV) = 4;
+        // per-ROW state (a leak) would keep growing with input (6+ here)
+        val stateRows = q.recentProgress.flatMap(_.stateOperators)
+          .map(_.numRowsTotal).lastOption
+        assert(stateRows.contains(4L),
+          s"state rows must be keys × state vars (2×2), got $stateRows")
       } finally q.stop()
     } finally prevProv match {
       case Some(v) => spark.conf.set(provKey, v)
@@ -269,6 +276,14 @@ class ScaleOpsSpec extends AnyFunSuite {
         q.processAllAvailable()
         mem.addData(b2.toIndexedSeq)
         q.processAllAvailable()
+        // state-bound audit: the funnel keeps ONE (tv, tc, tp) ValueState
+        // row per user ever seen — never per event. 100 TB story: state
+        // is |users|, not |events|
+        val users = log.map(_._1).distinct.length.toLong
+        val stateRows = q.recentProgress.flatMap(_.stateOperators)
+          .map(_.numRowsTotal).lastOption
+        assert(stateRows.contains(users),
+          s"funnel state must be one row per user ($users), got $stateRows")
       } finally q.stop()
     } finally prevProv match {
       case Some(v) => spark.conf.set(provKey, v)
@@ -293,5 +308,37 @@ class ScaleOpsSpec extends AnyFunSuite {
          r.getLong(4))).toMap
     assert(streamed == batch,
       s"stream/batch funnel divergence:\n stream=$streamed\n batch=$batch")
+  }
+
+  test("near-dedup stream state is bounded by the watermark horizon, not stream length") {
+    implicit val sq = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, java.sql.Timestamp)]
+    val dd = TweetStream.nearDedupedStream(
+      mem.toDF().toDF("text", "created_at"), "10 minutes")
+    val q = dd.writeStream.format("memory").queryName("neardup_bound")
+      .outputMode("append").start()
+    def stateRows: Option[Long] = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).lastOption
+    try {
+      // batch 1: three texts, TWO distinct SimHash keys, all at 10:00
+      mem.addData(
+        ("alpha beta gamma delta", ts("2024-01-01 10:00:00")),
+        ("alpha beta gamma delta", ts("2024-01-01 10:00:00")),
+        ("totally different words entirely", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(stateRows.contains(2L),
+        s"dedup state must be one row per distinct key (2), got $stateRows")
+      // advance event time far past the horizon; the 10:00 keys expire at
+      // 10:10 and must be EVICTED once the watermark passes them — state
+      // tracks the horizon, not everything ever seen
+      mem.addData(("new topic entirely", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      mem.addData(("yet another thing", ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      // 4 distinct keys ever ingested; only in-horizon keys may remain
+      assert(stateRows.exists(_ <= 2L),
+        s"expired keys were not evicted: state $stateRows after 4 distinct keys")
+    } finally q.stop()
   }
 }

@@ -6,6 +6,15 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.sinks.CsvSink
 import graft.sources.{EmptyResult, ScalarResult, SplunkResponse, TabularResult}
 
+/** Static fetch counter shared by driver and local-mode executor threads
+  * (same JVM); `id` isolates tests. */
+object CountingFetcher {
+  private val counts = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  def count(id: String): Unit =
+    counts.computeIfAbsent(id, _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+  def get(id: String): Long = Option(counts.get(id)).map(_.get()).getOrElse(0L)
+}
+
 /** Specs for the CSV sink (S7) and Splunk response normalization (S10). */
 class SinksAndSourcesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -39,6 +48,40 @@ class SinksAndSourcesSpec extends AnyFunSuite {
       .filter($"platform" === "Twitter" && $"ioc".startsWith("10.0.0."))
       .collect()
     assert(out.map(_.getString(0)).sorted.toSeq == Seq("1", "2")) // both tweets enriched
+  }
+
+  test("LivePastebin: partition re-execution re-fetches but never double-emits (S6 retry contract)") {
+    // Task retry in Spark RE-RUNS the partition's fetch (the network work
+    // is at-least-once) and REPLACES the attempt's output — it never
+    // appends. Re-executing the same uncached plan is exactly what a task
+    // re-attempt does to a partition; the contract to hold: fetch count
+    // rises, the page relation and the enrichment output do not change.
+    val fid = "retry-" + java.util.UUID.randomUUID()
+    val fetcher = new graft.sources.PageFetcher {
+      def fetch(url: String): Seq[String] = {
+        CountingFetcher.count(fid)
+        Seq(s"10.1.1.${url.last}", "host.evil.com")
+      }
+    }
+    val tweets = Seq(
+      ("1", "a", "u1", "t", "2024-01-01", "https://pastebin.com/p1"),
+      ("2", "b", "u2", "t", "2024-01-01", "https://pastebin.com/p1;https://pastebin.com/p2"))
+      .toDF("id", "text", "user", "hashtags", "created_date", "urls")
+    val pages = graft.sources.LivePastebin.fetchPages(tweets, fetcher)
+    def enriched() = graft.pipeline.TweetPipeline.withPastebin(tweets, pages)
+      .filter($"ioc".startsWith("10.1.1."))
+      .select("id", "ioc").collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val first = enriched()
+    val fetchesAfterFirst = CountingFetcher.get(fid)
+    assert(fetchesAfterFirst == 2, // p1 + p2, deduped BEFORE fetching
+      s"expected one fetch per distinct page, got $fetchesAfterFirst")
+    val second = enriched() // the "retry": full recompute of the fetch partitions
+    assert(CountingFetcher.get(fid) > fetchesAfterFirst,
+      "re-execution did not re-fetch — the at-least-once premise is untested")
+    assert(second == first,
+      s"partition re-execution changed the enrichment rows:\n first=$first\n second=$second")
+    // tweet 1 links p1 once → exactly one 10.1.1.1 row for id 1, even after re-runs
+    assert(first.count(_ == ("1", "10.1.1.1")) == 1, s"double-emitted enrichment: $first")
   }
 
   test("SplunkResponse: entry/results → DataFrame (splunk2.py:28-31)") {

@@ -7,6 +7,40 @@ import graft.pipeline.TweetPipeline
 import graft.sinks.{FileTransport, RestBatchSink}
 import graft.streaming.{DocsIngestStream, TweetStream}
 
+/** In-JVM model of the Splunk KV store for exactly-once assertions: a
+  * payload is a JSON array of records; a record WITH `_key` upserts (the
+  * batch_save contract RestBatchSink's `keyed = true` relies on), one
+  * WITHOUT gets a fresh server-assigned key (every delivery duplicates —
+  * the reference's framing). Static maps so local-mode executor threads
+  * and the driver share state; `storeId` isolates tests. */
+final class KvStoreTransport(storeId: String) extends graft.sinks.Transport {
+  def post(endpoint: String, payload: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.readTree(payload)
+    val it = arr.elements()
+    while (it.hasNext) {
+      val rec = it.next()
+      val key =
+        if (rec.has("_key")) rec.get("_key").asText()
+        else java.util.UUID.randomUUID().toString
+      KvStoreTransport.store
+        .computeIfAbsent(storeId, _ => new java.util.concurrent.ConcurrentHashMap())
+        .put(key, rec.toString)
+    }
+    KvStoreTransport.posts.merge(storeId, 1L, (a, b) => a + b)
+  }
+}
+object KvStoreTransport {
+  val store = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[String, String]]()
+  val posts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  def snapshot(storeId: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    Option(store.get(storeId)).map(_.asScala.toMap).getOrElse(Map.empty)
+  }
+  def postCount(storeId: String): Long = posts.getOrDefault(storeId, 0L)
+}
+
 /** Streaming + sink specs: MemoryStream of raw tweet JSON through the shared
   * extraction core, checkpointed foreachBatch → batched REST sink with the
   * file transport (FIXTURES.md §A2 cases).
@@ -59,6 +93,58 @@ class TweetStreamSpec extends AnyFunSuite {
     assert(all.contains("172.16.0.9") && all.contains("d41d8cd98f00b204e9800998ecf8427e")
       && all.contains("hxxp://cdn.evil.net/x"))
     assert(!all.contains("1.1.1.1"))
+  }
+
+  test("exactly-once per epoch: a replayed committed micro-batch leaves the KV end state unchanged") {
+    // The failure this proves out: crash AFTER the sink posted an epoch but
+    // BEFORE the checkpoint commit-marker landed. On restart Spark sees
+    // offsets/0 without commits/0 and re-runs epoch 0 — foreachBatch is
+    // at-least-once by contract. Deleting the commit marker between two
+    // runs over the same checkpoint reproduces that crash window exactly.
+    val srcDir = Files.createTempDirectory("replay_src")
+    Files.writeString(srcDir.resolve("batch0.jsonl"), Seq(
+      tweet(70, "c2 at 172.16.9.9 and hash d41d8cd98f00b204e9800998ecf8427e"),
+      tweet(71, "drop hxxp://cdn.evil.net/x", user = "mallory"),
+      tweet(72, "RT @x: ignored 1.1.1.1")).mkString("\n"))
+    val ckpt = Files.createTempDirectory("ckpt_replay").toString
+    val storeId = "replay-" + java.util.UUID.randomUUID()
+    def run(): Unit = {
+      val q = TweetStream.start(spark.readStream.text(srcDir.toString),
+        "kv/batch_save", new KvStoreTransport(storeId), ckpt)
+      q.awaitTermination(60000)
+      q.stop() // AvailableNow self-terminates; stop() only forces cleanup
+      // the checkpoint-in-use registry is released asynchronously after
+      // termination — restarting before that looks like a concurrent query
+      val deadline = System.currentTimeMillis + 30000
+      while (spark.streams.active.exists(_.id == q.id) &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+    }
+    run()
+    val state1 = KvStoreTransport.snapshot(storeId)
+    val posts1 = KvStoreTransport.postCount(storeId)
+    assert(state1.size == 3 && posts1 > 0,
+      s"first delivery wrong: ${state1.size} records, $posts1 posts")
+    // simulate the post-commit crash: offsets/0 stays, commits/0 vanishes
+    // (with its Hadoop .crc sidecar — a stale checksum blocks the rewrite)
+    Files.delete(java.nio.file.Paths.get(ckpt, "commits", "0"))
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
+    run()
+    assert(KvStoreTransport.postCount(storeId) > posts1,
+      "epoch 0 was not redelivered — the replay did not actually happen")
+    assert(KvStoreTransport.snapshot(storeId) == state1,
+      "replayed epoch changed the KV end state — keyed upsert is not idempotent")
+  }
+
+  test("unkeyed replay duplicates — the _key is what carries exactly-once (control case)") {
+    import org.apache.spark.sql.functions.col
+    val storeId = "unkeyed-" + java.util.UUID.randomUUID()
+    val df = Seq(("c1", "1.2.3.4", "ip"), ("c1", "5.6.7.8", "ip"))
+      .toDF("id", "ioc", "type").coalesce(1)
+    val t = new KvStoreTransport(storeId)
+    RestBatchSink.write(df, "ep", t)                // reference framing: no _key
+    RestBatchSink.write(df, "ep", t)                // the same epoch, redelivered
+    assert(KvStoreTransport.snapshot(storeId).size == 4,
+      "server-assigned keys must duplicate on replay — otherwise the keyed test proves nothing")
   }
 
   test("RestBatchSink chunks at batchSize and flushes the remainder (S8)") {
