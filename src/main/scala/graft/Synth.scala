@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress corpus synthesizer: materialize an N× replica of a driver
+  * testdata directory (default: 10× sf0.1 ≈ a "sf1") so the 100 TB design
+  * claims — bucket caps, memoized index-build cost, window frames,
+  * propagation rounds — become MEASURED curves instead of arguments
+  * (`graft.Bench` against the output dir; BASELINE.md "scale stress").
+  *
+  * Replication is key-offset, not row-copy: replica r shifts every
+  * surrogate key by r × |base table| (keys are 0-based contiguous), so
+  * referential integrity (orders→customer, lineitem→part/supplier) and
+  * per-key history sizes (events per user, lineitems per order) are
+  * PRESERVED while key cardinality grows N× — the way a real corpus
+  * grows. `region`/`nation` stay fixed (dimension constants, as in
+  * TPC-H's own scaling model).
+  *
+  * Content columns must NOT be byte-identical across replicas or the
+  * similarity family degenerates (10 identical copies of a doc form a
+  * 45-pair near-dup clique per base doc — quadratic, unlike any real 10×
+  * crawl):
+  *  - `documents.text`: per-replica alphabet rotation (`translate`) —
+  *    length/token structure identical, 3-gram shingles disjoint across
+  *    replicas, so intra-replica near-dup structure replicates linearly;
+  *  - `embeddings.embedding`: per-(replica, dimension) deterministic
+  *    perturbation — vectors stay near the original direction (IVF cell
+  *    occupancy scales evenly) without exact collisions.
+  * Mod-10 split conventions (dedup_incremental, sim_incremental) survive
+  * because every offset is a multiple of 10.
+  */
+object Synth {
+
+  private val lower = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Per-replica alphabet rotation; identity for replica 0. */
+  private def rotateText(text: Column, rep: Column, factor: Int): Column =
+    (1 until factor).foldLeft(text) { (acc, r) =>
+      val shifted = lower.drop(r) + lower.take(r)
+      when(rep === r, translate(text, lower, shifted)).otherwise(acc)
+    }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("target/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // one scan per table; the replica axis is a broadcast range join, so
+    // the 10× fan-out happens executor-side with no repeated reads
+    def replicate(name: String)(tx: (DataFrame, Column) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val n = base.count()
+      val reps = spark.range(factor).select(col("id").as("__rep"))
+      val outDf = tx(base.crossJoin(broadcast(reps)), col("__rep")).drop("__rep")
+      outDf.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[synth] $name: $n -> ${n * factor} rows")
+    }
+    def copy(name: String): Unit = {
+      spark.read.parquet(s"$src/$name.parquet")
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[synth] $name: copied as-is (fixed dimension)")
+    }
+
+    copy("region")
+    copy("nation")
+    replicate("customer")((df, r) => df.withColumn("c_custkey", col("c_custkey") + r * 15000L))
+    replicate("supplier")((df, r) => df.withColumn("s_suppkey", col("s_suppkey") + r * 1000L))
+    replicate("part")((df, r) => df.withColumn("p_partkey", col("p_partkey") + r * 20000L))
+    replicate("orders")((df, r) => df
+      .withColumn("o_orderkey", col("o_orderkey") + r * 150000L)
+      .withColumn("o_custkey", col("o_custkey") + r * 15000L))
+    replicate("lineitem")((df, r) => df
+      .withColumn("l_orderkey", col("l_orderkey") + r * 150000L)
+      .withColumn("l_partkey", col("l_partkey") + r * 20000L)
+      .withColumn("l_suppkey", col("l_suppkey") + r * 1000L))
+    replicate("events")((df, r) => df
+      .withColumn("event_id", col("event_id") + r * 100000L)
+      .withColumn("user_id", col("user_id") + r * 1500L))
+    replicate("documents")((df, r) => df
+      .withColumn("doc_id", col("doc_id") + r * 5000L)
+      .withColumn("text", rotateText(col("text"), r, factor)))
+    replicate("embeddings")((df, r) => df
+      .withColumn("vec_id", col("vec_id") + r * 2000L)
+      .withColumn("embedding", transform(col("embedding"), (x, i) =>
+        (x * (lit(1.0) + lit(0.02) * r * cos(i * 1.7 + r))).cast("float"))))
+
+    spark.stop()
+  }
+}

@@ -129,6 +129,39 @@ class ScaleOpsSpec extends AnyFunSuite {
       ov.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("AQE defaults leave MB-scale skew unsplit — the gap tuning or salting must fill") {
+    // the other half of the AQE story (the test above FORCES the split):
+    // at DEFAULT thresholds (256 MB skewedPartitionThresholdInBytes) a
+    // hot partition of mere megabytes is never split, so an untuned
+    // cluster still gets the straggler. The round-9 sf1 probe
+    // (graft.SkewProbe, DEPLOYMENT.md "skew") measured the consequences:
+    // broadcast 1.1 s < AQE-tuned 3.6 s < salted-16 4.7 s < plain
+    // straggler — tune AQE (or broadcast) first; salt is the fallback for
+    // shapes AQE cannot reach (skewed AGG keys, non-SMJ paths).
+    val conf = spark.conf
+    val overrides = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) => k -> conf.getOption(k) }
+    overrides.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val fact = spark.range(60000).select(
+        (when(col("id") % 10 === 0, concat(lit("k"), col("id") % 50))
+          .otherwise(lit("hot"))).as("k"),
+        concat(lit("payload-"), col("id"), lit("-"), md5(col("id").cast("string"))).as("pay"))
+      val dimS = spark.range(51).select(
+        when(col("id") === 50, lit("hot")).otherwise(concat(lit("k"), col("id"))).as("k"),
+        col("id").as("v"))
+      val j = fact.join(dimS, Seq("k"))
+        .agg(count(lit(1)).as("n"), max(length(col("pay"))).as("w"))
+      assert(j.collect()(0).getLong(0) == 60000L)
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("skew=true"),
+        s"default thresholds unexpectedly split the hot partition:\n$p")
+    } finally saved.foreach { case (k, ov) =>
+      ov.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("bucketed tables: co-located equi-join plans with zero shuffle exchanges") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
