@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * (`graft.Bench` against the output dir; BASELINE.md "scale stress").
   *
   * Replication is key-offset, not row-copy: replica r shifts every
-  * surrogate key by r × |base table| (keys are 0-based contiguous), so
+  * surrogate key by r × unit, unit = (max base key + 1) rounded up to a
+  * multiple of 10 (keys are 0-based contiguous), so
   * referential integrity (orders→customer, lineitem→part/supplier) and
   * per-key history sizes (events per user, lineitems per order) are
   * PRESERVED while key cardinality grows N× — the way a real corpus
@@ -42,9 +43,6 @@ object Synth {
     }
 
   def main(args: Array[String]): Unit = {
-    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val out = args.lift(1).getOrElse("target/sf1")
-    val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
@@ -53,6 +51,33 @@ object Synth {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark,
+      args.headOption.getOrElse("/root/testdata/sf0.1"),
+      args.lift(1).getOrElse("target/sf1"),
+      args.lift(2).map(_.toInt).getOrElse(10))
+    spark.stop()
+  }
+
+  /** Session-agnostic body (SynthSpec runs it on the shared test session). */
+  def run(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    // key-offset unit per key domain: max key + 1, rounded UP to a
+    // multiple of 10 so the mod-10 split conventions survive at ANY
+    // source scale factor (keys are 0-based, so this always clears the
+    // base range). The SAME unit is used everywhere a key is referenced —
+    // that is what keeps the foreign keys intact.
+    def unit(table: String, key: String): Long = {
+      val mx = spark.read.parquet(s"$src/$table.parquet")
+        .agg(max(col(key))).head().getLong(0)
+      ((mx + 1 + 9) / 10) * 10
+    }
+    val uCust = unit("customer", "c_custkey")
+    val uSupp = unit("supplier", "s_suppkey")
+    val uPart = unit("part", "p_partkey")
+    val uOrd = unit("orders", "o_orderkey")
+    val uEvent = unit("events", "event_id")
+    val uUser = unit("events", "user_id")
+    val uDoc = unit("documents", "doc_id")
+    val uVec = unit("embeddings", "vec_id")
 
     // one scan per table; the replica axis is a broadcast range join, so
     // the 10× fan-out happens executor-side with no repeated reads
@@ -72,27 +97,25 @@ object Synth {
 
     copy("region")
     copy("nation")
-    replicate("customer")((df, r) => df.withColumn("c_custkey", col("c_custkey") + r * 15000L))
-    replicate("supplier")((df, r) => df.withColumn("s_suppkey", col("s_suppkey") + r * 1000L))
-    replicate("part")((df, r) => df.withColumn("p_partkey", col("p_partkey") + r * 20000L))
+    replicate("customer")((df, r) => df.withColumn("c_custkey", col("c_custkey") + r * uCust))
+    replicate("supplier")((df, r) => df.withColumn("s_suppkey", col("s_suppkey") + r * uSupp))
+    replicate("part")((df, r) => df.withColumn("p_partkey", col("p_partkey") + r * uPart))
     replicate("orders")((df, r) => df
-      .withColumn("o_orderkey", col("o_orderkey") + r * 150000L)
-      .withColumn("o_custkey", col("o_custkey") + r * 15000L))
+      .withColumn("o_orderkey", col("o_orderkey") + r * uOrd)
+      .withColumn("o_custkey", col("o_custkey") + r * uCust))
     replicate("lineitem")((df, r) => df
-      .withColumn("l_orderkey", col("l_orderkey") + r * 150000L)
-      .withColumn("l_partkey", col("l_partkey") + r * 20000L)
-      .withColumn("l_suppkey", col("l_suppkey") + r * 1000L))
+      .withColumn("l_orderkey", col("l_orderkey") + r * uOrd)
+      .withColumn("l_partkey", col("l_partkey") + r * uPart)
+      .withColumn("l_suppkey", col("l_suppkey") + r * uSupp))
     replicate("events")((df, r) => df
-      .withColumn("event_id", col("event_id") + r * 100000L)
-      .withColumn("user_id", col("user_id") + r * 1500L))
+      .withColumn("event_id", col("event_id") + r * uEvent)
+      .withColumn("user_id", col("user_id") + r * uUser))
     replicate("documents")((df, r) => df
-      .withColumn("doc_id", col("doc_id") + r * 5000L)
+      .withColumn("doc_id", col("doc_id") + r * uDoc)
       .withColumn("text", rotateText(col("text"), r, factor)))
     replicate("embeddings")((df, r) => df
-      .withColumn("vec_id", col("vec_id") + r * 2000L)
+      .withColumn("vec_id", col("vec_id") + r * uVec)
       .withColumn("embedding", transform(col("embedding"), (x, i) =>
         (x * (lit(1.0) + lit(0.02) * r * cos(i * 1.7 + r))).cast("float"))))
-
-    spark.stop()
   }
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the scale-stress synthesizer ([[graft.Synth]]) — the 10×
+  * corpus BENCH_sf1.json measures against is only evidence if the replica
+  * preserves the base corpus's structure. Pinned at factor 2 over
+  * sf0.001 (same code path as the 10× build; `Synth.main` is exercised
+  * end-to-end, parquet out and back).
+  */
+class SynthSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val outDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("synth2").toString
+    Synth.run(spark, "/root/testdata/sf0.001", d, 2)
+    d
+  }
+  private def t(name: String) = spark.read.parquet(s"$outDir/$name.parquet")
+  private def base(name: String) =
+    spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
+
+  test("row counts scale by the factor; fixed dims stay fixed") {
+    for (n <- Seq("customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings"))
+      assert(t(n).count() == 2 * base(n).count(), s"$n not 2x")
+    for (n <- Seq("region", "nation"))
+      assert(t(n).count() == base(n).count(), s"$n must stay fixed")
+  }
+
+  test("keys stay unique and referential integrity survives the offset") {
+    assert(t("customer").select("c_custkey").distinct().count() == t("customer").count())
+    assert(t("orders").select("o_orderkey").distinct().count() == t("orders").count())
+    // no orphans in either direction of the fact chain
+    assert(t("lineitem").join(t("orders"),
+      col("l_orderkey") === col("o_orderkey"), "left_anti").count() == 0)
+    assert(t("orders").join(t("customer"),
+      col("o_custkey") === col("c_custkey"), "left_anti").count() == 0)
+    assert(t("lineitem").join(t("part"),
+      col("l_partkey") === col("p_partkey"), "left_anti").count() == 0)
+    assert(t("lineitem").join(t("supplier"),
+      col("l_suppkey") === col("s_suppkey"), "left_anti").count() == 0)
+  }
+
+  test("per-key history sizes are preserved (replication grows keys, not rows per key)") {
+    val baseHist = base("lineitem").groupBy("l_orderkey").count()
+      .groupBy("count").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val synthHist = t("lineitem").groupBy("l_orderkey").count()
+      .groupBy("count").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(synthHist == baseHist.map { case (k, v) => k -> v * 2 },
+      s"lineitems-per-order histogram must double per bucket: $baseHist vs $synthHist")
+  }
+
+  test("replica 0 is the base corpus verbatim; replica 1 content diverges") {
+    val nDocs = base("documents").count()
+    val r0 = t("documents").filter(col("doc_id") < nDocs).select("doc_id", "text")
+    assert(r0.except(base("documents").select("doc_id", "text")).count() == 0)
+    // rotated replica: same lengths (n_chars stays truthful), different bytes
+    val joined = t("documents").filter(col("doc_id") >= nDocs)
+      .select((col("doc_id") - nDocs).as("doc_id"), col("text").as("t1"))
+      .join(base("documents").select(col("doc_id"), col("text").as("t0")), Seq("doc_id"))
+    assert(joined.filter(length(col("t1")) =!= length(col("t0"))).count() == 0)
+    assert(joined.filter(col("t1") === col("t0")).count() == 0,
+      "replica 1 text must differ from base everywhere")
+    assert(t("documents").filter(length(col("text")) =!= col("n_chars")).count() == 0)
+  }
+
+  test("mod-10 split conventions survive (offsets are multiples of 10)") {
+    // dedup_incremental / sim_incremental split on id % 10 — each replica
+    // must contribute the same per-class share as the base
+    val b = base("embeddings").filter(col("vec_id") % 10 === 0).count()
+    assert(t("embeddings").filter(col("vec_id") % 10 === 0).count() == 2 * b)
+    val bd = base("documents").filter(col("doc_id") % 10 === 0).count()
+    assert(t("documents").filter(col("doc_id") % 10 === 0).count() == 2 * bd)
+  }
+
+  test("embeddings perturb per replica but stay near the base direction") {
+    val nVec = base("embeddings").count()
+    val joined = t("embeddings").filter(col("vec_id") >= nVec)
+      .select((col("vec_id") - nVec).as("vec_id"), col("embedding").as("e1"))
+      .join(base("embeddings").select(col("vec_id"), col("embedding").as("e0")), Seq("vec_id"))
+      .select(
+        aggregate(zip_with(col("e0"), col("e1"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x).as("dot"),
+        sqrt(aggregate(col("e0"), lit(0.0), (a, x) => a + x * x)).as("n0"),
+        sqrt(aggregate(col("e1"), lit(0.0), (a, x) => a + x * x)).as("n1"))
+      .select((col("dot") / (col("n0") * col("n1"))).as("cos"))
+    // distinct vectors (cos < 1) that still index into the same region (cos ≫ 0)
+    assert(joined.filter(col("cos") >= 0.999999).count() == 0,
+      "replica vectors must not be exact copies")
+    assert(joined.filter(col("cos") < 0.95).count() == 0,
+      "perturbation must stay small enough to preserve index geometry")
+  }
+}
