@@ -413,7 +413,7 @@ object Similarity {
           .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .select(col("vec_id"), col("sid").as("cell"))
       }
-      val seeds0 = e.filter(isSeed(KmeansK))
+      val seeds0 = e.filter(isSeed(KmeansK.toLong, 64L))
         .select(col("vec_id").as("sid"), col("embedding").as("se"),
           col("nsq").as("snsq"))
       val upd = nearest(seeds0).join(e, Seq("vec_id"))
@@ -782,16 +782,17 @@ object Similarity {
     * the backstop the `sim_lsh_buckets` inventory monitors. */
   val LshMaxBucket = 256
 
-  /** IVF list count (`nlist`): seeds are every 64th vector, BOUNDED to the
-    * first [[MaxCentroids]] — the assignment pass is O(n · MaxCentroids)
-    * and average cell population is n / MaxCentroids. nlist is the
-    * DEPLOYMENT KNOB of every IVF index: it must scale with corpus size
-    * (keep n/nlist ≈ the cell size you can afford to pair-join or probe —
-    * at 4096 lists a billion vectors still means ~250k-vector cells, so a
-    * 100 TB deployment raises it further / trains k-means offline;
-    * deterministic seed-sampling here keeps the oracle reproducible). At
-    * the tested SFs max vec_id < MaxCentroids·64, so the cap is invisible
-    * to correctness. */
+  /** IVF list count cap (`nlist` ceiling): seeds are every
+    * [[ivfStride]]-th vector (stride = max(64, ⌊√n⌋) → nlist ≈ √n, the
+    * standard IVF sizing), BOUNDED to the first [[MaxCentroids]] — the
+    * assignment pass is O(n·√n) up to the cap and average cell
+    * population is the stride. nlist is the DEPLOYMENT KNOB of every IVF
+    * index: keep n/nlist ≈ the cell size you can afford to pair-join or
+    * probe — the √n rule holds that automatically until the cap (reached
+    * at ~16.8M vectors), past which a 100 TB deployment raises the cap /
+    * trains k-means offline; deterministic seed-sampling keeps the
+    * oracle reproducible. At the tested SFs the 64 floor keeps the
+    * stride, so the rule is bit-invisible to the correctness gate. */
   val MaxCentroids = 4096
 
   /** k for the `embed_kmeans` Lloyd trainer — small here so the oracle's
@@ -821,7 +822,7 @@ object Similarity {
   /** PQ codebook: the deterministic seed vectors, one row per seed. */
   private[graft] def pqSeeds(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .filter(isSeed(PqK))
+      .filter(isSeed(PqK.toLong, 64L))
       .select(col("vec_id").as("sid"), col("embedding").as("se"))
 
   /** (vector, subspace) × broadcast codebook squared distances — one
@@ -871,14 +872,30 @@ object Similarity {
       .select(col("vec_id"), col("m"), col("sid"))
   }
 
-  /** The one seed-selection convention (every-64th vector, capped) shared
-    * by the IVF centroid set and the PQ codebook — a single definition so
-    * the two can never silently drift apart. */
-  private def isSeed(cap: Int): Column =
-    col("vec_id") % 64 === 0 && col("vec_id") < cap * 64
+  /** The seed-selection convention (every-`stride`th vector, capped)
+    * shared by the IVF centroid set, the PQ codebook, and the k-means
+    * seeds — a single definition so they can never silently drift apart.
+    * The k-means/PQ consumers pass the FIXED stride 64 (their seed count
+    * is bounded by a small cap, so cost stays linear in n); the IVF
+    * centroid set passes [[ivfStride]]. */
+  private def isSeed(cap: Long, stride: Long): Column =
+    col("vec_id") % stride === 0 && col("vec_id") < cap * stride
+
+  /** IVF seed stride: max(64, ⌊√n⌋) — nlist ≈ √n, the standard IVF
+    * sizing (FAISS guidance), which keeps the BUILD at O(n^1.5) instead
+    * of the O(n²/64) a fixed stride degenerates to (the round-9 30×
+    * scale-stress caught exactly that: ivf_assign/ivf_probes grew 12–18×
+    * for 3× data). ⌊√n⌋ via IEEE sqrt is exact for n < 2^52 (correctly
+    * rounded sqrt cannot cross an integer boundary), so DuckDB computes
+    * the identical stride. At the oracle/bench SFs (n ≤ 2000) the floor
+    * of 64 keeps the stride — results there are bit-identical to the
+    * fixed-stride rule, so this is invisible to the correctness gate and
+    * only changes behavior at scale. */
+  private def ivfStride(e: DataFrame): Long =
+    math.max(64L, math.floor(math.sqrt(e.count().toDouble)).toLong)
 
   private def seedsOf(e: DataFrame): DataFrame =
-    e.filter(isSeed(MaxCentroids))
+    e.filter(isSeed(MaxCentroids.toLong, ivfStride(e)))
       .select(col("vec_id").as("sid"), col("embedding").as("se"), col("nsq").as("snsq"))
 
   /** Exact L2 distance of every vector to every (broadcast) centroid —
@@ -1055,9 +1072,12 @@ object Similarity {
     s"""e AS (
        |  SELECT vec_id, embedding, $nsqSql AS nsq
        |  FROM embeddings),
+       |ivfp AS (
+       |  SELECT GREATEST(64, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS stride
+       |  FROM e),
        |seeds AS (
-       |  SELECT vec_id AS sid, embedding, nsq AS snsq FROM e
-       |  WHERE vec_id % 64 = 0 AND vec_id < ${MaxCentroids * 64}),
+       |  SELECT vec_id AS sid, embedding, nsq AS snsq FROM e, ivfp
+       |  WHERE vec_id % stride = 0 AND vec_id < $MaxCentroids * stride),
        |dists AS (
        |  SELECT v.vec_id, s.sid,
        |    v.nsq - CAST(2.0 AS DOUBLE) * ${dotSql("v", "s")} + s.snsq AS dist
