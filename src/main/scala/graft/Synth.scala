@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   * similarity family degenerates (10 identical copies of a doc form a
   * 45-pair near-dup clique per base doc — quadratic, unlike any real 10×
   * crawl):
-  *  - `documents.text`: per-replica alphabet rotation (`translate`) —
-  *    length/token structure identical, 3-gram shingles disjoint across
-  *    replicas, so intra-replica near-dup structure replicates linearly;
+  *  - `documents.text`: per-replica affine alphabet substitution
+  *    (`translate`; [[alphabetFor]]) — length/token structure identical,
+  *    3-gram shingles disjoint across replicas (up to [[MaxFactor]]
+  *    replicas), so intra-replica near-dup structure replicates linearly;
   *  - `embeddings.embedding`: per-(replica, dimension) deterministic
   *    perturbation — vectors stay near the original direction (IVF cell
   *    occupancy scales evenly) without exact collisions.
@@ -34,12 +35,34 @@ import org.apache.spark.sql.functions._
 object Synth {
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
+  // multipliers coprime to 26 — 12 × 26 shifts = 312 distinct affine
+  // letter permutations, the factor ceiling
+  private val AffineMultipliers = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+  val MaxFactor: Int = AffineMultipliers.size * 26
 
-  /** Per-replica alphabet rotation; identity for replica 0. */
+  /** Replica r's alphabet: the affine permutation x → a·x + b (mod 26)
+    * with (a, b) enumerated so no two replicas share a map and replica 0
+    * is the identity. A pure SHIFT (round-9's first version) is mod-26:
+    * at factor > 26 replicas 26+k verbatim-duplicated replicas k, which
+    * the 30× scale-stress exposed as cross-replica exact dups driving
+    * shingle DF to the cap — pair volume grew 5.2× for 3× data and the
+    * near-dup family looked superlinear. Affine maps are distinct for
+    * every distinct (a, b), so content stays pairwise-disjoint up to
+    * [[MaxFactor]] replicas. */
+  private[graft] def alphabetFor(r: Int): String = {
+    require(r >= 0 && r < MaxFactor, s"replica $r outside 0..${MaxFactor - 1}")
+    if (r == 0) lower
+    else {
+      val a = AffineMultipliers(r / 26)
+      val b = r % 26
+      lower.map(c => ((a * (c - 'a') + b) % 26 + 'a').toChar)
+    }
+  }
+
+  /** Per-replica affine alphabet substitution; identity for replica 0. */
   private def rotateText(text: Column, rep: Column, factor: Int): Column =
     (1 until factor).foldLeft(text) { (acc, r) =>
-      val shifted = lower.drop(r) + lower.take(r)
-      when(rep === r, translate(text, lower, shifted)).otherwise(acc)
+      when(rep === r, translate(text, lower, alphabetFor(r))).otherwise(acc)
     }
 
   def main(args: Array[String]): Unit = {
@@ -60,6 +83,8 @@ object Synth {
 
   /** Session-agnostic body (SynthSpec runs it on the shared test session). */
   def run(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    require(factor >= 1 && factor <= MaxFactor,
+      s"factor $factor outside 1..$MaxFactor (distinct alphabet permutations)")
     // key-offset unit per key domain: max key + 1, rounded UP to a
     // multiple of 10 so the mod-10 split conventions survive at ANY
     // source scale factor (keys are 0-based, so this always clears the

@@ -68,6 +68,18 @@ class SynthSpec extends AnyFunSuite {
     assert(t("documents").filter(length(col("text")) =!= col("n_chars")).count() == 0)
   }
 
+  test("replica alphabets are distinct bijections for every factor up to MaxFactor") {
+    // the 30x stress caught the mod-26 shift wrap: replica 26+k verbatim-
+    // duplicated replica k, driving shingle DF to the cap (fake cross-
+    // replica exact dups). Affine maps must be pairwise distinct and each
+    // a bijection, for the whole supported factor range.
+    val maps = (0 until Synth.MaxFactor).map(Synth.alphabetFor)
+    maps.foreach(m => assert(m.toSet.size == 26, s"not a bijection: $m"))
+    assert(maps.distinct.size == Synth.MaxFactor, "two replicas share an alphabet")
+    assert(maps.head == "abcdefghijklmnopqrstuvwxyz", "replica 0 must be identity")
+    assertThrows[IllegalArgumentException](Synth.alphabetFor(Synth.MaxFactor))
+  }
+
   test("mod-10 split conventions survive (offsets are multiples of 10)") {
     // dedup_incremental / sim_incremental split on id % 10 — each replica
     // must contribute the same per-class share as the base
