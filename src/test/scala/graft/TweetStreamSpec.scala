@@ -147,6 +147,22 @@ class TweetStreamSpec extends AnyFunSuite {
       "server-assigned keys must duplicate on replay — otherwise the keyed test proves nothing")
   }
 
+  test("keyed delivery collapses identical rows within an epoch; unkeyed preserves them (documented trade)") {
+    // TweetStream.start's scaladoc: identical rows collapse to one KV
+    // record under keying (_key = md5 of the row), while the unkeyed
+    // reference framing preserves duplicates. Pin both halves.
+    val dup = Seq(("c1", "1.2.3.4", "ip"), ("c1", "1.2.3.4", "ip"), ("c2", "5.6.7.8", "ip"))
+      .toDF("id", "ioc", "type").coalesce(1)
+    val keyedId = "collapse-" + java.util.UUID.randomUUID()
+    RestBatchSink.write(dup, "ep", new KvStoreTransport(keyedId), keyed = true)
+    assert(KvStoreTransport.snapshot(keyedId).size == 2,
+      "keyed upsert must collapse the identical pair to one record")
+    val unkeyedId = "preserve-" + java.util.UUID.randomUUID()
+    RestBatchSink.write(dup, "ep", new KvStoreTransport(unkeyedId))
+    assert(KvStoreTransport.snapshot(unkeyedId).size == 3,
+      "unkeyed (reference framing) must preserve duplicates")
+  }
+
   test("RestBatchSink chunks at batchSize and flushes the remainder (S8)") {
     val outDir = Files.createTempDirectory("chunks").toString
     val df = (1 to 7).toDF("n").coalesce(1)
