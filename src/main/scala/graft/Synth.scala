@@ -111,8 +111,15 @@ object Synth {
       val n = base.count()
       val reps = spark.range(factor).select(col("id").as("__rep"))
       val outDf = tx(base.crossJoin(broadcast(reps)), col("__rep")).drop("__rep")
-      outDf.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[synth] $name: $n -> ${n * factor} rows")
+      // one output file per replica: the driver's base tables are single
+      // row groups, and without this the N× table inherits that — one
+      // unsplittable row group that serializes every scan onto one task
+      // no matter the cluster size (a real N× table has N× the row
+      // groups; scan parallelism growing with data is the thing a
+      // scaling measurement must preserve)
+      outDf.repartition(factor)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[synth] $name: $n -> ${n * factor} rows ($factor files)")
     }
     def copy(name: String): Unit = {
       spark.read.parquet(s"$src/$name.parquet")

@@ -21,6 +21,14 @@ class SynthSpec extends AnyFunSuite {
   private def base(name: String) =
     spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
 
+  test("replicated tables split into factor files (scan parallelism grows with data)") {
+    // a single-row-group output serializes every scan onto one task at
+    // any scale — the 30x stress caught exactly that shape
+    val files = new java.io.File(s"$outDir/lineitem.parquet")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 2, s"expected one file per replica (2), got $files")
+  }
+
   test("row counts scale by the factor; fixed dims stay fixed") {
     for (n <- Seq("customer", "supplier", "part", "orders", "lineitem",
         "events", "documents", "embeddings"))
