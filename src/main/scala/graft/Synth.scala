@@ -59,6 +59,19 @@ object Synth {
     }
   }
 
+  /** Per-(replica, dimension) deterministic embedding perturbation.
+    * Amplitude is bounded at 0.02·((r mod 10)+1) ≤ 0.2 INDEPENDENT of the
+    * replica index — an earlier 0.02·r amplitude reached zero/negative
+    * multipliers from r≈50, scrambling vector direction at high factors —
+    * so the per-dimension multiplier stays in [0.8, 1.2] and cosine to the
+    * base vector stays ≥ ~0.95 for every replica up to [[MaxFactor]]
+    * (SynthSpec pins r = MaxFactor-1 directly). Replicas stay pairwise
+    * distinct via r in the phase term. */
+  private[graft] def perturbEmbedding(embedding: Column, rep: Column): Column =
+    transform(embedding, (x, i) =>
+      (x * (lit(1.0) + lit(0.02) * (pmod(rep, lit(10)) + 1) * cos(i * 1.7 + rep)))
+        .cast("float"))
+
   /** Per-replica affine alphabet substitution; identity for replica 0. */
   private def rotateText(text: Column, rep: Column, factor: Int): Column =
     (1 until factor).foldLeft(text) { (acc, r) =>
@@ -111,12 +124,13 @@ object Synth {
       val n = base.count()
       val reps = spark.range(factor).select(col("id").as("__rep"))
       val outDf = tx(base.crossJoin(broadcast(reps)), col("__rep")).drop("__rep")
-      // one output file per replica: the driver's base tables are single
-      // row groups, and without this the N× table inherits that — one
-      // unsplittable row group that serializes every scan onto one task
-      // no matter the cluster size (a real N× table has N× the row
-      // groups; scan parallelism growing with data is the thing a
-      // scaling measurement must preserve)
+      // `factor` output files (round-robin, so replicas MIX across files —
+      // the balance, not a file↔replica mapping, is the point): the
+      // driver's base tables are single row groups, and without this the
+      // N× table inherits that — one unsplittable row group that
+      // serializes every scan onto one task no matter the cluster size (a
+      // real N× table has N× the row groups; scan parallelism growing
+      // with data is the thing a scaling measurement must preserve)
       outDf.repartition(factor)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[synth] $name: $n -> ${n * factor} rows ($factor files)")
@@ -147,7 +161,6 @@ object Synth {
       .withColumn("text", rotateText(col("text"), r, factor)))
     replicate("embeddings")((df, r) => df
       .withColumn("vec_id", col("vec_id") + r * uVec)
-      .withColumn("embedding", transform(col("embedding"), (x, i) =>
-        (x * (lit(1.0) + lit(0.02) * r * cos(i * 1.7 + r))).cast("float"))))
+      .withColumn("embedding", perturbEmbedding(col("embedding"), r)))
   }
 }

@@ -1,32 +1,40 @@
 package graft.streaming
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 /** Streaming twin of the batch funnel automaton
   * ([[graft.operators.Events]] `events_funnel`): per-user view→click→
-  * purchase state advanced by the IDENTICAL transition rules, held in a
+  * purchase state advanced to the IDENTICAL end state, held in a
   * `transformWithState` ValueState so the fold survives across
   * micro-batches (and, via the state store, across restarts).
   *
-  * Ordering contract: the batch fold sorts each user's events by
-  * (ts, event_type) before folding; a stream cannot re-order history it
-  * has already consumed, so the twin sorts WITHIN each micro-batch by the
-  * same key and relies on the ordered-log premise across batches (the
-  * replay/Kafka-per-key-ordered deployment the suite's other streaming
-  * twins document). Under that premise the per-user end state is
-  * batch-identical regardless of where the batch boundaries fall — the
-  * parity test cuts the log at an arbitrary point and asserts exactly
-  * that.
+  * Ordering contract — none needed. The batch fold sorts each user's
+  * events by (ts, event_type) and folds with strict-`>` transitions;
+  * that end state is a pure function of the event MULTISET:
   *
-  * Memory bound: the per-key batch is folded in fixed [[FoldChunk]]-sized
-  * chunks (each chunk sorted locally) rather than materialized whole, so
-  * a hot user key buffers at most FoldChunk rows on its task. A chunk
-  * boundary has exactly the semantics of a micro-batch boundary — under
-  * the ordered-log premise the chunk-local sort is a no-op and the result
-  * is identical; on a premise-violating (out-of-order) feed, disorder
-  * across a chunk cut degrades the same way disorder across a batch cut
-  * already does.
+  *   tv = min view ts                 (if not already set)
+  *   tc = min { click ts    : ts > tv }  (if not already set)
+  *   tp = min { purchase ts : ts > tc }  (if not already set)
+  *
+  * (In the sorted fold, tv is set at the minimal-ts view; every click
+  * with ts > tv sorts after it, so the first taken is the min; same
+  * argument for purchases over tc. Ties at ts == tv / ts == tc are
+  * excluded by the strict `>` either way.) The processor therefore
+  * computes those three mins directly, which makes it immune to the
+  * arbitrary within-key row order the groupByKey shuffle delivers —
+  * a prior revision sorted chunk-locally and was only correct when a
+  * key's batch fit one chunk; this formulation needs no sort at all.
+  *
+  * Memory bound: O(1) per key once the funnel has advanced past the
+  * stage a row feeds (views never buffer; clicks buffer only while the
+  * user has never viewed, and even then only clicks ≤ the running
+  * min-view, since anything above it is summarized by one running min;
+  * purchases buffer only while the click stage is unresolved). The
+  * worst case — a cold key's clicks+purchases in one batch — is still
+  * strictly below the batch twin's collect_list of ALL events per key.
   *
   * Input rows are (user_id, ts_micros, event_type); emission is the
   * current per-user automaton state each batch (Update mode), `None`
@@ -45,22 +53,63 @@ class FunnelProcessor
       "funnel", Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
 
   private val Unset = Long.MinValue
-  private val FoldChunk = 1 << 16 // max rows a hot key may buffer per task
+
+  @inline private def minU(a: Long, b: Long): Long =
+    if (a == Unset) b else if (b == Unset) a else math.min(a, b)
 
   override def handleInputRows(
       key: Long,
       inputRows: Iterator[(Long, Long, String)],
       timerValues: TimerValues): Iterator[(Long, Option[Long], Option[Long], Option[Long], Long)] = {
     var (tv, tc, tp) = if (st.exists()) st.get() else (Unset, Unset, Unset)
-    // same within-chunk order as the batch fold's sort_array(struct(ts, et));
-    // chunking bounds memory (see scaladoc) — a chunk cut ≡ a batch cut
-    inputRows.grouped(FoldChunk).foreach { chunk =>
-      chunk.sortBy(r => (r._2, r._3)).foreach { case (_, ts, et) =>
-        if (et == "view" && tv == Unset) tv = ts
-        else if (et == "click" && tv != Unset && tc == Unset && ts > tv) tc = ts
-        else if (et == "purchase" && tc != Unset && tp == Unset && ts > tc) tp = ts
+    val tvKnown = tv != Unset // threshold for clicks fixed before the batch
+    val tcKnown = tc != Unset // threshold for purchases fixed before the batch
+
+    var minView = Unset // min view ts in this batch (only needed while !tvKnown)
+    var cCand = Unset   // min qualifying click: vs fixed tv, or provably > any final tv
+    var pCand = Unset   // min qualifying purchase vs fixed tc
+    var clicks: ArrayBuffer[Long] = null    // clicks ≤ running minView — final tv may dip below them
+    var purchases: ArrayBuffer[Long] = null // all purchases while tc is unresolved
+
+    inputRows.foreach { case (_, ts, et) =>
+      if (et == "view") {
+        if (!tvKnown && (minView == Unset || ts < minView)) minView = ts
+      } else if (et == "click") {
+        if (!tcKnown) {
+          if (tvKnown) { if (ts > tv) cCand = minU(cCand, ts) }
+          else if (minView != Unset && ts > minView) {
+            // final tv ≤ current minView < ts, so this click qualifies
+            // whatever the final tv turns out to be — running min suffices
+            cCand = minU(cCand, ts)
+          } else {
+            if (clicks == null) clicks = new ArrayBuffer[Long]
+            clicks += ts
+          }
+        }
+      } else if (et == "purchase") {
+        if (tp == Unset) {
+          if (tcKnown) { if (ts > tc) pCand = minU(pCand, ts) }
+          else {
+            if (purchases == null) purchases = new ArrayBuffer[Long]
+            purchases += ts
+          }
+        }
       }
     }
+
+    // resolve stages in dependency order: tv, then tc over it, then tp
+    if (!tvKnown && minView != Unset) tv = minView
+    if (!tcKnown && tv != Unset) {
+      var c = cCand
+      if (clicks != null) clicks.foreach(ts => if (ts > tv) c = minU(c, ts))
+      tc = c
+    }
+    if (tp == Unset && !tcKnown && tc != Unset) {
+      var p = Unset
+      if (purchases != null) purchases.foreach(ts => if (ts > tc) p = minU(p, ts))
+      tp = p
+    } else if (tp == Unset && tcKnown) tp = pCand
+
     st.update((tv, tc, tp))
     if (tv == Unset) Iterator.empty
     else {

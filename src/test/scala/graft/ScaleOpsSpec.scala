@@ -343,6 +343,72 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"stream/batch funnel divergence:\n stream=$streamed\n batch=$batch")
   }
 
+  test("streaming funnel is order-independent: 150k-row shuffled single key == batch fold") {
+    // Pins the soundness fix for the old chunk-local sort: the per-key
+    // iterator after the groupByKey shuffle has ARBITRARY within-key
+    // order, so the processor must reach the batch end state with no
+    // ordering premise at all. One hot key, well past the old 65536
+    // FoldChunk, fully shuffled, with the minimal view placed LATE in
+    // iterator order and clicks/purchases straddling every threshold.
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(42)
+    val n = 150000
+    val events = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    // bulk noise: views well above the true min, clicks/purchases on both
+    // sides of the eventual tv/tc
+    (1 to n).foreach { i =>
+      val et = rnd.nextInt(3) match {
+        case 0 => "view"; case 1 => "click"; case 2 => "purchase"
+      }
+      // views never below 5000 here; the true min view (1000) is injected below
+      val ts = if (et == "view") 5000L + rnd.nextInt(1000000) else rnd.nextInt(1100000).toLong
+      events += ((7L, ts, et))
+    }
+    events += ((7L, 1000L, "view"))  // the true tv — a late, out-of-order arrival
+    events += ((7L, 900L, "click"))  // below tv: must NOT be taken
+    events += ((7L, 1000L, "click")) // tie with tv: strict > must exclude
+    val shuffled = rnd.shuffle(events.toIndexedSeq)
+
+    val batch = graft.operators.Events.funnelFoldForTest(
+      shuffled.toDF("user_id", "tsm", "event_type")
+        .select(col("user_id"), expr("timestamp_micros(tsm)").as("ts"), col("event_type")))
+      .select(col("user_id"), expr("unix_micros(t_view)"),
+        expr("unix_micros(t_click)"), expr("unix_micros(t_purchase)"), col("stage"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))).head
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val out = mem.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "tv", "tc", "tp", "stage")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = out.writeStream.format("memory").queryName("funnel_big")
+        .outputMode("update").start()
+      try {
+        mem.addData(shuffled)
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally prevProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+    val streamed = spark.table("funnel_big")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))).head
+    assert(streamed == batch,
+      s"order-independence broken:\n stream=$streamed\n batch=$batch")
+    assert(streamed._2.contains(1000L), s"tv must be the late-arriving min view: $streamed")
+  }
+
   test("near-dedup stream state is bounded by the watermark horizon, not stream length") {
     implicit val sq = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -26,7 +26,7 @@ class SynthSpec extends AnyFunSuite {
     // any scale — the 30x stress caught exactly that shape
     val files = new java.io.File(s"$outDir/lineitem.parquet")
       .listFiles().count(_.getName.endsWith(".parquet"))
-    assert(files == 2, s"expected one file per replica (2), got $files")
+    assert(files == 2, s"expected factor (2) output files, got $files")
   }
 
   test("row counts scale by the factor; fixed dims stay fixed") {
@@ -113,5 +113,26 @@ class SynthSpec extends AnyFunSuite {
       "replica vectors must not be exact copies")
     assert(joined.filter(col("cos") < 0.95).count() == 0,
       "perturbation must stay small enough to preserve index geometry")
+  }
+
+  test("embedding perturbation stays direction-preserving at the HIGHEST replica index") {
+    // the old 0.02·r amplitude flipped multiplier signs from r≈50 — this
+    // applies the production formula at r = MaxFactor-1 (311) directly
+    // (running a 312× corpus build in a spec is not needed to pin the
+    // per-replica math) and asserts the same cosine band as factor 2
+    val r = Synth.MaxFactor - 1
+    val joined = base("embeddings")
+      .select(col("embedding").as("e0"),
+        Synth.perturbEmbedding(col("embedding"), lit(r)).as("e1"))
+      .select(
+        aggregate(zip_with(col("e0"), col("e1"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x).as("dot"),
+        sqrt(aggregate(col("e0"), lit(0.0), (a, x) => a + x * x)).as("n0"),
+        sqrt(aggregate(col("e1"), lit(0.0), (a, x) => a + x * x)).as("n1"))
+      .select((col("dot") / (col("n0") * col("n1"))).as("cos"))
+    assert(joined.filter(col("cos") >= 0.999999).count() == 0,
+      "replica 311 vectors must not be exact copies")
+    assert(joined.filter(col("cos") < 0.95).count() == 0,
+      "replica 311 must preserve direction (amplitude must not grow with r)")
   }
 }
