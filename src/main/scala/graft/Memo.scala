@@ -29,12 +29,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * on every access, so the memo never pins dead `SparkSession`s.
   */
 private[graft] object Memo {
-  // Must exceed the number of relations Warm.all materializes (21 today):
-  // a cap below that evicts the first-warmed entries before the bench
-  // even starts timing, silently re-introducing their build cost into
-  // the first query that touches them. The entries are sf-bounded
+  // Must exceed the number of relations Warm.all materializes (25 today,
+  // incl. the _base/_incr label pairs and ioc_campaign_pairs): a cap
+  // below that evicts the first-warmed entries before the bench even
+  // starts timing, silently re-introducing their build cost into the
+  // first query that touches them. The entries are sf-bounded
   // index-sized tables, so the cap is a runaway guard, not a memory knob.
-  private val Cap = 32
+  private val Cap = 48
 
   /** Holder whose `get` materializes at most once, under a per-key lock. */
   private final class Entry(mk: () => DataFrame) {

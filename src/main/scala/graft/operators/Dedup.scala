@@ -626,6 +626,72 @@ object Dedup {
     lbl
   }
 
+  /** Deterministic base/delta split for incremental label maintenance —
+    * the suite's md5-bucket convention ([[Sampling.hashBucket]]): ~1/10
+    * of the pair graph is "today's arrivals", the rest is yesterday's
+    * persisted snapshot. Edge-keyed (not node-keyed) so a delta edge can
+    * land anywhere: inside one component, bridging two, or introducing
+    * brand-new nodes — every shape the incremental path must handle. */
+  private[graft] def isDeltaPair(c1: Column, c2: Column): Column =
+    Sampling.hashBucket(concat_ws("|", c1.cast("string"), c2.cast("string")), 10) === 0
+
+  /** Incremental maintenance of a component label map — the
+    * `agg_incremental` discipline applied to the three label-propagation
+    * index builds (near-dup/graph/campaign/media cluster labels), which
+    * dominate the warm-build ledger: given YESTERDAY'S labels (node, lbl)
+    * over the base edge set and TODAY'S delta edges, produce the label
+    * map of base ∪ delta without relabeling the whole graph.
+    *
+    * Method: contract each delta edge to its endpoints' base labels (a
+    * node with no base label — a brand-new node — is its own label);
+    * drop edges contracted to a self-loop (both endpoints already in one
+    * component: nothing to do); run the SAME min-label propagation, but
+    * over the CONTRACTED graph, whose nodes are touched component labels
+    * and new nodes — bounded by 2·|delta|, never the corpus. Compose:
+    * base nodes whose label was merged take the merged label, untouched
+    * nodes keep theirs, new nodes take their contracted-graph label.
+    *
+    * Equivalence to the full relabel is structural — a base label IS the
+    * min node of its component, so the min over a merged group of
+    * {component labels ∪ new node ids} is the min over the merged node
+    * set — and is pinned two ways: PropertiesSpec (random graphs +
+    * adversarial splits vs [[componentLabels]] on the union) and the
+    * driver oracle (the consuming queries' DuckDB twins recompute
+    * components from scratch over ALL edges each round).
+    *
+    * 100 TB shape: the nightly cost is |delta| joins against the
+    * persisted label map plus a propagation over the contracted graph
+    * (rounds ≈ log₂ of the MERGE-group diameter, typically 1-2) — not a
+    * full multi-round shuffle of the corpus-sized pair graph. */
+  private[graft] def componentLabelsIncremental(
+      baseLbl: DataFrame, deltaPairs: DataFrame): DataFrame = {
+    val Seq(c1, c2) = deltaPairs.columns.toSeq.map(col)
+    val de = deltaPairs.select(c1.as("a"), c2.as("b"))
+    // contract endpoints to their base labels; new nodes label themselves
+    val contracted = de
+      .join(baseLbl.select(col("node").as("a"), col("lbl").as("la")), Seq("a"), "left")
+      .join(baseLbl.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("id1"),
+        coalesce(col("lb"), col("b")).as("id2"))
+      .filter(col("id1") =!= col("id2"))
+    // min-label propagation over the contracted graph only — the touched
+    // components and new nodes, never the full node set
+    val merged = componentLabels(contracted)
+    val relabeled = baseLbl
+      .join(merged.select(col("node").as("lbl"), col("lbl").as("mergedLbl")), Seq("lbl"), "left")
+      .select(col("node"), coalesce(col("mergedLbl"), col("lbl")).as("lbl"))
+    // nodes incident only to delta edges — absent from the base map
+    val newNodes = de.select(col("a").as("node"))
+      .unionByName(de.select(col("b").as("node"))).distinct()
+      .join(baseLbl.select(col("node")), Seq("node"), "left_anti")
+    // a new node is always in the contracted graph (its delta edge can
+    // only self-loop if the pair was a self-pair, which generators never
+    // emit) — the coalesce is generic-input safety, not a reachable path
+    val newLabeled = newNodes.join(merged, Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+    relabeled.unionByName(newLabeled)
+  }
+
   /** SimHash banding: 4 bands × 15 bits over the 60-bit fingerprint; the
     * Hamming radius 3 < number of bands, so banded candidate generation is
     * exact by pigeonhole, not probabilistic. */

@@ -161,6 +161,13 @@ object Relational {
         .orderBy(col("c_custkey"))),
 
     // top-3 line items per supplier — single shuffle on the partition key.
+    // DELIBERATE exact baseline: the sort-window formulation is n log n
+    // map-side sort (measured 13-15× at 10× data, BENCH_sf1.json); it
+    // ships to PRICE the exact alternative. The scale path is
+    // `window_topk_heap` (TopKPerKeyExec bounded heap, 4.3× faster at
+    // 10×) — the pairing is machine-checked in PlanShapeSpec
+    // ("deliberate exact baselines"), so neither side can be silently
+    // promoted or dropped.
     "window_topk" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("l_suppkey"))

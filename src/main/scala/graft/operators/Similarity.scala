@@ -105,6 +105,12 @@ object Similarity {
     // restriction, so both engines agree exactly. The pre-round-2
     // brute-force crossJoin formulation is gone: at 100 TB the bucketed
     // path must BE the path, with brute force at most a per-bucket step.
+    // DELIBERATE exact baseline: all n queries × probed cells is n^1.5
+    // by construction — it ships to PRICE the exhaustive answer against
+    // the serving paths (`sim_ivf_probe`, `sim_lsh_topk`) and to feed
+    // the fixed-sample recall gates. The pairing is machine-checked in
+    // PlanShapeSpec ("deliberate exact baselines"): the sublinear twin
+    // must stay shipped and faster at the measured 10× point.
     "sim_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))

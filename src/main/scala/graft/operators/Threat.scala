@@ -61,9 +61,11 @@ object Threat {
     * recursive-CTE closure materializes O(|component|²) reach pairs —
     * the distributed label loop itself is linear per round and needs no
     * such bound). */
-  private[graft] def campaignLabels(s: SparkSession, d: String): DataFrame =
-    graft.Memo("ioc_campaign_labels", s, d) {
-      val pairs = feed(s, d)
+  /** The sampled co-sighting pair graph — memoized on its own: both the
+    * base snapshot build and the incremental delta fold read it. */
+  private def campaignPairs(s: SparkSession, d: String): DataFrame =
+    graft.Memo("ioc_campaign_pairs", s, d) {
+      feed(s, d)
         .filter(substring(md5(concat(col("platform"), lit("|"), col("id"))), 1, 1) === "0")
         .select(col("platform"), col("id"), col("ioc")).distinct()
         .groupBy(col("platform"), col("id"))
@@ -73,10 +75,27 @@ object Threat {
             "transform(slice(xs, i + 2, size(xs)), y -> struct(x AS a, y AS b))))"
         )).as("p"))
         .select(col("p.a"), col("p.b")).distinct()
-      Dedup.componentLabels(pairs)
-        .select(col("node").as("ioc"), col("lbl").as("campaign_id"))
         .localCheckpoint()
     }
+
+  /** Yesterday's snapshot: full propagation over the ~9/10 base split. */
+  private[operators] def campaignLabelsBase(s: SparkSession, d: String): DataFrame =
+    graft.Memo("ioc_campaign_labels_base", s, d)(
+      Dedup.componentLabels(campaignPairs(s, d)
+        .filter(!Dedup.isDeltaPair(col("a"), col("b")))))
+
+  /** Final labels, built INCREMENTALLY like [[Graph.ccLabels]]: delta
+    * co-sightings fold into the base snapshot via the contracted-graph
+    * propagation; the campaign queries' full-recompute oracles re-prove
+    * incremental ≡ full relabel every round (string nodes here — the
+    * generic machinery is node-type-agnostic). */
+  private[graft] def campaignLabels(s: SparkSession, d: String): DataFrame =
+    graft.Memo("ioc_campaign_labels", s, d)(
+      Dedup.componentLabelsIncremental(
+        campaignLabelsBase(s, d),
+        campaignPairs(s, d).filter(Dedup.isDeltaPair(col("a"), col("b"))))
+        .select(col("node").as("ioc"), col("lbl").as("campaign_id"))
+        .localCheckpoint())
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

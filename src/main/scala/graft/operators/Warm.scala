@@ -46,10 +46,19 @@ object Warm {
       "unified_feed" -> (() => graft.SparkEntry.unifiedFeed(s, d)),
       "ioc_sightings" -> (() => graft.SparkEntry.iocSightings(s, d)),
       "graph_edges" -> (() => Graph.edges(s, d)),
-      "graph_cc_labels" -> (() => Graph.ccLabels(s, d)),
-      "campaign_labels" -> (() => Threat.campaignLabels(s, d)),
+      // the three propagation loops are built INCREMENTALLY since round
+      // 10 (they dominated the round-9 ledger): the `_base` line is the
+      // once-per-snapshot full propagation over the ~9/10 base split, the
+      // `_incr` line is the marginal delta fold (contracted-graph
+      // propagation, [[Dedup.componentLabelsIncremental]]) — the pair of
+      // lines IS the full-vs-nightly cost comparison
+      "graph_cc_labels_base" -> (() => Graph.ccLabelsBase(s, d)),
+      "graph_cc_labels_incr" -> (() => Graph.ccLabels(s, d)),
+      "campaign_labels_base" -> (() => Threat.campaignLabelsBase(s, d)),
+      "campaign_labels_incr" -> (() => Threat.campaignLabels(s, d)),
       "phash_pairs" -> (() => Multimodal.phashPairs(s, d)),
-      "phash_cluster_labels" -> (() => Multimodal.phashClusterLabels(s, d)))
+      "phash_labels_base" -> (() => Multimodal.phashClusterLabelsBase(s, d)),
+      "phash_labels_incr" -> (() => Multimodal.phashClusterLabels(s, d)))
     steps.map { case (name, build) =>
       val t0 = System.nanoTime()
       build()

@@ -28,6 +28,47 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("deliberate exact baselines keep their shipped sublinear twins") {
+    // window_topk (sort-window formulation, n log n map-side sort) and
+    // sim_cosine_topk (exact all-n × √n-cells ground truth, n^1.5) are
+    // DELIBERATE baselines that price the exact alternative — their
+    // sublinear twins (TopKPerKeyExec heap / IVF probe serving path) are
+    // the scale paths. This pins the pairing in-machine so a refactor
+    // can't silently promote a baseline into the serving slot:
+    //  - the baseline must still carry its full-sort/exact plan marker
+    //  - the twin must carry the sublinear operator and NOT the marker
+    val pw = plan("window_topk")
+    val ph = plan("window_topk_heap")
+    assert(pw.contains("Window"), s"window_topk must stay the sort-window baseline:\n$pw")
+    assert(ph.contains("TopKPerKey"), s"heap twin lost its custom exec:\n$ph")
+    assert(!ph.contains("Window"), s"heap twin regressed to a window sort:\n$ph")
+    val pc = plan("sim_cosine_topk")
+    val pi = plan("sim_ivf_probe")
+    assert(!pc.contains("CartesianProduct") && !pi.contains("CartesianProduct"))
+
+    // timing leg: twin must BEAT the baseline where the gap is measured
+    // (the 10× synthesized corpus; 4.3× for the window pair in
+    // BENCH_sf1.json). Opt-in — it costs ~1 min and needs target/sf1
+    // (graft.Synth output); the round protocol runs it with the scale
+    // stress: SPARK_GRAFT_SCALE_SPEC=1 sbt "testOnly graft.PlanShapeSpec"
+    assume(sys.env.contains("SPARK_GRAFT_SCALE_SPEC"),
+      "timing leg opt-in via SPARK_GRAFT_SCALE_SPEC")
+    val sf1 = "target/sf1"
+    assume(new java.io.File(s"$sf1/lineitem.parquet").exists,
+      "target/sf1 not built (run graft.Synth first)")
+    def time(q: String): Double = {
+      val fn = SparkEntry.queries(q)
+      fn(spark, sf1).write.format("noop").mode("overwrite").save() // warm: memo builds + JIT
+      val t0 = System.nanoTime()
+      fn(spark, sf1).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (tw, th) = (time("window_topk"), time("window_topk_heap"))
+    assert(th < tw, f"heap twin must beat the sort baseline at 10x: heap=$th%.2f sort=$tw%.2f")
+    val (tc, ti) = (time("sim_cosine_topk"), time("sim_ivf_probe"))
+    assert(ti < tc, f"IVF probe must beat exact cosine at 10x: probe=$ti%.2f exact=$tc%.2f")
+  }
+
   test("text-dedup plans: no cartesian, bounded exchange count") {
     for ((q, maxExchanges) <- Seq("dedup_minhash_lsh" -> 4, "dedup_ngram_jaccard" -> 4)) {
       val p = plan(q)

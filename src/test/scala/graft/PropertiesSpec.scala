@@ -198,6 +198,57 @@ class PropertiesSpec extends AnyFunSuite {
       s"path not fully labeled to min: ${labels.toSeq.sorted.take(5)}...")
   }
 
+  test("property: incremental label maintenance ≡ full relabel on adversarial splits") {
+    // Every delta shape the contracted-graph propagation must handle:
+    //  - a delta edge INSIDE one base component (self-loop after
+    //    contraction: no-op)
+    //  - a BRIDGE merging two base components (labels must unify to the
+    //    smaller component's min)
+    //  - a delta-only chain of BRAND-NEW nodes (no base label at all)
+    //  - a new node with an id SMALLER than the component min it joins
+    //    (the merged label must become the new node)
+    //  - a chain of bridges merging THREE components transitively in one
+    //    delta batch (needs propagation on the contracted graph, not one
+    //    join)
+    // plus ScalaCheck random graphs with a random edge split.
+    val D = graft.operators.Dedup
+    def full(pairs: Seq[(Long, Long)]) =
+      D.componentLabels(pairs.toDF("id1", "id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def incr(base: Seq[(Long, Long)], delta: Seq[(Long, Long)]) =
+      D.componentLabelsIncremental(
+          D.componentLabels(base.toDF("id1", "id2")), delta.toDF("id1", "id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // hand-built: components {10,11,12}, {20,21}, {30,31}, {40,41}
+    val base = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (40L, 41L))
+    val delta = Seq(
+      (10L, 12L),  // internal: contraction self-loop
+      (12L, 20L),  // bridge 10s↔20s
+      (21L, 30L),  // chain: merges 30s into the same group transitively
+      (100L, 101L), (101L, 102L), // brand-new chain
+      (5L, 40L))   // new node BELOW the component min it joins
+    val got = incr(base, delta)
+    assert(got == full(base ++ delta),
+      s"hand-built divergence: $got vs ${full(base ++ delta)}")
+    assert(got(30L) == 10L && got(21L) == 10L, s"transitive merge broken: $got")
+    assert(got(41L) == 5L && got(5L) == 5L, s"below-min new node broken: $got")
+    assert(got(102L) == 100L, s"new-only chain broken: $got")
+
+    // randomized: 40-node random graphs, random ~1/4 delta split
+    val gen = Gen.listOfN(50,
+      for { a <- Gen.choose(0L, 39L); k <- Gen.choose(0L, 38L) } yield {
+        val b = (a + 1 + k) % 40
+        (math.min(a, b), math.max(a, b))
+      })
+    (1 to 3).foreach { seed =>
+      val edges = gen.pureApply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed.toLong)).distinct
+      val (d2, b2) = edges.partition { case (a, b) => (a * 31 + b) % 4 == 0 }
+      assert(incr(b2, d2) == full(edges), s"random seed=$seed divergence")
+    }
+  }
+
   test("property: degree-oriented triangle count ≡ brute force on hub + cliques") {
     // Adversarial shape for orientation bugs: a hub joined to everything
     // (a naive wedge join would blow up exactly here, and a wrong

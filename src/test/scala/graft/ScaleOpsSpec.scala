@@ -409,6 +409,98 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(streamed._2.contains(1000L), s"tv must be the late-arriving min view: $streamed")
   }
 
+  test("streaming state stays keys-bounded (not events-bounded) at 1M-event volume") {
+    // The fixture-sized bound specs prove the SHAPE (rows = keys × state
+    // vars); this replays the synthesized 10× corpus' ~1M events so the
+    // bound is demonstrated at volume: funnel state must be ONE row per
+    // user and running-stats TWO (2 ValueStates), however many events
+    // stream through — plus full stream/batch funnel parity at volume.
+    // Opt-in with the scale stress (needs target/sf1, costs minutes):
+    //   SPARK_GRAFT_SCALE_SPEC=1 sbt "testOnly graft.ScaleOpsSpec"
+    assume(sys.env.contains("SPARK_GRAFT_SCALE_SPEC"),
+      "volume leg opt-in via SPARK_GRAFT_SCALE_SPEC")
+    val sf1 = "target/sf1"
+    assume(new java.io.File(s"$sf1/events.parquet").exists,
+      "target/sf1 not built (run graft.Synth first)")
+    implicit val sq = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the ordered log ACROSS batches (the premise: a stream cannot
+      // rewind history it already consumed) — WITHIN each batch the
+      // shuffle delivers arbitrary per-key order, which the processor's
+      // order-independent fold must absorb
+      val ev = graft.sources.Tables.events(spark, sf1)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), expr("unix_micros(ts)"), col("event_type"))
+        .as[(Long, Long, String)].collect().sortBy(r => (r._2, r._3))
+      val users = ev.map(_._1).distinct.length.toLong
+      assert(ev.length > 500000, s"expected ~1M-scale replay, got ${ev.length}")
+
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+      val out = mem.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.FunnelProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "tv", "tc", "tp", "stage")
+      val q = out.writeStream.format("memory").queryName("funnel_1m")
+        .outputMode("update").start()
+      try {
+        ev.grouped(ev.length / 4 + 1).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+        }
+        val stateRows = q.recentProgress.flatMap(_.stateOperators)
+          .map(_.numRowsTotal).lastOption
+        assert(stateRows.contains(users),
+          s"funnel state must stay one row per user ($users) at 1M events, got $stateRows")
+      } finally q.stop()
+      // stream/batch parity at volume: per-user final state (max stage;
+      // same-stage emissions are identical rows) == the batch fold
+      val streamedFinal = spark.table("funnel_1m")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("stage"), col("tv"), col("tc"), col("tp"))).as("f"))
+        .select(col("user_id"), col("f.tv").as("tv"), col("f.tc").as("tc"),
+          col("f.tp").as("tp"), col("f.stage").as("stage"))
+      val batch = graft.operators.Events.funnelFoldForTest(
+          graft.sources.Tables.events(spark, sf1))
+        .select(col("user_id"), expr("unix_micros(t_view)").as("tv"),
+          expr("unix_micros(t_click)").as("tc"),
+          expr("unix_micros(t_purchase)").as("tp"), col("stage"))
+      assert(streamedFinal.except(batch).count() == 0 &&
+        batch.except(streamedFinal).count() == 0,
+        "stream/batch funnel divergence at 1M-event volume")
+
+      // running stats: 2 ValueStates per key → exactly 2 rows per user
+      val evAll = graft.sources.Tables.events(spark, sf1)
+        .select(col("user_id"), col("value")).as[(Long, Double)].collect()
+      val usersAll = evAll.map(_._1).distinct.length.toLong
+      val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+      val out2 = mem2.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.RunningStatsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "total", "max_value")
+      val q2 = out2.writeStream.format("memory").queryName("rstats_1m")
+        .outputMode("update").start()
+      try {
+        evAll.grouped(evAll.length / 2 + 1).foreach { chunk =>
+          mem2.addData(chunk.toIndexedSeq); q2.processAllAvailable()
+        }
+        val stateRows2 = q2.recentProgress.flatMap(_.stateOperators)
+          .map(_.numRowsTotal).lastOption
+        assert(stateRows2.contains(2 * usersAll),
+          s"running-stats state must be 2 rows per user (${2 * usersAll}), got $stateRows2")
+      } finally q2.stop()
+    } finally prevProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
+
   test("near-dedup stream state is bounded by the watermark horizon, not stream length") {
     implicit val sq = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
