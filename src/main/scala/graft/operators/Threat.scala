@@ -220,29 +220,56 @@ object Threat {
   private def allowValues: String =
     allowHosts.map(h => s"('$h')").mkString(", ")
 
-  /** Recursive-CTE connected components over the co-sighting pairs —
-    * mirrors [[Dedup.componentLabels]] the way dedup_clusters' oracle
-    * mirrors the MinHash component loop. */
-  private def campaignCtes: String =
-    """lp AS (
-      |  SELECT DISTINCT platform, id, ioc FROM u
-      |  WHERE substr(md5(platform || '|' || id), 1, 1) = '0'),
-      |pairs AS (
-      |  SELECT a.ioc AS src, b.ioc AS dst
-      |  FROM lp a JOIN lp b
-      |    ON a.platform = b.platform AND a.id = b.id AND a.ioc < b.ioc
-      |  GROUP BY 1, 2),
-      |cedges AS (
-      |  SELECT src, dst FROM pairs
-      |  UNION ALL
-      |  SELECT dst, src FROM pairs),
-      |reach(node, lbl) AS (
-      |  SELECT DISTINCT src, src FROM cedges
-      |  UNION
-      |  SELECT e.src, r.lbl FROM cedges e JOIN reach r ON r.node = e.dst),
-      |clabels AS (
-      |  SELECT node AS ioc, MIN(lbl) AS campaign_id
-      |  FROM reach GROUP BY node)""".stripMargin
+  /** Connected components over the co-sighting pairs as UNROLLED
+    * min-label propagation with pointer-jumping — mirrors
+    * [[Dedup.componentLabels]] round-for-round (the way graph_pagerank's
+    * oracle unrolls its power iterations) instead of the recursive-CTE
+    * transitive closure the first version used. The closure (`reach`)
+    * materializes Σ component² (node, ancestor) pairs: at 10× the shared
+    * IP-hub components grow enough that DuckDB spilled >60 GB of temp and
+    * died — a quadratic ORACLE pricing a linear engine. Each unrolled
+    * round here is one |E| join (propagate: min over neighbors) plus one
+    * |V| self-join (shortcut: l(l(node))), so labels travel 2^k hops in k
+    * rounds; [[CampaignOracleRounds]] rounds converge for any component
+    * diameter ≤ 2^rounds, and a non-converged oracle can only FAIL the
+    * hash compare, never silently pass. The round CTEs are declared
+    * `AS MATERIALIZED`: DuckDB inlines plain CTEs, and since each round
+    * references the previous one twice, inlining would expand l6 into
+    * 2^6 copies of the base scans (observed as an fd-exhaustion error
+    * before runtime even mattered). */
+  private val CampaignOracleRounds = 6
+
+  private def campaignCtes: String = {
+    val rounds = (1 to CampaignOracleRounds).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT l.node, LEAST(l.lbl, COALESCE(MIN(m.lbl), l.lbl)) AS lbl
+         |  FROM l${k - 1} l
+         |  LEFT JOIN cedges e ON e.src = l.node
+         |  LEFT JOIN l${k - 1} m ON m.node = e.dst
+         |  GROUP BY l.node, l.lbl),
+         |l$k AS MATERIALIZED (
+         |  SELECT p.node, LEAST(p.lbl, COALESCE(q.lbl, p.lbl)) AS lbl
+         |  FROM p$k p LEFT JOIN p$k q ON q.node = p.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""lp AS (
+       |  SELECT DISTINCT platform, id, ioc FROM u
+       |  WHERE substr(md5(platform || '|' || id), 1, 1) = '0'),
+       |pairs AS (
+       |  SELECT a.ioc AS src, b.ioc AS dst
+       |  FROM lp a JOIN lp b
+       |    ON a.platform = b.platform AND a.id = b.id AND a.ioc < b.ioc
+       |  GROUP BY 1, 2),
+       |cedges AS MATERIALIZED (
+       |  SELECT src, dst FROM pairs
+       |  UNION ALL
+       |  SELECT dst, src FROM pairs),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS lbl FROM cedges),
+       |$rounds,
+       |clabels AS (
+       |  SELECT node AS ioc, lbl AS campaign_id
+       |  FROM l$CampaignOracleRounds)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "ioc_asn_enrich" ->
@@ -262,10 +289,10 @@ object Threat {
           |GROUP BY asn
           |ORDER BY asn""".stripMargin),
     "ioc_campaigns" ->
-      (s"WITH RECURSIVE $unifiedCtes,\n$campaignCtes\n" +
+      (s"WITH $unifiedCtes,\n$campaignCtes\n" +
         "SELECT ioc, campaign_id FROM clabels\nORDER BY ioc"),
     "ioc_campaign_stats" ->
-      (s"WITH RECURSIVE $unifiedCtes,\n$campaignCtes,\n" +
+      (s"WITH $unifiedCtes,\n$campaignCtes,\n" +
         """sizes AS (
           |  SELECT campaign_id, COUNT(*) AS n_iocs FROM clabels GROUP BY 1)
           |SELECT n_iocs, COUNT(*) AS n_campaigns

@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run graft.Verify output
 against the DuckDB oracle (oracle_sql.json) over the same parquet tables.
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+Optional query names restrict the compare to that subset — for fast
+single-oracle iteration and for resuming an interrupted full pass.
 (Developer tooling only — mirrors what the driver does per round.)"""
 import sys, json, glob, os
 import duckdb
@@ -19,7 +21,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
     return df.reset_index(drop=True)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -29,6 +31,11 @@ def main(sf_dir, out_dir):
         elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        missing = [q for q in only if q not in oracle]
+        if missing:
+            print(f"FAIL unknown queries: {missing}"); return 1
+        oracle = {q: oracle[q] for q in only}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         spark_path = f"{out_dir}/{name}"
@@ -63,4 +70,4 @@ def main(sf_dir, out_dir):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))
