@@ -143,8 +143,21 @@ object Synth {
 
     copy("region")
     copy("nation")
-    replicate("customer")((df, r) => df.withColumn("c_custkey", col("c_custkey") + r * uCust))
-    replicate("supplier")((df, r) => df.withColumn("s_suppkey", col("s_suppkey") + r * uSupp))
+    // Entity names are regenerated from the offset key ('Supplier#' ||
+    // 9-digit key — verified to hold for 100% of base rows, so replica 0
+    // stays byte-identical). Keeping the base name would duplicate it
+    // across replicas and silently break the name↔key bijection real
+    // data guarantees: q21 groups by s_name (10 merged suppliers = 10×
+    // numwait) and q20 orders by s_name alone (ties → nondeterministic
+    // row order) — both surfaced as sf1 oracle mismatches.
+    def entityName(prefix: String, key: Column): Column =
+      concat(lit(prefix), lpad(key.cast("string"), 9, "0"))
+    replicate("customer")((df, r) => df
+      .withColumn("c_custkey", col("c_custkey") + r * uCust)
+      .withColumn("c_name", entityName("Customer#", col("c_custkey"))))
+    replicate("supplier")((df, r) => df
+      .withColumn("s_suppkey", col("s_suppkey") + r * uSupp)
+      .withColumn("s_name", entityName("Supplier#", col("s_suppkey"))))
     replicate("part")((df, r) => df.withColumn("p_partkey", col("p_partkey") + r * uPart))
     replicate("orders")((df, r) => df
       .withColumn("o_orderkey", col("o_orderkey") + r * uOrd)

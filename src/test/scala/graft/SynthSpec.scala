@@ -51,6 +51,22 @@ class SynthSpec extends AnyFunSuite {
       col("l_suppkey") === col("s_suppkey"), "left_anti").count() == 0)
   }
 
+  test("entity names stay bijective with their keys (and replica 0 keeps base names)") {
+    // Real TPC-H data guarantees s_name/c_name are the zero-padded key;
+    // keeping the BASE name across replicas duplicated it 10× and broke
+    // the sf1 oracle twice: q21 (GROUP BY s_name merged 10 suppliers →
+    // 10× numwait) and q20 (ORDER BY s_name alone stopped being total).
+    for ((tbl, key, name, prefix) <- Seq(
+        ("supplier", "s_suppkey", "s_name", "Supplier#"),
+        ("customer", "c_custkey", "c_name", "Customer#"))) {
+      val df = t(tbl)
+      assert(df.select(name).distinct().count() == df.count(), s"$name not unique")
+      val bad = df.filter(col(name) =!=
+        concat(lit(prefix), lpad(col(key).cast("string"), 9, "0"))).count()
+      assert(bad == 0, s"$bad rows where $name is not the zero-padded $key")
+    }
+  }
+
   test("per-key history sizes are preserved (replication grows keys, not rows per key)") {
     val baseHist = base("lineitem").groupBy("l_orderkey").count()
       .groupBy("count").agg(count(lit(1)).as("n")).collect()
