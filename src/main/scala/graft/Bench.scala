@@ -18,6 +18,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Partition count must follow DATA size, not core count: with the
+      // default (initialPartitionNum = shuffle.partitions = cpus) a
+      // 60M-row shuffle at the 100× stress corpus lands in 4 partitions
+      // of ~15M rows each and spills — the superlinear curve the sf10
+      // point exposed on basket_pairs/dedup_ngram_jaccard. Starting every
+      // shuffle at 192 and letting AQE COALESCE by bytes right-sizes both
+      // ends: small SFs coalesce back to a handful, big SFs keep enough
+      // partitions to stay in memory. This is the production posture for
+      // the 100 TB target (set initialPartitionNum ≫ cores, let AQE fit
+      // partitions to advisoryPartitionSizeInBytes).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", "192"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
       .config("spark.sql.adaptive.enabled", "true")

@@ -19,6 +19,11 @@ object Verify {
     val builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+      // data-sized shuffles via AQE coalesce (see Bench.scala: partition
+      // count follows bytes, not cores — the 100× stress corpus spills
+      // a cpus-partition shuffle)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", "192"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
       .config("spark.ui.enabled", "false")

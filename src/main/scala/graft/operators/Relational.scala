@@ -32,10 +32,15 @@ object Relational {
     * round-robin exchange first writes the finished output to shuffle
     * files ONCE; the range sampler and the sort both re-read those files.
     * Queries whose plan ends in an AGGREGATION don't need this — the agg
-    * result is small and its exchange sits directly under the sort. */
+    * result is small and its exchange sits directly under the sort.
+    *
+    * The exchange is a REBALANCE hint, not repartition(shuffle.partitions):
+    * an explicit count is exempt from AQE and pins the materialization to
+    * the core count at every data size (a 4-way bottleneck under the 100×
+    * stress corpus), while rebalance lets AQE size the round-robin by
+    * bytes — few partitions at bench SF, enough to stay in memory at 100×. */
   def sortedOnce(df: DataFrame, keys: Column*): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-      .orderBy(keys: _*)
+    df.hint("rebalance").orderBy(keys: _*)
 
   /** Equi-width histogram bucket count (`agg_histogram`) — resolution
     * knob; the output stays (groups × buckets) rows at any corpus size. */
