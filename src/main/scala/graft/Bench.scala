@@ -30,6 +30,13 @@ object Bench {
       // partitions to advisoryPartitionSizeInBytes).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", "192"))
+      // ... and coalesce DOWN to the 64 MB advisory, not up to max
+      // parallelism: with parallelismFirst (the default) AQE keeps tiny
+      // shuffles at minPartitionSize slivers of the 192, which taxed every
+      // sub-second query ~1.3-2x at sf0.1 (graph_pagerank's 3 iterative
+      // exchanges: 0.96 s -> 3.4 s). False = bytes decide at both ends;
+      // the small-SF overhead vanishes and the 100x right-sizing stays.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
       .config("spark.sql.adaptive.enabled", "true")
