@@ -28,6 +28,15 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * a prior revision sorted chunk-locally and was only correct when a
   * key's batch fit one chunk; this formulation needs no sort at all.
   *
+  * ACROSS batches the contract is weaker but not empty: a committed
+  * stage never moves down (the stream cannot revisit state), so end-state
+  * parity with the batch fold over the union holds iff no later batch
+  * delivers an event that would have resolved an already-committed stage
+  * earlier — e.g. a view below the committed tv. That is the per-key
+  * ordered-log premise (replay / Kafka per-key ordering) the suite's
+  * other streaming twins document; the parity spec cuts an ordered log
+  * at an arbitrary boundary and shuffles freely within each cut.
+  *
   * Memory bound: O(1) per key once the funnel has advanced past the
   * stage a row feeds (views never buffer; clicks buffer only while the
   * user has never viewed, and even then only clicks ≤ the running

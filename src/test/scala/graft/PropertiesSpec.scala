@@ -249,6 +249,67 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: ITERATED incremental folds ≡ full relabel (multi-day deltas)") {
+    // The nightly pipeline folds day k's delta into day k-1's
+    // INCREMENTALLY-built label map, not into a fresh full snapshot.
+    // That is sound only if the fold preserves the invariant its own
+    // equivalence proof leans on — a label IS the min node of its
+    // component (the min over merged {labels ∪ new ids} is then the min
+    // over the merged node set). This pins the iterated case: three
+    // waves chained onto each other's OUTPUT, each wave re-checked
+    // against a from-scratch relabel of everything seen so far, with the
+    // adversarial shapes spread ACROSS waves (a bridge in wave 2 merging
+    // wave-1 components; a below-min new node arriving LAST).
+    val D = graft.operators.Dedup
+    def full(pairs: Seq[(Long, Long)]) =
+      D.componentLabels(pairs.toDF("id1", "id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val base = Seq((10L, 11L), (20L, 21L), (30L, 31L))
+    val waves = Seq(
+      Seq((11L, 12L), (100L, 101L)),          // grow a component + new chain
+      Seq((12L, 20L), (101L, 30L)),           // bridges merging wave-1 results
+      Seq((5L, 21L), (21L, 31L), (100L, 102L))) // below-min node + a bridge
+                                              // chaining BOTH wave-2 merges
+                                              // through the contracted graph
+    var lbl = D.componentLabels(base.toDF("id1", "id2"))
+    var seen = base
+    waves.zipWithIndex.foreach { case (w, i) =>
+      lbl = D.componentLabelsIncremental(lbl, w.toDF("id1", "id2"))
+        .localCheckpoint() // sever lineage as the persisted nightly table would
+      seen = seen ++ w
+      val got = lbl.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == full(seen), s"wave ${i + 1} diverged: $got vs ${full(seen)}")
+    }
+    // after wave 3 the 5-node arrival owns the whole merged component
+    val end = lbl.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(end(31L) == 5L && end(12L) == 5L && end(100L) == 5L,
+      s"below-min arrival must relabel the merged component: $end")
+
+    // randomized: 3-way random wave split, chained, vs full each step
+    val gen = Gen.listOfN(60,
+      for { a <- Gen.choose(0L, 34L); k <- Gen.choose(0L, 33L) } yield {
+        val b = (a + 1 + k) % 35
+        (math.min(a, b), math.max(a, b))
+      })
+    (1 to 2).foreach { seed =>
+      val edges = gen.pureApply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed.toLong + 7)).distinct
+      val parts = edges.groupBy { case (a, b) => ((a * 31 + b) % 3).toInt }
+      val b0 = parts.getOrElse(0, Nil)
+      var l = D.componentLabels(b0.toDF("id1", "id2"))
+      var s2 = b0
+      Seq(1, 2).foreach { k =>
+        val w = parts.getOrElse(k, Nil)
+        if (w.nonEmpty) {
+          l = D.componentLabelsIncremental(l, w.toDF("id1", "id2")).localCheckpoint()
+          s2 = s2 ++ w
+          assert(l.collect().map(r => (r.getLong(0), r.getLong(1))).toMap == full(s2),
+            s"random seed=$seed wave=$k divergence")
+        }
+      }
+    }
+  }
+
   test("property: degree-oriented triangle count ≡ brute force on hub + cliques") {
     // Adversarial shape for orientation bugs: a hub joined to everything
     // (a naive wedge join would blow up exactly here, and a wrong
