@@ -10,9 +10,12 @@ import graft.sources.Tables
   * held-out split) done WITHOUT `rand()`: every decision is a pure
   * function of the row's id via md5, so task retries, AQE re-planning,
   * and re-runs produce byte-identical samples, and the DuckDB oracle
-  * reproduces them exactly. All per-row Column algebra — shuffle-free
-  * until the (optional) final aggregation; at scale the sample predicate
-  * rides the scan like any other filter.
+  * reproduces them exactly. The SAMPLERS (stratified/split/mixture/
+  * quality/temperature) are per-row Column algebra — shuffle-free until
+  * the (optional) final aggregation, the predicate riding the scan like
+  * any other filter; the ORDER/QUOTA operators (topk_quality, epoch,
+  * docs_shuffle) each pay exactly one keyed window shuffle, sharded as
+  * their per-query notes describe.
   */
 object Sampling {
 
