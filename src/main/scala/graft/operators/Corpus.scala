@@ -646,7 +646,7 @@ object Corpus {
         s"  len(regexp_extract_all(t, '$UrlPat', 0)) + len(regexp_extract_all(t, '$EmailPat', 0)) + len(regexp_extract_all(t, '$IpPat', 0)) AS n_pii\n" +
         "FROM synth\nORDER BY doc_id"),
     "corpus_report" ->
-      (s"WITH RECURSIVE ${Dedup.minhashPairCtes},\n${Dedup.clusterCtes},\n" +
+      (s"WITH ${Dedup.minhashPairCtes},\n${Dedup.clusterCtes},\n" +
         s"""q AS (
            |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks,
            |""".stripMargin +
@@ -662,7 +662,7 @@ object Corpus {
           |GROUP BY lang
           |ORDER BY lang""".stripMargin),
     "corpus_manifest" ->
-      (s"WITH RECURSIVE ${Dedup.minhashPairCtes},\n${Dedup.clusterCtes},\n" +
+      (s"WITH ${Dedup.minhashPairCtes},\n${Dedup.clusterCtes},\n" +
         s"""surv AS (
            |  SELECT d.doc_id, d.lang, d.source
            |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id

@@ -1088,11 +1088,11 @@ object Dedup {
          |WHERE bit_count(xor(a.sh, b.sh)) <= $MaxHamming
          |ORDER BY id1, id2""".stripMargin,
     "dedup_clusters" ->
-      (s"WITH RECURSIVE $minhashPairCtes,\n$clusterCtes\n" +
+      (s"WITH $minhashPairCtes,\n$clusterCtes\n" +
         """SELECT doc_id, cluster_id FROM labels
           |ORDER BY doc_id""".stripMargin),
     "dedup_keep" ->
-      (s"WITH RECURSIVE $minhashPairCtes,\n$clusterCtes\n" +
+      (s"WITH $minhashPairCtes,\n$clusterCtes\n" +
         """SELECT lang, COUNT(*) AS n_total,
           |  COUNT(CASE WHEN l.cluster_id IS NULL OR l.cluster_id = d.doc_id
           |             THEN 1 END) AS n_kept
@@ -1100,14 +1100,14 @@ object Dedup {
           |GROUP BY lang
           |ORDER BY lang""".stripMargin),
     "dedup_cluster_stats" ->
-      (s"WITH RECURSIVE $minhashPairCtes,\n$clusterCtes,\n" +
+      (s"WITH $minhashPairCtes,\n$clusterCtes,\n" +
         """sizes AS (
           |  SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1)
           |SELECT cluster_size, COUNT(*) AS n_clusters
           |FROM sizes GROUP BY cluster_size
           |ORDER BY cluster_size""".stripMargin),
     "dedup_soft_weights" ->
-      (s"WITH RECURSIVE $minhashPairCtes,\n$clusterCtes,\n" +
+      (s"WITH $minhashPairCtes,\n$clusterCtes,\n" +
         """sizes AS (
           |  SELECT cluster_id, COUNT(*) AS csize FROM labels GROUP BY 1)
           |SELECT d.doc_id,
@@ -1120,20 +1120,57 @@ object Dedup {
           |ORDER BY d.doc_id""".stripMargin)
   )
 
-  /** Recursive-CTE connected components over `mh_pairs` → `labels(doc_id,
-    * cluster_id)`, mirroring [[clusterLabels]]. */
+  /** Rounds for [[ccRoundsCtes]]: labels travel 2^k hops in k rounds, so
+    * 6 covers any component diameter ≤ 64 — and a non-converged oracle
+    * can only FAIL the hash compare, never silently pass (the engine side
+    * runs to convergence, so a short oracle produces different labels).
+    * `final` + literal = a compile-time constant, inlined at use sites:
+    * Dedup's own `oracle` val initializes BEFORE this declaration, and a
+    * plain val would read 0 there (object-init order), silently emitting
+    * a rounds-free chain — which is exactly what happened on first wiring. */
+  private[graft] final val CcOracleRounds = 6
+
+  /** Unrolled min-label propagation + pointer-jump rounds over a
+    * symmetric `(src, dst)` edge CTE — the LINEAR connected-components
+    * oracle shape shared by the dedup/graph/campaign/media cluster
+    * oracles. The recursive-CTE closure it replaces materializes
+    * Σ component² (node, ancestor) reach pairs; at the 10× corpus the
+    * campaign closure spilled >60 GB of DuckDB temp — a quadratic ORACLE
+    * pricing a linear engine. Each round is one |E| propagate join (min
+    * over neighbors) + one |V| shortcut self-join (l(l(node))). Round
+    * CTEs are `AS MATERIALIZED`: DuckDB inlines plain CTEs, and each
+    * round references the previous twice, so inlining would expand round
+    * k into 2^k copies of the base scans (observed as fd exhaustion).
+    * `prefix` keeps multi-family WITH chains collision-free; the chain
+    * ends in `<prefix>l<CcOracleRounds>(node, lbl)`. Composed by
+    * concatenation, never stripMargin-over-interpolation. */
+  private[graft] def ccRoundsCtes(edgesRel: String, prefix: String): String = {
+    val rounds = (1 to CcOracleRounds).map { k =>
+      s"${prefix}p$k AS MATERIALIZED (\n" +
+        s"  SELECT l.node, LEAST(l.lbl, COALESCE(MIN(m.lbl), l.lbl)) AS lbl\n" +
+        s"  FROM ${prefix}l${k - 1} l\n" +
+        s"  LEFT JOIN $edgesRel e ON e.src = l.node\n" +
+        s"  LEFT JOIN ${prefix}l${k - 1} m ON m.node = e.dst\n" +
+        s"  GROUP BY l.node, l.lbl),\n" +
+        s"${prefix}l$k AS MATERIALIZED (\n" +
+        s"  SELECT p.node, LEAST(p.lbl, COALESCE(q.lbl, p.lbl)) AS lbl\n" +
+        s"  FROM ${prefix}p$k p LEFT JOIN ${prefix}p$k q ON q.node = p.lbl)"
+    }.mkString(",\n")
+    s"${prefix}l0 AS MATERIALIZED (\n" +
+      s"  SELECT DISTINCT src AS node, src AS lbl FROM $edgesRel),\n" +
+      rounds
+  }
+
+  /** Connected components over `mh_pairs` → `labels(doc_id, cluster_id)`,
+    * mirroring [[clusterLabels]] — unrolled rounds ([[ccRoundsCtes]]),
+    * not a recursive closure. */
   private[graft] def clusterCtes: String =
-    """edges AS (
-      |  SELECT id1 AS src, id2 AS dst FROM mh_pairs
-      |  UNION ALL
-      |  SELECT id2, id1 FROM mh_pairs),
-      |reach(node, lbl) AS (
-      |  SELECT DISTINCT src, src FROM edges
-      |  UNION
-      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
-      |labels AS (
-      |  SELECT node AS doc_id, MIN(lbl) AS cluster_id
-      |  FROM reach GROUP BY node)""".stripMargin
+    "edges AS MATERIALIZED (\n" +
+      "  SELECT id1 AS src, id2 AS dst FROM mh_pairs\n" +
+      "  UNION ALL\n" +
+      "  SELECT id2, id1 FROM mh_pairs),\n" +
+      ccRoundsCtes("edges", "c") + ",\n" +
+      s"labels AS (\n  SELECT node AS doc_id, lbl AS cluster_id FROM cl$CcOracleRounds)"
 
   /** Shared DuckDB CTE chain ending in `mh_pairs(id1, id2)` — the MinHash
     * banded candidate pairs, mirrored by [[minhashPairs]]. */

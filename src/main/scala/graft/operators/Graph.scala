@@ -237,19 +237,18 @@ object Graph {
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // unrolled rounds, not a recursive closure — the closure's reach set
+    // is Σ component² pairs, the quadratic-oracle shape the campaign CC
+    // oracle already hit at 10× (Dedup.ccRoundsCtes scaladoc)
     "graph_cc" ->
-      (s"WITH RECURSIVE $edgeCte,\n" +
-        """dir AS (
+      (s"WITH $edgeCte,\n" +
+        """dir AS MATERIALIZED (
           |  SELECT a AS src, b AS dst FROM e
           |  UNION ALL
           |  SELECT b, a FROM e),
-          |reach(node, lbl) AS (
-          |  SELECT DISTINCT src, src FROM dir
-          |  UNION
-          |  SELECT d2.src, r.lbl FROM dir d2 JOIN reach r ON r.node = d2.dst)
-          |SELECT node, MIN(lbl) AS component_id
-          |FROM reach GROUP BY node
-          |ORDER BY node""".stripMargin),
+          |""".stripMargin +
+        Dedup.ccRoundsCtes("dir", "g") + "\n" +
+        s"SELECT node, lbl AS component_id\nFROM gl${Dedup.CcOracleRounds}\nORDER BY node"),
     "graph_degree" ->
       s"""WITH $edgeCte,
          |deg AS (

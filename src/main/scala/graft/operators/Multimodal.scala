@@ -357,18 +357,15 @@ object Multimodal {
       (s"WITH $phashPairCtes\n" +
         "SELECT id1, id2, hamming FROM pp_pairs\n" +
         "ORDER BY id1, id2"),
+    // unrolled rounds, not a recursive closure (Dedup.ccRoundsCtes)
     "binary_phash_clusters" ->
-      (s"WITH RECURSIVE $phashPairCtes,\n" +
-        "edges AS (\n" +
+      (s"WITH $phashPairCtes,\n" +
+        "edges AS MATERIALIZED (\n" +
         "  SELECT id1 AS src, id2 AS dst FROM pp_pairs\n" +
         "  UNION ALL\n" +
         "  SELECT id2, id1 FROM pp_pairs),\n" +
-        "reach(node, lbl) AS (\n" +
-        "  SELECT DISTINCT src, src FROM edges\n" +
-        "  UNION\n" +
-        "  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),\n" +
-        "labels AS (\n" +
-        "  SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)\n" +
+        graft.operators.Dedup.ccRoundsCtes("edges", "m") + ",\n" +
+        s"labels AS (\n  SELECT node, lbl AS cluster_id FROM ml${graft.operators.Dedup.CcOracleRounds})\n" +
         "SELECT cluster_id, COUNT(*) AS n_items FROM labels\n" +
         "GROUP BY 1\n" +
         "ORDER BY cluster_id"),

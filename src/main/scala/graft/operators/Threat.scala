@@ -221,55 +221,32 @@ object Threat {
     allowHosts.map(h => s"('$h')").mkString(", ")
 
   /** Connected components over the co-sighting pairs as UNROLLED
-    * min-label propagation with pointer-jumping — mirrors
-    * [[Dedup.componentLabels]] round-for-round (the way graph_pagerank's
-    * oracle unrolls its power iterations) instead of the recursive-CTE
-    * transitive closure the first version used. The closure (`reach`)
-    * materializes Σ component² (node, ancestor) pairs: at 10× the shared
-    * IP-hub components grow enough that DuckDB spilled >60 GB of temp and
-    * died — a quadratic ORACLE pricing a linear engine. Each unrolled
-    * round here is one |E| join (propagate: min over neighbors) plus one
-    * |V| self-join (shortcut: l(l(node))), so labels travel 2^k hops in k
-    * rounds; [[CampaignOracleRounds]] rounds converge for any component
-    * diameter ≤ 2^rounds, and a non-converged oracle can only FAIL the
-    * hash compare, never silently pass. The round CTEs are declared
-    * `AS MATERIALIZED`: DuckDB inlines plain CTEs, and since each round
-    * references the previous one twice, inlining would expand l6 into
-    * 2^6 copies of the base scans (observed as an fd-exhaustion error
-    * before runtime even mattered). */
-  private val CampaignOracleRounds = 6
-
-  private def campaignCtes: String = {
-    val rounds = (1 to CampaignOracleRounds).map { k =>
-      s"""p$k AS MATERIALIZED (
-         |  SELECT l.node, LEAST(l.lbl, COALESCE(MIN(m.lbl), l.lbl)) AS lbl
-         |  FROM l${k - 1} l
-         |  LEFT JOIN cedges e ON e.src = l.node
-         |  LEFT JOIN l${k - 1} m ON m.node = e.dst
-         |  GROUP BY l.node, l.lbl),
-         |l$k AS MATERIALIZED (
-         |  SELECT p.node, LEAST(p.lbl, COALESCE(q.lbl, p.lbl)) AS lbl
-         |  FROM p$k p LEFT JOIN p$k q ON q.node = p.lbl)""".stripMargin
-    }.mkString(",\n")
-    s"""lp AS (
-       |  SELECT DISTINCT platform, id, ioc FROM u
-       |  WHERE substr(md5(platform || '|' || id), 1, 1) = '0'),
-       |pairs AS (
-       |  SELECT a.ioc AS src, b.ioc AS dst
-       |  FROM lp a JOIN lp b
-       |    ON a.platform = b.platform AND a.id = b.id AND a.ioc < b.ioc
-       |  GROUP BY 1, 2),
-       |cedges AS MATERIALIZED (
-       |  SELECT src, dst FROM pairs
-       |  UNION ALL
-       |  SELECT dst, src FROM pairs),
-       |l0 AS MATERIALIZED (
-       |  SELECT DISTINCT src AS node, src AS lbl FROM cedges),
-       |$rounds,
-       |clabels AS (
-       |  SELECT node AS ioc, lbl AS campaign_id
-       |  FROM l$CampaignOracleRounds)""".stripMargin
-  }
+    * min-label propagation with pointer-jumping — the shared
+    * [[Dedup.ccRoundsCtes]] rounds (this oracle is where the pattern was
+    * born: the recursive-CTE transitive closure it replaced materializes
+    * Σ component² (node, ancestor) pairs, and at 10× the shared IP-hub
+    * components grew enough that DuckDB spilled >60 GB of temp and died —
+    * a quadratic ORACLE pricing a linear engine; full rationale on the
+    * helper's scaladoc). Empty prefix keeps the original l0/p1..l6 CTE
+    * names — no other family shares this WITH chain. */
+  private def campaignCtes: String =
+    """lp AS (
+      |  SELECT DISTINCT platform, id, ioc FROM u
+      |  WHERE substr(md5(platform || '|' || id), 1, 1) = '0'),
+      |pairs AS (
+      |  SELECT a.ioc AS src, b.ioc AS dst
+      |  FROM lp a JOIN lp b
+      |    ON a.platform = b.platform AND a.id = b.id AND a.ioc < b.ioc
+      |  GROUP BY 1, 2),
+      |cedges AS MATERIALIZED (
+      |  SELECT src, dst FROM pairs
+      |  UNION ALL
+      |  SELECT dst, src FROM pairs),
+      |""".stripMargin +
+      graft.operators.Dedup.ccRoundsCtes("cedges", "") + ",\n" +
+      "clabels AS (\n" +
+      "  SELECT node AS ioc, lbl AS campaign_id\n" +
+      s"  FROM l${graft.operators.Dedup.CcOracleRounds})"
 
   val oracle: Map[String, String] = Map(
     "ioc_asn_enrich" ->
