@@ -296,15 +296,20 @@ object Graph {
          |JOIN deg db ON db.u = e.b
          |LEFT JOIN cm ON cm.a = e.a AND cm.b = e.b
          |ORDER BY e.a, e.b""".stripMargin,
+    // adj/deg/r_i are MATERIALIZED for the same reason as the CC rounds
+    // (Dedup.ccRoundsCtes): DuckDB inlines plain CTEs, and the iteration
+    // chain re-expands the adjacency self-join per reference — ~8 copies
+    // of a 100M-row relation at the 100× corpus, observed as a >38 GB
+    // temp spill that exhausted the disk before the gate could answer.
     "graph_pagerank" ->
       (s"""WITH $edgeCte,
-          |adj AS (SELECT a AS src, b AS dst FROM e
+          |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
           |        UNION ALL SELECT b, a FROM e),
-          |deg AS (SELECT src, COUNT(*) AS outdeg FROM adj GROUP BY src),
+          |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM adj GROUP BY src),
           |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
           |""".stripMargin +
         (1 to 3).map { i =>
-          s"r$i AS (\n" +
+          s"r$i AS MATERIALIZED (\n" +
             s"  SELECT adj.dst AS node,\n" +
             s"    CAST(150000 + (850000 * SUM(r${i - 1}.r // deg.outdeg)) // 1000000 AS BIGINT) AS r\n" +
             s"  FROM adj JOIN r${i - 1} ON adj.src = r${i - 1}.node\n" +
