@@ -68,9 +68,14 @@ object Synth {
     * (SynthSpec pins r = MaxFactor-1 directly). Replicas stay pairwise
     * distinct via r in the phase term. */
   private[graft] def perturbEmbedding(embedding: Column, rep: Column): Column =
-    transform(embedding, (x, i) =>
-      (x * (lit(1.0) + lit(0.02) * (pmod(rep, lit(10)) + 1) * cos(i * 1.7 + rep)))
-        .cast("float"))
+    // replica 0 IS the base corpus, byte-identical — the multiplicative
+    // perturbation (amplitude 0.02 at r=0 via pmod(0,10)+1 = 1) would
+    // silently break that invariant for the embeddings table alone, and
+    // float round-trip through *(1+ε·cos) is not exactly identity
+    when(rep === 0, embedding).otherwise(
+      transform(embedding, (x, i) =>
+        (x * (lit(1.0) + lit(0.02) * (pmod(rep, lit(10)) + 1) * cos(i * 1.7 + rep)))
+          .cast("float")))
 
   /** Per-replica affine alphabet substitution; identity for replica 0. */
   private def rotateText(text: Column, rep: Column, factor: Int): Column =
@@ -150,8 +155,13 @@ object Synth {
     // data guarantees: q21 groups by s_name (10 merged suppliers = 10×
     // numwait) and q20 orders by s_name alone (ties → nondeterministic
     // row order) — both surfaced as sf1 oracle mismatches.
+    // printf-style %09d, NOT lpad: Spark's lpad TRUNCATES strings longer
+    // than the pad length, so an offset key ≥ 10^9 (bigger base × high
+    // factor) would silently collide names and break the exact name↔key
+    // bijection this regeneration exists to preserve (dbgen's %09d pads
+    // but never truncates).
     def entityName(prefix: String, key: Column): Column =
-      concat(lit(prefix), lpad(key.cast("string"), 9, "0"))
+      format_string(s"$prefix%09d", key)
     replicate("customer")((df, r) => df
       .withColumn("c_custkey", col("c_custkey") + r * uCust)
       .withColumn("c_name", entityName("Customer#", col("c_custkey"))))

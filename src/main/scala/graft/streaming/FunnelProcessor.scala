@@ -38,12 +38,18 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * at an arbitrary boundary and shuffles freely within each cut.
   *
   * Memory bound: O(1) per key once the funnel has advanced past the
-  * stage a row feeds (views never buffer; clicks buffer only while the
-  * user has never viewed, and even then only clicks ≤ the running
-  * min-view, since anything above it is summarized by one running min;
-  * purchases buffer only while the click stage is unresolved). The
-  * worst case — a cold key's clicks+purchases in one batch — is still
-  * strictly below the batch twin's collect_list of ALL events per key.
+  * stage a row feeds. Views never buffer. Clicks buffer only while the
+  * user has never viewed, only at-or-below the running min-view, and
+  * only strictly below cCand (a click ≥ cCand can never be the min
+  * qualifying click); purchases buffer only while the click stage is
+  * unresolved and only at-or-below cCand (anything above it qualifies
+  * for every possible tc ≤ cCand and is summarized by the single
+  * running min pHigh). Both buffers compact in place on doubling past
+  * 2^16 entries, so per-task memory is ≤ 2× the live candidates. The
+  * residual worst case — a key whose batch contains no qualifying
+  * click candidate at all — buffers that batch's clicks+purchases,
+  * still strictly below the batch twin's collect_list of ALL events
+  * per key.
   *
   * Input rows are (user_id, ts_micros, event_type); emission is the
   * current per-user automaton state each batch (Update mode), `None`
@@ -77,8 +83,27 @@ class FunnelProcessor
     var minView = Unset // min view ts in this batch (only needed while !tvKnown)
     var cCand = Unset   // min qualifying click: vs fixed tv, or provably > any final tv
     var pCand = Unset   // min qualifying purchase vs fixed tc
-    var clicks: ArrayBuffer[Long] = null    // clicks ≤ running minView — final tv may dip below them
-    var purchases: ArrayBuffer[Long] = null // all purchases while tc is unresolved
+    var pHigh = Unset   // min purchase > cCand: qualifies whatever tc resolves to (tc ≤ cCand)
+    var clicks: ArrayBuffer[Long] = null    // clicks ≤ running minView AND < cCand
+    var purchases: ArrayBuffer[Long] = null // purchases ≤ cCand while tc is unresolved
+
+    // Buffer bounds. A click ≥ cCand can never be the min qualifying
+    // click (cCand already qualifies and is no larger), so it is never
+    // appended — and because cCand only DECREASES during the scan, stale
+    // entries above it accrue; compaction re-filters in place whenever
+    // the buffer doubles past CompactAt (amortized O(batch), memory ≤
+    // 2× live candidates). Purchases symmetrically: once cCand is set,
+    // final tc ≤ cCand, so purchases > cCand are summarized by the one
+    // running min pHigh and only purchases ≤ cCand buffer; compaction
+    // folds entries that cCand has since dropped below into pHigh. The
+    // residual worst case — a key with NO qualifying click candidate
+    // (e.g. clicks all at-or-below every view seen so far) — still
+    // buffers that key's whole batch, but such rows can never resolve a
+    // stage either; that pathological shape is the documented cap here,
+    // strictly below the batch twin's collect_list of ALL events per key.
+    val CompactAt = 1 << 16
+    var clicksCap = CompactAt
+    var purchasesCap = CompactAt
 
     inputRows.foreach { case (_, ts, et) =>
       if (et == "view") {
@@ -90,17 +115,27 @@ class FunnelProcessor
             // final tv ≤ current minView < ts, so this click qualifies
             // whatever the final tv turns out to be — running min suffices
             cCand = minU(cCand, ts)
-          } else {
+          } else if (cCand == Unset || ts < cCand) {
             if (clicks == null) clicks = new ArrayBuffer[Long]
             clicks += ts
+            if (clicks.length >= clicksCap && cCand != Unset) {
+              clicks.filterInPlace(_ < cCand)
+              clicksCap = math.max(CompactAt, clicks.length * 2)
+            }
           }
         }
       } else if (et == "purchase") {
         if (tp == Unset) {
           if (tcKnown) { if (ts > tc) pCand = minU(pCand, ts) }
+          else if (cCand != Unset && ts > cCand) pHigh = minU(pHigh, ts)
           else {
             if (purchases == null) purchases = new ArrayBuffer[Long]
             purchases += ts
+            if (purchases.length >= purchasesCap && cCand != Unset) {
+              purchases.foreach(p => if (p > cCand) pHigh = minU(pHigh, p))
+              purchases.filterInPlace(_ <= cCand)
+              purchasesCap = math.max(CompactAt, purchases.length * 2)
+            }
           }
         }
       }
@@ -114,7 +149,7 @@ class FunnelProcessor
       tc = c
     }
     if (tp == Unset && !tcKnown && tc != Unset) {
-      var p = Unset
+      var p = pHigh // pHigh > cCand ≥ tc, so it always qualifies when set
       if (purchases != null) purchases.foreach(ts => if (ts > tc) p = minU(p, ts))
       tp = p
     } else if (tp == Unset && tcKnown) tp = pCand

@@ -90,6 +90,14 @@ class SynthSpec extends AnyFunSuite {
     assert(joined.filter(col("t1") === col("t0")).count() == 0,
       "replica 1 text must differ from base everywhere")
     assert(t("documents").filter(length(col("text")) =!= col("n_chars")).count() == 0)
+    // embeddings too: the perturbation must be gated OFF for replica 0
+    // (pmod(0,10)+1 = 1 would give amplitude 0.02, and float round-trip
+    // through *(1+ε·cos) is not identity) — replica-0 vectors byte-match
+    val nVec = base("embeddings").count()
+    val e0 = t("embeddings").filter(col("vec_id") < nVec)
+      .select("vec_id", "embedding")
+    assert(e0.except(base("embeddings").select("vec_id", "embedding")).count() == 0,
+      "replica 0 embeddings must be byte-identical to the base")
   }
 
   test("replica alphabets are distinct bijections for every factor up to MaxFactor") {

@@ -23,12 +23,33 @@ def main(sf_dir, out_dir, chunk=25):
             capture_output=True, text=True)
         sys.stdout.write(r.stdout)
         sys.stdout.flush()
+        seen = set()
         for line in r.stdout.splitlines():
             if line.startswith("OK "):
                 ok += 1
+                seen.add(line.split()[1].rstrip(":"))
             elif line.startswith("FAIL"):
                 bad += 1
-                failed.append(line.split()[1].rstrip(":"))
+                name = line.split()[1].rstrip(":")
+                failed.append(name)
+                seen.add(name)
+        # A chunk whose subprocess died mid-way (OOM-kill, crash — the very
+        # failure mode this tool mitigates) emits no FAIL lines for its
+        # unprocessed queries; counting only printed lines would leave
+        # bad == 0 and the gate would exit 0 — a false-green. Any query in
+        # the chunk with no verdict line, or a nonzero return code, is a
+        # failure.
+        missing = [n for n in part if n not in seen]
+        # rc=1 with zero missing is check.py's own "had FAILs" exit — those
+        # are already counted from their FAIL lines; only a died-mid-chunk
+        # process (missing verdicts) needs synthesizing here.
+        if missing:
+            sys.stdout.write(
+                f"!! chunk rc={r.returncode}: {r.stderr.strip()[-300:]}\n")
+            for n in missing:
+                sys.stdout.write(f"FAIL {n}: no verdict (chunk died)\n")
+                bad += 1
+                failed.append(n)
     print(f"== TOTAL {ok} ok, {bad} fail")
     if failed:
         print("failed:", " ".join(failed))
