@@ -22,21 +22,27 @@ object Bench {
       // default (initialPartitionNum = shuffle.partitions = cpus) a
       // 60M-row shuffle at the 100× stress corpus lands in 4 partitions
       // of ~15M rows each and spills — the superlinear curve the sf10
-      // point exposed on basket_pairs/dedup_ngram_jaccard. Starting every
-      // shuffle at 192 and letting AQE COALESCE by bytes right-sizes both
-      // ends: small SFs coalesce back to a handful, big SFs keep enough
-      // partitions to stay in memory. This is the production posture for
-      // the 100 TB target (set initialPartitionNum ≫ cores, let AQE fit
-      // partitions to advisoryPartitionSizeInBytes).
+      // point exposed on basket_pairs/dedup_ngram_jaccard. But a constant
+      // 192 (the r10 posture) taxed every sf0.1 ioc-family query ~2.2-2.6×
+      // (round-11 solo A/B — see [[Tuning]]); the count is now derived
+      // from the corpus bytes: cores at small SFs, ~520 at the 100×
+      // corpus. Production posture for the 100 TB target unchanged —
+      // initialPartitionNum sized to data, AQE fits partitions to
+      // advisoryPartitionSizeInBytes.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", "192"))
-      // ... and coalesce DOWN to the 64 MB advisory, not up to max
-      // parallelism: with parallelismFirst (the default) AQE keeps tiny
-      // shuffles at minPartitionSize slivers of the 192, which taxed every
-      // sub-second query ~1.3-2x at sf0.1 (graph_pagerank's 3 iterative
-      // exchanges: 0.96 s -> 3.4 s). False = bytes decide at both ends;
-      // the small-SF overhead vanishes and the 100x right-sizing stays.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        Tuning.initialShufflePartitions(sfDir, cpus.toInt).toString)
+      // parallelismFirst returned to Spark's default (true) in r11: the
+      // r10 "192-sliver" pathology it worked around was a symptom of the
+      // CONSTANT 192 initial (more slivers than data); with the data-sized
+      // initial above there is nothing to sliver at small SFs, and
+      // pf=false's 64 MB-advisory coalescing was measured OVER-merging the
+      // CPU-heavy shuffles at sf0.1 (basket_pairs 3.89 -> 2.55 s,
+      // dedup_ngram_jaccard 4.04 -> 2.69 s at pf=true, medians of 3 solo
+      // runs; rest of the family +/-10%). pf=true only ever ADDS
+      // partitions at scale, so the 100x spill fix is unaffected
+      // (re-validated on target/sf10 — see BASELINE.md r11).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
       .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import graft.sinks.{RestBatchSink, Transport}
+import graft.streaming.TweetStream
+
+/** Discard transport for throughput measurement: the sink still pays full
+  * row→JSON serialization, md5 `_key` derivation, and 1000-record chunk
+  * framing ([[RestBatchSink.write]]) — only the network write is replaced
+  * by a byte count, so the number measures the ENGINE's sustainable rate,
+  * not the test host's loopback HTTP stack. Top-level class (not a lambda)
+  * so executor tasks serialize it cleanly. */
+final class CountingTransport extends Transport {
+  def post(endpoint: String, payload: String): Unit = {
+    CountingTransport.bytes.addAndGet(payload.length.toLong)
+    CountingTransport.posts.incrementAndGet()
+  }
+}
+object CountingTransport {
+  // static on the executor side; local[*] shares the JVM so the driver can
+  // read them — under a real cluster the sink-side totals would come from
+  // accumulators, but the THROUGHPUT numbers below come from
+  // StreamingQueryProgress either way
+  val bytes = new java.util.concurrent.atomic.AtomicLong
+  val posts = new java.util.concurrent.atomic.AtomicLong
+}
+
+/** Streaming-throughput benchmark (driver-adjacent artifact, feeds the
+  * `stream_throughput` block of BENCH_sf1.json): sustained records/sec
+  * through the full streaming path —
+  *
+  *   ReplayJsonlSource (DSv2 micro-batch, admission-controlled)
+  *     → TweetPipeline.flatten/extract (the batch-identical IOC core)
+  *     → foreachBatch RestBatchSink.write(keyed = true)
+  *
+  * The admission-rate knob is `maxPerBatch` (ReadLimit.maxRows on the
+  * source — SPARK_GRAFT_STREAM_BATCH, default 50k): it is the ONLY
+  * backpressure control this source has, so the bench reports it next to
+  * the rate it produced. Records/sec is computed two ways and both are
+  * emitted: `rps_busy` divides by Σ triggerExecution (the engine's own
+  * per-batch wall clock — what a capacity planner multiplies by executor
+  * count), and `rps_wall` divides by last-batch-end minus first-batch-start
+  * (includes trigger scheduling gaps — what an operator actually observes).
+  *
+  * Exactly-once and state bounds are proven elsewhere (TweetStreamSpec,
+  * ScaleOpsSpec); this main measures only throughput, on the same 1M-record
+  * corpus scale as the state-bound leg.
+  *
+  * Usage: sbt "runMain graft.StreamBench [nRecords]"  (default 1,000,000)
+  */
+object StreamBench {
+
+  /** Deterministic raw-tweet corpus, one JSON object per line, written once
+    * and reused (~190 MB at 1M). Mix exercises every branch of the core:
+    * plain-IP c2 reports (70%), hashes (10%), defanged URLs (10%),
+    * retweets the pipeline must drop (5%), no-IOC chatter (5%); every 20th
+    * tweet carries the tracked hashtag + a pastebin link so the enrichment
+    * columns stay non-degenerate. */
+  private def corpus(path: java.nio.file.Path, n: Int): Unit = {
+    if (Files.exists(path)) {
+      var lines = 0L
+      val src = scala.io.Source.fromFile(path.toFile)
+      try lines = src.getLines().size.toLong finally src.close()
+      if (lines == n) return
+    }
+    val w = Files.newBufferedWriter(path, StandardCharsets.UTF_8)
+    try {
+      var i = 0
+      while (i < n) {
+        val k = i % 20
+        val body =
+          if (k < 14) s"c2 beacon at 10.${(i >> 16) & 255}.${(i >> 8) & 255}.${i & 255}"
+          else if (k < 16) f"dropped sample ${"%032x".format(i)}%s"
+          else if (k < 18) s"payload hxxp://evil-${i % 9973}.example/x${i % 97}"
+          else if (k == 18) "RT classic retweet, no ioc here"
+          else "quarterly threat landscape musings"
+        val rt = k == 18
+        val tags = if (k == 0) """[{"text":"infosec"}]""" else "[]"
+        val urls = if (k == 0)
+          s"""[{"expanded_url":"https://pastebin.com/raw/p${i % 4999}"}]"""
+          else "[]"
+        w.write(s"""{"created_at":"2024-02-02","id":$i,"text":"$body","retweeted":$rt,"user":{"screen_name":"u${i % 100000}"},"entities":{"hashtags":$tags,"urls":$urls}}""")
+        w.write("\n")
+        i += 1
+      }
+    } finally w.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(1000000)
+    val maxPerBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH", "50000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val file = Paths.get("target", s"stream_tweets_$n.jsonl")
+    Files.createDirectories(file.getParent)
+    corpus(file, n)
+
+    // session/codegen warm-up through the SAME plan shape so batch 0's
+    // one-time costs don't pollute the sustained-rate percentiles
+    val warmDf = spark.read.text(file.toString).limit(1000).toDF("value")
+    TweetStream.iocStream(warmDf).write.format("noop").mode("overwrite").save()
+
+    val ckpt = Files.createTempDirectory("streambench_ckpt").toString
+    val raw = spark.readStream
+      .format("graft.streaming.ReplayJsonlSource")
+      .option("path", file.toString)
+      .option("maxPerBatch", maxPerBatch)
+      .load()
+    val transport = new CountingTransport
+    val t0 = System.nanoTime()
+    val q = TweetStream.iocStream(raw).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        RestBatchSink.write(batch, "https://kv.example/batch_save", transport,
+          keyed = true)
+      }
+      .start()
+    q.awaitTermination()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    // recentProgress retains the last 100 entries; at 1M/50k = 20 batches
+    // everything is present. Guard anyway: if the knob is set low enough to
+    // overflow the buffer, fall back to totals over the retained window and
+    // SAY so rather than report a silently-partial percentile.
+    val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    val batches = prog.size
+    val rows = prog.map(_.numInputRows).sum
+    val execMs = prog.map(_.durationMs.get("triggerExecution").toLong)
+    val sorted = execMs.sorted
+    def pct(p: Double): Long =
+      if (sorted.isEmpty) 0L
+      else sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))
+    val busySec = execMs.sum / 1e3
+    // numInputRows counts SOURCE rows (raw lines, pre-filter), so the
+    // retained window saw everything iff the totals match n
+    val truncated = rows < n.toLong
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    spark.stop()
+    println(
+      s"""{"metric":"stream_throughput","records":$rows,"max_per_batch":$maxPerBatch,"batches":$batches,"rps_busy":${fmt(rows / busySec)},"rps_wall":${fmt(rows / wallSec)},"batch_ms_p50":${pct(0.5)},"batch_ms_p99":${pct(0.99)},"busy_sec":${fmt(busySec)},"wall_sec":${fmt(wallSec)},"sink_posts":${CountingTransport.posts.get()},"sink_bytes":${CountingTransport.bytes.get()},"window_truncated":$truncated}""")
+  }
+}

@@ -19,12 +19,13 @@ object Verify {
     val builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
-      // data-sized shuffles via AQE coalesce (see Bench.scala: partition
-      // count follows bytes, not cores — the 100× stress corpus spills
-      // a cpus-partition shuffle)
+      // data-sized shuffles via AQE coalesce (see [[Tuning]]: partition
+      // count follows corpus bytes, not cores — the 100× stress corpus
+      // spills a cpus-partition shuffle, a constant 192 taxes small SFs)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", "192"))
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        Tuning.initialShufflePartitions(sfDir, cpus.toInt).toString)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
       .config("spark.ui.enabled", "false")

@@ -1,0 +1,36 @@
+#!/bin/bash
+# Round-close recipe — run on the FINAL tree of a round, in order.
+# Exists because two evidence legs are env-gated and silently cancel in a
+# plain `sbt test` (the r10 verdict flagged that their round-over-round
+# evidence depended on the builder remembering to opt in). This script IS
+# the memory: it runs everything the round's artifacts claim.
+#
+# Usage: tools/roundclose.sh            (assumes target/sf1 built; builds it if absent)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== 1/6 unit specs (full suite)"
+sbt -batch test
+
+echo "== 2/6 synth corpus (10x) for the scale legs"
+[ -d target/sf1/lineitem.parquet ] || sbt -batch "runMain graft.Synth /root/testdata/sf0.1 target/sf1 10"
+
+echo "== 3/6 env-gated scale legs (1M-event streaming state bounds + twin-beats-baseline timings)"
+SPARK_GRAFT_SCALE_SPEC=1 sbt -batch "testOnly graft.ScaleOpsSpec graft.PlanShapeSpec"
+
+echo "== 4/6 correctness gate at sf0.01"
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+
+echo "== 5/6 streaming throughput (1M-record replay -> extraction -> keyed sink)"
+sbt -batch "runMain graft.StreamBench" 2>/dev/null | grep '"metric"' | tail -1 | tee /tmp/stream_throughput.json
+
+echo "== 6/6 bench triple (sf0.1) + stability band"
+for i in 1 2 3; do
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>/dev/null \
+    | grep '"metric"' | tail -1 > /tmp/roundclose_run$i.json
+  cp bench_last.json /tmp/roundclose_full$i.json
+done
+python3 tools/stability.py /tmp/roundclose_full1.json /tmp/roundclose_full2.json /tmp/roundclose_full3.json
+
+echo "== round-close complete; update COVERAGE.md/BASELINE.md from the artifacts above"
