@@ -34,14 +34,18 @@ import org.apache.spark.sql.functions._
   */
 object FaultInject {
 
-  /** Order-independent content hash + row count: sum of per-row xxhash64
-    * over every column, so task/partition order cannot affect it. */
-  private def digest(df: DataFrame): (Long, Long) = {
+  /** Order-independent content digest + row count: decimal(38) sum of
+    * per-row xxhash64 over every column (wide enough that 10^9 longs
+    * cannot overflow — ANSI mode aborts a plain long sum) plus the xor
+    * fold, so task/partition order cannot affect either. */
+  private def digest(df: DataFrame): (String, Long, Long) = {
     val cols = df.columns.map(col)
     val r = df.select(xxhash64(cols: _*).as("h"))
-      .agg(sum("h").as("s"), count(lit(1)).as("c"))
+      .agg(sum(col("h").cast("decimal(38,0)")).as("s"),
+        expr("bit_xor(h)").as("x"), count(lit(1)).as("c"))
       .collect()(0)
-    (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+    (if (r.isNullAt(0)) "0" else r.getDecimal(0).toPlainString,
+      if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2))
   }
 
   def main(args: Array[String]): Unit = {
@@ -53,8 +57,9 @@ object FaultInject {
       .master(master)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", "192"))
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        Tuning.initialShufflePartitions(sfDir, 16).toString)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -71,7 +76,7 @@ object FaultInject {
         sys.error(s"unknown query: $name"))
 
       val expected = digest(fn(spark, sfDir))
-      println(s"[fault] $name clean run: hash=${expected._1} rows=${expected._2}")
+      println(s"[fault] $name clean run: hash=${expected._1} rows=${expected._3}")
 
       // saboteur: wait until tasks are genuinely in flight, then SIGKILL
       // one executor JVM. Confirmation is two-sided: pkill must match a
@@ -113,10 +118,10 @@ object FaultInject {
         System.err.println(s"[fault] $name: kill NOT confirmed (${Option(killErr).getOrElse("timeout")}) — run is inconclusive")
         failures += 1
       } else if (got != expected) {
-        System.err.println(s"[fault] $name: MISMATCH after executor loss: got hash=${got._1} rows=${got._2}")
+        System.err.println(s"[fault] $name: MISMATCH after executor loss: got hash=${got._1} rows=${got._3}")
         failures += 1
       } else {
-        println(s"[fault] $name OK: executor SIGKILLed mid-query, result hash-matches clean run (hash=${got._1} rows=${got._2})")
+        println(s"[fault] $name OK: executor SIGKILLed mid-query, result hash-matches clean run (hash=${got._1} rows=${got._3})")
       }
       // let the worker finish relaunching the replacement executor before
       // the next query's clean run, so each round starts from full strength

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -60,7 +60,18 @@ private case class ReplayOffset(n: Long) extends Offset {
 }
 
 private class ReplayMicroBatchStream(path: String, maxPerBatch: Int)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow contract: without this interface Spark wraps the
+    * source and FIXES the run's end target at the first
+    * `latestOffset(start, limit)` result — i.e. exactly ONE rate-limited
+    * micro-batch, then termination (StreamBench caught it: 1M-line replay
+    * stopped after 50k rows). Implementing it tells Spark the source can
+    * pace itself to "everything available at query start" across multiple
+    * batches; our available-set is the static file, already captured by
+    * `totalLines`, so there is nothing to snapshot here. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   /** Total line count — ONE streaming pass on the driver; the lines
     * themselves are never materialized driver-side. Partition readers open

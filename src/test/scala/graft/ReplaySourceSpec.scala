@@ -71,4 +71,31 @@ class ReplaySourceSpec extends AnyFunSuite {
     assert(iocs == (1 to 15).map(i => s"10.1.0.$i").sorted,
       s"restart reprocessed or lost records: $iocs")
   }
+
+  test("Trigger.AvailableNow drains the whole file in rate-bounded batches, then terminates") {
+    // Without SupportsTriggerAvailableNow, Spark's wrapper fixes the run's
+    // end target at the FIRST latestOffset(start, limit) result — one
+    // 7-row batch, silent 18-row loss, clean exit. StreamBench caught it
+    // at 1M lines; this pins the contract at spec scale.
+    val f = Files.createTempFile("tweets_an", ".jsonl")
+    val n = 25
+    Files.writeString(f, (1 to n).map(i => tweet(i, s"10.2.0.$i")).mkString("\n"))
+    val raw = spark.readStream
+      .format("graft.streaming.ReplayJsonlSource")
+      .option("path", f.toString)
+      .option("maxPerBatch", 7)
+      .load()
+    val q = TweetStream.iocStream(raw)
+      .writeStream.format("memory").queryName("replay_an")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+    val iocs = spark.table("replay_an").select("ioc")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(iocs == (1 to n).map(i => s"10.2.0.$i").sorted,
+      "AvailableNow must drain ALL lines, exactly once")
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4, "still rate-bounded")
+    assert(q.recentProgress.forall(_.numInputRows <= 7))
+  }
 }
