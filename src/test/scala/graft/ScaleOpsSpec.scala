@@ -409,6 +409,62 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(streamed._2.contains(1000L), s"tv must be the late-arriving min view: $streamed")
   }
 
+  test("funnel buffer compaction: 145k buffered rows for one key, stale entries dropped, end state exact") {
+    // Drives the r11 buffer bound (FunnelProcessor CompactAt = 2^16): the
+    // adversarial iterator order buffers 70k clicks + 70k purchases while
+    // cCand is still unknown, THEN resolves cCand low (10001) so every
+    // buffered entry is stale — the next append must compact both buffers
+    // in place (clicks: filter < cCand drops all 70k; purchases: fold
+    // > cCand into the running min pHigh, which must surface 40000 as tp).
+    // The sibling 150k shuffled test can never reach the cap (its ~50k
+    // clicks split across thresholds); this one exercises the compaction
+    // lines deterministically via MemoryStream's per-key iterator order.
+    implicit val sq = spark.sqlContext
+    val events = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    events += ((1L, 100000L, "view"))                                  // minView = 100000
+    (30000L until 100000L).foreach(ts => events += ((1L, ts, "click"))) // 70k buffered (<= minView, cCand unset)
+    (40000L until 110000L).foreach(ts => events += ((1L, ts, "purchase"))) // 70k buffered (tc unknown)
+    events += ((1L, 10000L, "view"))                                   // true tv
+    events += ((1L, 10001L, "click"))                                  // cCand = 10001 (> new minView)
+    events += ((1L, 200000L, "purchase"))                              // > cCand -> pHigh candidate
+    (1L to 5537L).foreach(ts => events += ((1L, ts, "click")))         // < cCand -> append => compaction fires
+    (1L to 3L).foreach(ts => events += ((1L, ts, "purchase")))         // <= cCand -> append => compaction fires
+    events += ((2L, 5L, "view")); events += ((2L, 10L, "click")); events += ((2L, 15L, "purchase"))
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val out = mem.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "tv", "tc", "tp", "stage")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = out.writeStream.format("memory").queryName("funnel_compact")
+        .outputMode("update").start()
+      try { mem.addData(events.toIndexedSeq); q.processAllAvailable() } finally q.stop()
+    } finally prevProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+    val got = spark.table("funnel_compact")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+         Option(r.get(2)).map(_.asInstanceOf[Long]),
+         Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))).toMap
+    // hand-derived batch semantics: tv = min view = 10000; tc = min click
+    // > tv = 10001 (every dropped click 30000..99999 exceeds cCand and can
+    // never win); tp = min purchase > tc = 40000 — which only pHigh holds
+    // after the purchase fold (the buffer retains just {1,2,3})
+    assert(got(1L) == (Some(10000L), Some(10001L), Some(40000L), 3L),
+      s"compacted funnel end state wrong: ${got(1L)}")
+    assert(got(2L) == (Some(5L), Some(10L), Some(15L), 3L),
+      s"control user corrupted: ${got(2L)}")
+  }
+
   test("streaming state stays keys-bounded (not events-bounded) at 1M-event volume") {
     // The fixture-sized bound specs prove the SHAPE (rows = keys × state
     // vars); this replays the synthesized 10× corpus' ~1M events so the
