@@ -16,7 +16,8 @@ package graft
   * directory's compressed parquet bytes. Rationale: snappy parquet expands
   * ~4-8× raw, so 4 MiB of input per initial partition ≈ 16-32 MiB of
   * pre-coalesce shuffle — comfortably under the 64 MiB advisory AQE then
-  * coalesces toward (`parallelismFirst=false`, bytes decide). Yields
+  * coalesces toward (at `parallelismFirst=true`, Spark's default, AQE
+  * never coalesces below the parallelism floor — see Bench.scala). Yields
   * cores at sf0.01/sf0.1 (1.9/17.5 MB → the floor — small SFs pay zero
   * tax), 45 at the 10× corpus, ~520 at the 100× corpus (≥ the 192 that
   * fixed the spill). The clamp top is a runaway guard for a mispointed
