@@ -749,24 +749,36 @@ object TextStats {
          |WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin
     },
+    // cnts is MATERIALIZED and the per-doc top gram comes from a window
+    // (cnt DESC, gram DESC ≡ max-struct order), NOT max({'cnt','gram'}):
+    // projecting fields out of a struct-max over the inlined unnest
+    // pipeline made DuckDB balloon past the gate box's RAM at the 100×
+    // corpus (the COUNT(*)-pruned same query runs in 3 s), while the
+    // windowed form spills like any sort. Tie-break identical: highest
+    // cnt, then lexicographically largest gram.
     "text_repetition" ->
       """WITH occ AS (
         |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS gram
         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
-        |cnts AS (
+        |cnts AS MATERIALIZED (
         |  SELECT doc_id, gram, COUNT(*) AS cnt FROM occ GROUP BY doc_id, gram),
         |agg AS (
         |  SELECT doc_id,
         |    CAST(SUM(cnt) AS BIGINT) AS n_2grams,
-        |    COUNT(*) AS n_distinct_2grams,
-        |    max({'cnt': cnt, 'gram': gram}) AS top
-        |  FROM cnts GROUP BY doc_id)
-        |SELECT doc_id, n_2grams, n_distinct_2grams,
+        |    COUNT(*) AS n_distinct_2grams
+        |  FROM cnts GROUP BY doc_id),
+        |top AS (
+        |  SELECT doc_id, gram, cnt FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+        |    FROM cnts)
+        |  WHERE rn = 1)
+        |SELECT agg.doc_id, n_2grams, n_distinct_2grams,
         |  1.0 - CAST(n_distinct_2grams AS DOUBLE) / n_2grams AS dup_2gram_frac,
         |  top.gram AS top_2gram,
         |  top.cnt AS top_2gram_count,
         |  CAST(top.cnt * 2 AS DOUBLE) / (n_2grams + 1) AS top_2gram_frac
-        |FROM agg
-        |ORDER BY doc_id""".stripMargin
+        |FROM agg JOIN top ON top.doc_id = agg.doc_id
+        |ORDER BY agg.doc_id""".stripMargin
   )
 }

@@ -228,9 +228,17 @@ object Graph {
           .as("closure_ppm"))
   }
 
+  // e is MATERIALIZED for the same reason as the pagerank rounds below:
+  // DuckDB inlines plain CTEs, and every graph oracle reads e 3-5 times
+  // (deg unions, wedge joins, the closing join, final projection) — each
+  // expansion is the full 60M-row lp⋈lp self-join + aggregate at the
+  // 100× corpus, and the coexisting expansions spilled >68 GB / hit the
+  // 40 GB temp cap on the gate box. Materialized once, e is 357k rows
+  // and every graph oracle at 100× finishes in seconds (measured: the
+  // oriented triangle count 8 s).
   private val edgeCte: String =
     """lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      |e AS (
+      |e AS MATERIALIZED (
       |  SELECT a.l_partkey AS a, b.l_partkey AS b
       |  FROM lp a JOIN lp b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -258,17 +266,36 @@ object Graph {
          |SELECT degree, COUNT(*) AS n_nodes
          |FROM deg GROUP BY degree
          |ORDER BY degree""".stripMargin,
+    // degree-ordered orientation, NOT the id-anchored e1⋈e2 wedge join:
+    // id-anchored wedges are Σ C(id-outdeg, 2), which is deg² on a
+    // low-id hub. On THIS corpus the graph is hub-free (max degree 6 at
+    // 100×; the >68 GB spill that blocked the 100× gate was e's CTE
+    // re-expansion, fixed by MATERIALIZED above) — the orientation is
+    // insurance so the oracle survives a hubby graph exactly like the
+    // engine's own plan ([[triangleStats]]): every apex's out-degree is
+    // O(√m)-bounded and each triangle still closes exactly once, at its
+    // unique two-out-edge apex. Equivalence with the id-anchored form is
+    // pinned bit-exact at sf0.1 before shipping.
     "graph_triangles" ->
       s"""WITH $edgeCte,
          |deg AS (
          |  SELECT node, COUNT(*) AS degree
          |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
          |  GROUP BY node),
+         |o AS MATERIALIZED (
+         |  SELECT CASE WHEN (da.degree, e.a) < (db.degree, e.b)
+         |              THEN e.a ELSE e.b END AS src,
+         |         CASE WHEN (da.degree, e.a) < (db.degree, e.b)
+         |              THEN e.b ELSE e.a END AS dst
+         |  FROM e
+         |  JOIN deg da ON da.node = e.a
+         |  JOIN deg db ON db.node = e.b),
          |tri AS (
          |  SELECT COUNT(*) AS n_triangles
-         |  FROM e e1
-         |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
-         |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |  FROM o o1
+         |  JOIN o o2 ON o2.src = o1.src AND o2.dst > o1.dst
+         |  JOIN e ON e.a = LEAST(o1.dst, o2.dst)
+         |       AND e.b = GREATEST(o1.dst, o2.dst)),
          |w AS (SELECT CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
          |nn AS (SELECT COUNT(*) AS n_nodes FROM deg),
          |ne AS (SELECT COUNT(*) AS n_edges FROM e)
@@ -276,15 +303,37 @@ object Graph {
          |  CASE WHEN n_wedges = 0 THEN 0
          |       ELSE 3 * n_triangles * 1000000 // n_wedges END AS closure_ppm
          |FROM nn, ne, w, tri""".stripMargin,
+    // |N(a)∩N(b)| per edge = the edge's triangle support, so the oracle
+    // counts triangles ONCE each (degree-ordered orientation, as in
+    // graph_triangles above) and credits each to its three edges,
+    // Σ C(outdeg,2) ≤ m^1.5 work like the engine's own plan (the
+    // graph_jaccard query above) instead of the former per-edge
+    // neighbor-list join's Σ deg² wedge rows — hub-insurance on this
+    // hub-free corpus (see graph_triangles note: the 100× spill was e's
+    // re-expansion), equivalence pinned bit-exact at sf0.1.
     "graph_jaccard" ->
       s"""WITH $edgeCte,
          |n AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
          |deg AS (SELECT u, COUNT(*) AS deg FROM n GROUP BY 1),
-         |cm AS (
-         |  SELECT e.a, e.b, COUNT(*) AS common
+         |o AS MATERIALIZED (
+         |  SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+         |              THEN e.a ELSE e.b END AS src,
+         |         CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+         |              THEN e.b ELSE e.a END AS dst
          |  FROM e
-         |  JOIN n na ON na.u = e.a
-         |  JOIN n nb ON nb.u = e.b AND nb.v = na.v
+         |  JOIN deg da ON da.u = e.a
+         |  JOIN deg db ON db.u = e.b),
+         |tw AS MATERIALIZED (
+         |  SELECT o1.src AS c, o1.dst AS x, o2.dst AS y
+         |  FROM o o1
+         |  JOIN o o2 ON o2.src = o1.src AND o1.dst < o2.dst
+         |  JOIN e ON e.a = LEAST(o1.dst, o2.dst)
+         |       AND e.b = GREATEST(o1.dst, o2.dst)),
+         |cm AS (
+         |  SELECT ea AS a, eb AS b, COUNT(*) AS common FROM (
+         |    SELECT LEAST(x, y) AS ea, GREATEST(x, y) AS eb FROM tw
+         |    UNION ALL SELECT LEAST(c, x), GREATEST(c, x) FROM tw
+         |    UNION ALL SELECT LEAST(c, y), GREATEST(c, y) FROM tw)
          |  GROUP BY 1, 2)
          |SELECT e.a, e.b,
          |  da.deg AS da, db.deg AS db,

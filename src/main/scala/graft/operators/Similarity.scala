@@ -1074,8 +1074,15 @@ object Similarity {
        |  FROM embeddings),
        |""".stripMargin + lshTailCtes
 
+  // e and dists are MATERIALIZED (same lesson as Graph.edgeCte and the
+  // pagerank rounds): DuckDB inlines plain CTEs, and the consumers read
+  // dists twice (assign + probes) and e up to three times — at the 100×
+  // corpus each dists expansion is an n×√n cross join with a per-row
+  // 64-dim dot product, and the coexisting expansions pushed the
+  // sim_filtered_topk oracle past a 40 GB temp cap. Materialized, dists
+  // is ~90M scalar rows computed once.
   private[operators] val ivfCtes: String =
-    s"""e AS (
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, embedding, $nsqSql AS nsq
        |  FROM embeddings),
        |ivfp AS (
@@ -1084,7 +1091,7 @@ object Similarity {
        |seeds AS (
        |  SELECT vec_id AS sid, embedding, nsq AS snsq FROM e, ivfp
        |  WHERE vec_id % stride = 0 AND vec_id < $MaxCentroids * stride),
-       |dists AS (
+       |dists AS MATERIALIZED (
        |  SELECT v.vec_id, s.sid,
        |    v.nsq - CAST(2.0 AS DOUBLE) * ${dotSql("v", "s")} + s.snsq AS dist
        |  FROM e v CROSS JOIN seeds s),
