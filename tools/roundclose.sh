@@ -33,4 +33,12 @@ for i in 1 2 3; do
 done
 python3 tools/stability.py /tmp/roundclose_full1.json /tmp/roundclose_full2.json /tmp/roundclose_full3.json
 
+if [ "${ROUNDCLOSE_SF1_GATE:-0}" = 1 ]; then
+  echo "== 7/7 (opt-in) full oracle gate at the 10x corpus"
+  sbt -batch "runMain graft.Verify target/sf1 /tmp/verify_sf1_full"
+  CHECK_DUCKDB_MEMORY=60GB CHECK_DUCKDB_TEMPDIR="$PWD/target/duck_tmp" \
+    CHECK_DUCKDB_TEMPCAP=50GB \
+    python3 tools/check_chunked.py target/sf1 /tmp/verify_sf1_full 25
+fi
+
 echo "== round-close complete; update COVERAGE.md/BASELINE.md from the artifacts above"
