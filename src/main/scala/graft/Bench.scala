@@ -40,7 +40,7 @@ object Bench {
       // dedup_ngram_jaccard 4.04 -> 2.69 s at pf=true, medians of 3 solo
       // runs; rest of the family +/-10%). pf=true only ever ADDS
       // partitions at scale, so the 100x spill fix is unaffected
-      // (re-validated on target/sf10 — see BASELINE.md r11).
+      // (re-validated on target/sf10 — see BASELINE_HISTORY.md r11).
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .config("spark.sql.session.timeZone", "UTC")
@@ -190,7 +190,16 @@ object Bench {
     // query — the stdout tiering drops fast queries from the LINE under
     // the driver's tail budget, and per-query regressions on the fast
     // half must stay visible somewhere.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), full2 + "\n")
+    // the mirror additionally carries "warm_notes" (Warm.notes): the
+    // _base/_incr pairs and the ivf rows are not cost-additive, and
+    // bench_last.json must say so without the reader needing the source
+    val notesJson = graft.operators.Warm.notes
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val sfTail = s""","sf":"$sfDir"}"""
+    val mirror =
+      full2.stripSuffix(sfTail) + s""","warm_notes":$notesJson""" + sfTail
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), mirror + "\n")
     catch { case e: Throwable =>
       // stdout line is the primary channel; losing the mirror only costs
       // the full-precision fast-query map, but it must not be silent

@@ -60,7 +60,7 @@ object StreamBench {
     * retweets the pipeline must drop (5%), no-IOC chatter (5%); every 20th
     * tweet carries the tracked hashtag + a pastebin link so the enrichment
     * columns stay non-degenerate. */
-  private def corpus(path: java.nio.file.Path, n: Int): Unit = {
+  private[graft] def corpus(path: java.nio.file.Path, n: Int): Unit = {
     if (Files.exists(path)) {
       var lines = 0L
       val src = scala.io.Source.fromFile(path.toFile)
@@ -118,14 +118,29 @@ object StreamBench {
       .option("maxPerBatch", maxPerBatch)
       .load()
     val transport = new CountingTransport
+    // Stage-decomposition knob (SPARK_GRAFT_STREAM_MODE) for naming the
+    // bottleneck at the throughput knee (r11 verdict task 6) — the three
+    // modes differ only in how much of the path each batch executes, so
+    // pairwise deltas at the same batch size attribute the cost:
+    //   "source"  — replay only (batch.count over raw lines): the source
+    //               read + admission floor;
+    //   "extract" — replay + flatten/extract, discarded by a noop-style
+    //               count: adds the JSON-parse + regex extraction cost;
+    //   "full"    — the default: extract + RestBatchSink keyed serialization
+    //               (row→JSON, md5 _key, 1000-record chunk framing) into the
+    //               discard transport: adds the sink-serialization cost.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "full")
+    val streamed = if (mode == "source") raw else TweetStream.iocStream(raw)
     val t0 = System.nanoTime()
-    val q = TweetStream.iocStream(raw).writeStream
+    val q = streamed.writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        RestBatchSink.write(batch, "https://kv.example/batch_save", transport,
-          keyed = true)
+        if (mode == "full")
+          RestBatchSink.write(batch, "https://kv.example/batch_save", transport,
+            keyed = true)
+        else batch.write.format("noop").mode("overwrite").save()
       }
       .start()
     q.awaitTermination()
@@ -151,6 +166,6 @@ object StreamBench {
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     spark.stop()
     println(
-      s"""{"metric":"stream_throughput","records":$rows,"max_per_batch":$maxPerBatch,"batches":$batches,"rps_busy":${fmt(rows / busySec)},"rps_wall":${fmt(rows / wallSec)},"batch_ms_p50":${pct(0.5)},"batch_ms_p99":${pct(0.99)},"busy_sec":${fmt(busySec)},"wall_sec":${fmt(wallSec)},"sink_posts":${CountingTransport.posts.get()},"sink_bytes":${CountingTransport.bytes.get()},"window_truncated":$truncated}""")
+      s"""{"metric":"stream_throughput","mode":"$mode","records":$rows,"max_per_batch":$maxPerBatch,"batches":$batches,"rps_busy":${fmt(rows / busySec)},"rps_wall":${fmt(rows / wallSec)},"batch_ms_p50":${pct(0.5)},"batch_ms_p99":${pct(0.99)},"busy_sec":${fmt(busySec)},"wall_sec":${fmt(wallSec)},"sink_posts":${CountingTransport.posts.get()},"sink_bytes":${CountingTransport.bytes.get()},"window_truncated":$truncated}""")
   }
 }

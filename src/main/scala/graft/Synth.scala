@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * testdata directory (default: 10× sf0.1 ≈ a "sf1") so the 100 TB design
   * claims — bucket caps, memoized index-build cost, window frames,
   * propagation rounds — become MEASURED curves instead of arguments
-  * (`graft.Bench` against the output dir; BASELINE.md "scale stress").
+  * (`graft.Bench` against the output dir; BASELINE.md "Scale evidence").
   *
   * Replication is key-offset, not row-copy: replica r shifts every
   * surrogate key by r × unit, unit = (max base key + 1) rounded up to a

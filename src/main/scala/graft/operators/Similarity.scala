@@ -1068,8 +1068,12 @@ object Similarity {
        |  FROM embeddings),
        |bk AS (SELECT vec_id, array_to_string(bits, '') AS bucket FROM signed)""".stripMargin
 
+  // e is MATERIALIZED for the same re-expansion reason as ivfCtes below:
+  // DuckDB inlines plain CTEs per consumer, and several LSH oracles read e
+  // both inside `signed` and again in the outer query — at the 100× corpus
+  // each inline expansion re-derives nsq over 59M embeddings.
   private val lshCtes: String =
-    s"""e AS (
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, embedding, $nsqSql AS nsq
        |  FROM embeddings),
        |""".stripMargin + lshTailCtes

@@ -23,6 +23,28 @@ import org.apache.spark.sql.SparkSession
   * index-build regression is as visible as a query regression.
   */
 object Warm {
+
+  /** Reader-facing annotations for ledger rows whose cost is NOT simply
+    * additive — emitted by [[graft.Bench]] as the `"warm_notes"` map in the
+    * bench_last.json mirror so the file is self-describing: summing the
+    * `"warm"` map double-counts the `_base`/`_incr` pairs (a steady-state
+    * nightly run pays only `_incr`; `_base` is the once-per-snapshot full
+    * rebuild it amortizes), and the IVF rows carry the √n index sizing
+    * whose build cost grew O(n^1.5) → the r10 √n fix pinned it. */
+  val notes: Seq[(String, String)] = {
+    val baseIncr = "base+incr pair: _base is the once-per-snapshot full " +
+      "rebuild, _incr the nightly marginal fold on top of it; a " +
+      "steady-state run pays only _incr — summing both double-counts"
+    Seq(
+      "graph_cc_labels_base" -> baseIncr, "graph_cc_labels_incr" -> baseIncr,
+      "campaign_labels_base" -> baseIncr, "campaign_labels_incr" -> baseIncr,
+      "phash_labels_base" -> baseIncr, "phash_labels_incr" -> baseIncr,
+      "ivf_assign" -> ("index build at nlist≈√n (post-r10 sizing fix): " +
+        "cost scales O(n^1.5); amortized across every sim_ivf_* query"),
+      "ivf_probes" -> ("probe-set materialization over the √n-sized index; " +
+        "incremental on ivf_assign — its timing is the marginal cost only"))
+  }
+
   def all(s: SparkSession, d: String): Seq[(String, Double)] = {
     val steps: Seq[(String, () => Any)] = Seq(
       "partsupp" -> (() => graft.sources.Tables.partsupp(s, d)),

@@ -27,13 +27,15 @@ def main(sf_dir, out_dir, only=()):
     # an uncapped connection spills to the source drive's free space and
     # an unbounded memory_limit OOM-killed concurrent gate runs at the
     # 100x corpus. All optional — the driver's sf0.01 gate needs none.
+    def esc(v):  # SQL-string-literal escape: paths may contain quotes
+        return v.replace("'", "''")
     if os.environ.get("CHECK_DUCKDB_MEMORY"):
-        con.sql(f"SET memory_limit='{os.environ['CHECK_DUCKDB_MEMORY']}'")
+        con.sql(f"SET memory_limit='{esc(os.environ['CHECK_DUCKDB_MEMORY'])}'")
     if os.environ.get("CHECK_DUCKDB_TEMPDIR"):
-        con.sql(f"SET temp_directory='{os.environ['CHECK_DUCKDB_TEMPDIR']}'")
+        con.sql(f"SET temp_directory='{esc(os.environ['CHECK_DUCKDB_TEMPDIR'])}'")
     if os.environ.get("CHECK_DUCKDB_TEMPCAP"):
         con.sql(
-            f"SET max_temp_directory_size='{os.environ['CHECK_DUCKDB_TEMPCAP']}'")
+            f"SET max_temp_directory_size='{esc(os.environ['CHECK_DUCKDB_TEMPCAP'])}'")
     if os.environ.get("CHECK_DUCKDB_THREADS"):
         con.sql(f"SET threads={int(os.environ['CHECK_DUCKDB_THREADS'])}")
     for t in TABLES:

@@ -5,55 +5,84 @@ fresh subprocess (= one fresh DuckDB connection) per chunk.
 Why: a single DuckDB connection accumulates memory across consecutive
 multi-10M-row oracle compares and eventually OOMs on a tiny allocation
 (observed ~13 big queries in at the 100x corpus). Chunking bounds the
-per-connection work; a failed chunk names its queries so a resume is a
-copy-paste. Usage:
+per-connection work.
+
+Adaptive sizing (r11 verdict task 8): a chunk whose subprocess DIES
+mid-way (OOM-kill, disk-full — the infra failure mode this tool
+mitigates, 19 manual retries in the r11 check_sf10_full run) is not
+failed outright; it is SPLIT IN HALF and both halves re-queued, down to
+single-query chunks. Only a query that dies alone in its own process is
+a real failure — so the 100x gate reruns hands-off. Genuine FAIL
+verdicts (oracle mismatch) are never retried: the compare ran, the
+answer stands. Usage:
     python3 tools/check_chunked.py <sfDir> <verifyOutDir> [chunkSize]
 (Developer tooling only — the driver's own gate runs at sf0.01 where a
 single connection is fine.)"""
-import json, subprocess, sys
+import json
+import subprocess
+import sys
+from collections import deque
+
+
+def run_chunk(sf_dir, out_dir, part):
+    """One fresh check.py process over `part`; returns (verdicts, rc, err)
+    where verdicts maps query -> True (OK) / False (FAIL line printed)."""
+    r = subprocess.run(
+        [sys.executable, "tools/check.py", sf_dir, out_dir] + part,
+        capture_output=True, text=True)
+    sys.stdout.write(r.stdout)
+    sys.stdout.flush()
+    verdicts = {}
+    for line in r.stdout.splitlines():
+        if line.startswith("OK "):
+            verdicts[line.split()[1].rstrip(":")] = True
+        elif line.startswith("FAIL"):
+            verdicts[line.split()[1].rstrip(":")] = False
+    return verdicts, r.returncode, r.stderr.strip()[-300:]
+
 
 def main(sf_dir, out_dir, chunk=25):
     names = sorted(json.load(open(f"{out_dir}/oracle_sql.json")))
     ok = bad = 0
     failed = []
-    for i in range(0, len(names), chunk):
-        part = names[i:i + chunk]
-        r = subprocess.run(
-            [sys.executable, "tools/check.py", sf_dir, out_dir] + part,
-            capture_output=True, text=True)
-        sys.stdout.write(r.stdout)
-        sys.stdout.flush()
-        seen = set()
-        for line in r.stdout.splitlines():
-            if line.startswith("OK "):
-                ok += 1
-                seen.add(line.split()[1].rstrip(":"))
-            elif line.startswith("FAIL"):
-                bad += 1
-                name = line.split()[1].rstrip(":")
-                failed.append(name)
-                seen.add(name)
-        # A chunk whose subprocess died mid-way (OOM-kill, crash — the very
-        # failure mode this tool mitigates) emits no FAIL lines for its
-        # unprocessed queries; counting only printed lines would leave
-        # bad == 0 and the gate would exit 0 — a false-green. Any query in
-        # the chunk with no verdict line, or a nonzero return code, is a
-        # failure.
-        missing = [n for n in part if n not in seen]
-        # rc=1 with zero missing is check.py's own "had FAILs" exit — those
-        # are already counted from their FAIL lines; only a died-mid-chunk
-        # process (missing verdicts) needs synthesizing here.
+    splits = 0
+    queue = deque(names[i:i + chunk] for i in range(0, len(names), chunk))
+    while queue:
+        part = queue.popleft()
+        verdicts, rc, err = run_chunk(sf_dir, out_dir, part)
+        for n in part:
+            if n in verdicts:
+                if verdicts[n]:
+                    ok += 1
+                else:
+                    bad += 1
+                    failed.append(n)
+        # Queries with no verdict line mean the process died mid-chunk
+        # (counting only printed lines would leave bad == 0 — a
+        # false-green). Halve and requeue so the rerun is hands-off; a
+        # single query that still dies alone is a genuine failure.
+        missing = [n for n in part if n not in verdicts]
         if missing:
-            sys.stdout.write(
-                f"!! chunk rc={r.returncode}: {r.stderr.strip()[-300:]}\n")
-            for n in missing:
-                sys.stdout.write(f"FAIL {n}: no verdict (chunk died)\n")
+            sys.stdout.write(f"!! chunk of {len(part)} died rc={rc}: {err}\n")
+            if len(missing) == 1:
+                sys.stdout.write(
+                    f"FAIL {missing[0]}: no verdict (died in a 1-query chunk)\n")
                 bad += 1
-                failed.append(n)
-    print(f"== TOTAL {ok} ok, {bad} fail")
+                failed.append(missing[0])
+            else:
+                half = (len(missing) + 1) // 2
+                queue.appendleft(missing[half:])
+                queue.appendleft(missing[:half])
+                splits += 1
+                sys.stdout.write(
+                    f"!! requeued as {half}+{len(missing) - half} "
+                    f"(adaptive split #{splits})\n")
+    print(f"== TOTAL {ok} ok, {bad} fail"
+          + (f" ({splits} adaptive splits)" if splits else ""))
     if failed:
         print("failed:", " ".join(failed))
     return 1 if bad else 0
+
 
 if __name__ == "__main__":
     cs = int(sys.argv[3]) if len(sys.argv) > 3 else 25

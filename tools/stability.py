@@ -4,7 +4,7 @@
 Usage: python3 tools/stability.py run1.json run2.json [run3.json ...]
 
 Output schema (machine-readable evidence for driver-bench noise
-adjudication — see BASELINE.md "calibration"):
+adjudication — see the q1_agg probe row in BASELINE.md):
   totals:        per-run full-suite totals, seconds
   n_queries:     inventory size of each run (must agree)
   per_query:     {name: {"median": s, "min": s, "max": s}}
