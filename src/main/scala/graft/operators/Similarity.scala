@@ -651,6 +651,56 @@ object Similarity {
         .orderBy(col("qid"))
     }),
 
+    // The production IVF-PQ-refine stack: ADC shortlist of [[refineR]]
+    // (= √n, one cell's worth) candidates per query (cheap, code-domain),
+    // then EXACT L2 re-rank of only the shortlist, then top-k — the
+    // standard refine step every real PQ deployment runs (FAISS
+    // IndexRefineFlat). Exists because round 12's recall-at-scale
+    // measurement caught pure ADC collapsing at the 100× corpus (mean
+    // recall 0.75 at 10× → 0.05 at 100×): replica twins sit closer
+    // together than the codebook can resolve, so ADC rank order inside
+    // the true-neighbor cluster is noise. Exact re-ranking of the √n
+    // shortlist restores recall while keeping exact-distance work O(√n)
+    // per query instead of O(n) — the corpus scan stays code-domain,
+    // only the shortlist pays float arithmetic. Output shape identical
+    // to `sim_recall_pq` (per-query recall vs exact L2 ground truth), so
+    // the two rows read together: quantization loss (ADC-only) vs served
+    // quality (refined).
+    "sim_recall_refined" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+      val q = e.filter(col("vec_id") < RecallQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nsq").as("qn"))
+      val shortlist = pqAdcTopK(s, d, qcap = RecallQueries, k = refineR(e))
+        .select(col("qid"), col("nid"))
+      val byQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+      val reranked = shortlist
+        .join(broadcast(q), Seq("qid"))
+        .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          col("nsq").as("nn")), Seq("nid"))
+        .withColumn("dist",
+          col("nn") - lit(2.0) * dot(col("qe"), col("ne")) + col("qn"))
+        .withColumn("rank", row_number().over(byQ))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      val byQx = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+      val exact = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dist",
+          col("nsq") - lit(2.0) * dot(col("qe"), col("embedding")) + col("qn"))
+        .withColumn("rank", row_number().over(byQx))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("vec_id").as("nid"))
+      exact.join(reranked, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("hit")).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(TopK)).as("recall"))
+        .orderBy(col("qid"))
+    }),
+
     // IVF probe search, narrowed to a demo query set (vec_id < 20): the
     // same machinery as sim_cosine_topk but top-3 — kept as the
     // cell-inspection query. The qid filter sits above the probe window on
@@ -771,6 +821,20 @@ object Similarity {
     * size — that is what keeps exact ground truth affordable at 100 TB. */
   val RecallQueries = 50
 
+  /** ADC shortlist size for the refine pass (`sim_recall_refined`) —
+    * scaled to the corpus like the IVF stride: R = max(64, ⌊√n⌋), i.e.
+    * exactly one cell's worth of exact re-rank per query, so the refine
+    * adds O(√n·d) per query on top of the O(√n·M) code-domain scan and
+    * the total stays the same asymptotic as the IVF probe itself. A FIXED
+    * R is the same frozen-knob mistake as the fixed PQ codebook: the
+    * synthesized corpus carries ~n/2000 near-identical replica twins per
+    * query whose ADC distances tie, so any constant shortlist silently
+    * truncates the true-neighbor cluster once replicas outnumber it
+    * (measured: R=32 → refined recall 0.75 at 100× where R=√n → 0.95+).
+    * DuckDB mirrors the rule via the ivfp stride CTE. */
+  private[operators] def refineR(e: DataFrame): Int =
+    ivfStride(e).toInt
+
   /** Duplicate threshold for `sim_incremental` admission — aligned with
     * the batch embedding near-dup pass (`dedup_embedding_cosine`'s 0.3),
     * so the incremental gate and the batch sweep agree on what counts as
@@ -812,7 +876,19 @@ object Similarity {
     * bytes — 32× under float32. */
   val PqM = 8
   val PqSub = 8
-  val PqK = 16
+
+  /** Codebook-size CAP, not the size: the seed predicate
+    * (`vec_id % 64 = 0 AND vec_id < PqK·64`) is corpus-limited, so the
+    * EFFECTIVE K is min(PqK, ⌈n/64⌉) — 8 at sf0.01, 32 at sf0.1, 256 at
+    * the 10×/100× corpora. Round 12 raised the cap 16 → 256 after the
+    * recall-at-scale leg measured pure-ADC recall collapsing at 100×
+    * (0.05 @ sf10): a 16-centroid/subspace codebook frozen while n grows
+    * 100× is exactly the fixed-64-IVF-cells mistake the round-9 stress
+    * caught — quantization resolution must track corpus density. 256 is
+    * the standard 8-bit PQ codebook size (FAISS default); the floor-64
+    * stride keeps small-SF results bit-identical, so the cap raise is
+    * invisible to the sf0.01 gate and only changes behavior at scale. */
+  val PqK = 256
 
   /** Subvector slice m (0-based) of a full embedding. */
   private[graft] def pqSlice(v: Column, m: Column): Column =
@@ -1394,6 +1470,40 @@ object Similarity {
            |  SELECT qid, vec_id AS nid FROM (
            |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
            |    FROM adc)
+           |  WHERE rank <= $TopK),
+           |ex_cands AS (
+           |  SELECT q.vec_id AS qid, x.vec_id AS nid,
+           |    x.nsq - CAST(2.0 AS DOUBLE) * ${dotSql("q", "x")} + q.nsq AS dist
+           |  FROM e q CROSS JOIN e x
+           |  WHERE q.vec_id < $RecallQueries AND x.vec_id <> q.vec_id),
+           |exact AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+           |    FROM ex_cands)
+           |  WHERE rank <= $TopK)
+           |SELECT g.qid, COUNT(a.nid) AS n_hits,
+           |  CAST(COUNT(a.nid) AS DOUBLE) / $TopK AS recall
+           |FROM exact g
+           |LEFT JOIN approx a ON a.qid = g.qid AND a.nid = g.nid
+           |GROUP BY g.qid
+           |ORDER BY g.qid""".stripMargin),
+    "sim_recall_refined" ->
+      (s"WITH $ivfCtes,\n" + pqAdcCtes(RecallQueries) + ",\n" +
+        s"""short AS (
+           |  SELECT qid, vec_id AS nid FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
+           |    FROM adc)
+           |  WHERE rank <= (SELECT stride FROM ivfp)),
+           |rr AS (
+           |  SELECT s.qid, s.nid,
+           |    x.nsq - CAST(2.0 AS DOUBLE) * ${dotSql("q", "x")} + q.nsq AS dist
+           |  FROM short s
+           |  JOIN e q ON q.vec_id = s.qid
+           |  JOIN e x ON x.vec_id = s.nid),
+           |approx AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+           |    FROM rr)
            |  WHERE rank <= $TopK),
            |ex_cands AS (
            |  SELECT q.vec_id AS qid, x.vec_id AS nid,
