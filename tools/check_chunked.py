@@ -24,9 +24,20 @@ import sys
 from collections import deque
 
 
+# A FAIL whose reason is resource exhaustion is an INFRA casualty, not an
+# oracle verdict: DuckDB can throw a clean Out of Memory / disk-full error
+# instead of dying (the process survives, so the missing-verdict detector
+# below never fires). Those must requeue like dead chunks — the compare
+# never actually ran to an answer. A genuine mismatch (rows/columns/
+# differing rows) is never retried.
+INFRA_FAIL = ("Out of Memory", "bad allocation", "No space left",
+              "out of disk", "max_temp_directory_size", "Failed to allocate")
+
+
 def run_chunk(sf_dir, out_dir, part):
     """One fresh check.py process over `part`; returns (verdicts, rc, err)
-    where verdicts maps query -> True (OK) / False (FAIL line printed)."""
+    where verdicts maps query -> True (OK) / False (FAIL line printed);
+    infra-casualty FAILs are excluded from verdicts so they requeue."""
     r = subprocess.run(
         [sys.executable, "tools/check.py", sf_dir, out_dir] + part,
         capture_output=True, text=True)
@@ -37,12 +48,18 @@ def run_chunk(sf_dir, out_dir, part):
         if line.startswith("OK "):
             verdicts[line.split()[1].rstrip(":")] = True
         elif line.startswith("FAIL"):
-            verdicts[line.split()[1].rstrip(":")] = False
+            name = line.split()[1].rstrip(":")
+            if any(s in line for s in INFRA_FAIL):
+                sys.stdout.write(f"!! infra casualty (will requeue): {name}\n")
+            else:
+                verdicts[name] = False
     return verdicts, r.returncode, r.stderr.strip()[-300:]
 
 
-def main(sf_dir, out_dir, chunk=25):
+def main(sf_dir, out_dir, chunk=25, only=()):
     names = sorted(json.load(open(f"{out_dir}/oracle_sql.json")))
+    if only:
+        names = [n for n in names if n in set(only)]
     ok = bad = 0
     failed = []
     splits = 0
@@ -63,16 +80,22 @@ def main(sf_dir, out_dir, chunk=25):
         # single query that still dies alone is a genuine failure.
         missing = [n for n in part if n not in verdicts]
         if missing:
-            sys.stdout.write(f"!! chunk of {len(part)} died rc={rc}: {err}\n")
-            if len(missing) == 1:
+            sys.stdout.write(f"!! chunk of {len(part)} incomplete rc={rc}: {err}\n")
+            # Only a query that ran ALONE in its own fresh process and still
+            # got no clean verdict is a genuine failure — a casualty in a
+            # multi-query chunk may just have inherited its siblings'
+            # accumulated memory, so it requeues (possibly as a singleton).
+            if len(part) == 1:
                 sys.stdout.write(
-                    f"FAIL {missing[0]}: no verdict (died in a 1-query chunk)\n")
+                    f"FAIL {missing[0]}: no clean verdict in a 1-query chunk "
+                    f"(died or resource-failed alone)\n")
                 bad += 1
                 failed.append(missing[0])
             else:
                 half = (len(missing) + 1) // 2
-                queue.appendleft(missing[half:])
-                queue.appendleft(missing[:half])
+                for piece in (missing[half:], missing[:half]):
+                    if piece:
+                        queue.appendleft(piece)
                 splits += 1
                 sys.stdout.write(
                     f"!! requeued as {half}+{len(missing) - half} "
@@ -86,4 +109,4 @@ def main(sf_dir, out_dir, chunk=25):
 
 if __name__ == "__main__":
     cs = int(sys.argv[3]) if len(sys.argv) > 3 else 25
-    sys.exit(main(sys.argv[1], sys.argv[2], cs))
+    sys.exit(main(sys.argv[1], sys.argv[2], cs, tuple(sys.argv[4:])))
