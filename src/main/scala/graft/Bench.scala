@@ -193,12 +193,27 @@ object Bench {
     // the mirror additionally carries "warm_notes" (Warm.notes): the
     // _base/_incr pairs and the ivf rows are not cost-additive, and
     // bench_last.json must say so without the reader needing the source
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     val notesJson = graft.operators.Warm.notes
-      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val sfTail = s""","sf":"$sfDir"}"""
+    // splice-before-tail is only valid while the line actually ENDS with
+    // the sf field — if fmtLine ever gains a later field, fall back to
+    // the unspliced (still-valid) line instead of emitting corrupt JSON
     val mirror =
-      full2.stripSuffix(sfTail) + s""","warm_notes":$notesJson""" + sfTail
+      if (full2.endsWith(sfTail))
+        full2.stripSuffix(sfTail) + s""","warm_notes":$notesJson""" + sfTail
+      else {
+        System.err.println("[bench] line format drifted; mirror omits warm_notes")
+        full2
+      }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), mirror + "\n")
     catch { case e: Throwable =>
       // stdout line is the primary channel; losing the mirror only costs

@@ -18,9 +18,17 @@ import graft.streaming.TweetStream
   * local-cluster deserialize it from the app jar. */
 final class KvFileTransport(dir: String) extends Transport {
   def post(endpoint: String, payload: String): Unit = {
-    val p = Paths.get(dir, s"post-${java.util.UUID.randomUUID()}.json")
+    // write-then-ATOMIC_MOVE so a SIGKILL mid-write can never publish a
+    // truncated JSON array (a half-written *.json would schema-infer as
+    // _corrupt_record and flunk the KV digest spuriously — fail-safe but
+    // noisy); the fold below globs *.json, so the .tmp staging name is
+    // invisible until the rename commits it whole
+    val id = java.util.UUID.randomUUID()
+    val tmp = Paths.get(dir, s"post-$id.tmp")
+    val p = Paths.get(dir, s"post-$id.json")
     Files.createDirectories(p.getParent)
-    Files.write(p, payload.getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, payload.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 }
 

@@ -29,8 +29,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * on every access, so the memo never pins dead `SparkSession`s.
   */
 private[graft] object Memo {
-  // Must exceed the number of relations Warm.all materializes (25 today,
-  // incl. the _base/_incr label pairs and ioc_campaign_pairs): a cap
+  // Must exceed the number of relations Warm.all materializes (28 today,
+  // incl. the _base/_incr label pairs and the PQ/residual-PQ stores): a cap
   // below that evicts the first-warmed entries before the bench even
   // starts timing, silently re-introducing their build cost into the
   // first query that touches them. The entries are sf-bounded

@@ -64,6 +64,12 @@ object Warm {
       "ivf_assign" -> (() => Similarity.ivfAssign(s, d)),
       "ivf_probes" -> (() => Similarity.ivfProbesAll(s, d)),
       "lsh_assign" -> (() => Similarity.lshAssign(s, d)),
+      // the PQ store: codes = the 8-bytes/vector compressed relation every
+      // ADC query scans (one build per index snapshot); lut = the
+      // query-sample distance table all three PQ queries broadcast
+      "pq_codes" -> (() => Similarity.pqCodes(s, d)),
+      "pq_lut" -> (() => Similarity.pqLut(s, d)),
+      "pqr_codes" -> (() => Similarity.pqrCodes(s, d)),
       "rfm_per_user" -> (() => Events.rfmPerUser(s, d)),
       "unified_feed" -> (() => graft.SparkEntry.unifiedFeed(s, d)),
       "ioc_sightings" -> (() => graft.SparkEntry.iocSightings(s, d)),

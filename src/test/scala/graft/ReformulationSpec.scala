@@ -175,6 +175,21 @@ class ReformulationSpec extends AnyFunSuite {
     }
   }
 
+  test("array-land PQ encode is row-identical to the window-argmin formulation") {
+    val d01 = "/root/testdata/sf0.01" // multi-seed codebook, like the ADC test
+    // the retired formulation: n·M·K cross-join rows through a
+    // row_number window ordered (dist, sid) — kept here as the
+    // equivalence oracle for the shipped array-land fold
+    val wmin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("m")).orderBy(col("dist"), col("sid"))
+    val windowed = Similarity.pqSubDists(spark, d01)
+      .withColumn("rn", row_number().over(wmin)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("sid"))
+    val fast = Similarity.pqCodes(spark, d01)
+    assert(fast.exceptAll(windowed).isEmpty && windowed.exceptAll(fast).isEmpty,
+      "array-land PQ codes diverge from the window argmin")
+  }
+
   test("scalar quantization: codes in [0,255], per-vector error within the analytic bound") {
     val rows = Similarity.queries("sim_sq_int8")(spark, d).collect()
     assert(rows.nonEmpty)

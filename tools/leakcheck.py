@@ -35,14 +35,23 @@ IMPORT_RE = re.compile(r"^\s*import\s+[A-Za-z_][\w.{}, _=>]*")
 
 # Public hosts this project legitimately mentions (reference behavior,
 # docs, synthetic endpoints). Anything else is a leak candidate.
+# END-ANCHORED against the captured scheme+host (URL_RE stops at the
+# host, so $ is the host boundary) and every allowlisted domain must be
+# the host's TERMINAL labels — prefix tricks like t.coevil.net or
+# notgoogle.com.attacker.io no longer pass (r12 ADVICE).
 URL_OK = re.compile(
-    r"https?://(localhost|\d+\.\d+\.\d+\.\d+|[\w.-]*example(\.com|\.org|/|\b)|"
-    r"[\w.-]*\.apache\.org|github\.com|pastebin\.com|twitter\.com|"
-    r"[\w.-]*twitter[\w.-]*\.com|t\.co|splunk[\w.-]*\.com|[\w.-]*\.spark|"
-    r"spark[\w.-]*\.org|duckdb\.org|scala-lang\.org|scalatest\.org|"
-    r"www\.w3\.org|json\.org|maven\.apache\.org|repo1\.maven\.org|"
-    # synthetic hosts used by tests/docs and code-constructed fragments
-    r"[\w.-]*google\.com|x\.y\.com|evil-[\w.-]*)")
+    r"https?://("
+    r"localhost|searchhead|\d+\.\d+\.\d+\.\d+"
+    # the example/test families: example.com/.org with any subdomain,
+    # plus the bare *.example synthetic hosts the specs construct
+    r"|([\w-]+\.)*example(\.com|\.org)?"
+    # public project/doc hosts, any subdomain, terminal-label anchored
+    r"|([\w-]+\.)*(apache\.org|github\.com|pastebin\.com|twitter\.com"
+    r"|t\.co|splunk\.com|splunkcloud\.com|duckdb\.org|scala-lang\.org"
+    r"|scalatest\.org|w3\.org|json\.org|maven\.org|google\.com|x\.y\.com)"
+    # code-constructed attacker fixtures (tests build hosts onto this stem)
+    r"|evil-[\w.-]*"
+    r")$")
 URL_RE = re.compile(r"https?://[\w.-]+")
 
 BUCKET_RE = re.compile(r"\b(s3a?|gs|wasbs?|abfss?)://[\w.-]+")

@@ -9,10 +9,23 @@ adjudication — see the q1_agg probe row in BASELINE.md):
   n_queries:     inventory size of each run (must agree)
   per_query:     {name: {"median": s, "min": s, "max": s}}
   spread_pct:    (max-min)/min of the totals, percent
+  probe_verdict: per-run probe-calibrated adjudication (r12 verdict
+                 task 8): which PROBE_BANDS row applies and whether the
+                 total lands inside it — so the judge never has to
+                 cross-read BASELINE.md's table by hand.
 """
 import json
 import statistics
 import sys
+
+# The q1_agg probe ↔ expected-total calibration, mirrored from
+# BASELINE.md's floors table (update BOTH on re-baseline; the r13
+# re-baseline measured these on the r13 container).
+PROBE_BANDS = [
+    {"band": "quiet", "probe": [0.0, 1.3], "total": [140.0, 195.0]},
+    {"band": "bursty", "probe": [1.3, 2.2], "total": [195.0, 246.0]},
+]
+PROBE_QUERY = "q1_agg"
 
 runs = [json.load(open(p)) for p in sys.argv[1:]]
 assert runs, "pass at least one bench json"
@@ -28,15 +41,40 @@ per = {
     for n in sorted(names)
 }
 totals = [r["value"] for r in runs]
+
+
+def verdict(run):
+    probe = run["queries"].get(PROBE_QUERY)
+    total = run["value"]
+    if probe is None:
+        return {"probe": None, "band": "no-probe", "within_band": None}
+    for b in PROBE_BANDS:
+        if b["probe"][0] <= probe < b["probe"][1]:
+            return {
+                "probe": probe,
+                "band": b["band"],
+                "expected_total": b["total"],
+                "total": total,
+                "within_band": b["total"][0] <= total <= b["total"][1],
+            }
+    return {"probe": probe, "band": "outside-calibration", "total": total,
+            "within_band": None}
+
+
 out = {
     "totals": totals,
     "n_queries": len(names),
     "sf": runs[0]["sf"],
     "spread_pct": round(100.0 * (max(totals) - min(totals)) / min(totals), 1),
+    "probe_verdict": [verdict(r) for r in runs],
     "per_query": per,
 }
 json.dump(out, open("bench_stability.json", "w"), indent=1)
 print("totals", totals, "spread", out["spread_pct"], "%")
+for v in out["probe_verdict"]:
+    print("probe", v.get("probe"), "->", v["band"],
+          "within_band" if v.get("within_band") else
+          ("OUT-OF-BAND" if v.get("within_band") is False else ""))
 slow = sorted(per.items(), key=lambda kv: -kv[1]["median"])[:12]
 for n, v in slow:
     print(f"{n:28} median {v['median']:5} range [{v['min']}, {v['max']}]")
