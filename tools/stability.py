@@ -19,11 +19,14 @@ import statistics
 import sys
 
 # The q1_agg probe ↔ expected-total calibration, mirrored from
-# BASELINE.md's floors table (update BOTH on re-baseline; the r13
-# re-baseline measured these on the r13 container).
+# BASELINE.md's floors table (update BOTH on re-baseline). Calibrated on
+# the r13 container + r13 tree (214 queries): solo triple 133.4/151.4 at
+# probes 0.93/1.0 (quiet), 170.4 at 1.3 (mid); the r12-judge points
+# (187 at 1.2, 246 at 3.0, r12 tree ≈6 s slower) anchor the upper bands.
 PROBE_BANDS = [
-    {"band": "quiet", "probe": [0.0, 1.3], "total": [140.0, 195.0]},
-    {"band": "bursty", "probe": [1.3, 2.2], "total": [195.0, 246.0]},
+    {"band": "quiet", "probe": [0.0, 1.1], "total": [125.0, 160.0]},
+    {"band": "mid", "probe": [1.1, 1.5], "total": [155.0, 195.0]},
+    {"band": "bursty", "probe": [1.5, 3.5], "total": [195.0, 250.0]},
 ]
 PROBE_QUERY = "q1_agg"
 
