@@ -37,8 +37,15 @@ object TweetPipeline {
     val cleanedText = regexp_replace(regexp_replace(
       coalesce(col("t.extended_tweet.full_text"), col("t.text")),
       "\r", ""), "\n", " ")
+    // P2. Pushdown rewrites both probes onto the raw value column, so a
+    // row is tokenized up to three times (two single-field filter parses
+    // + the full parse for survivors) — an r13 A/B that pinned the filter
+    // above the parse with an optimizer fence measured NO gain (medians
+    // 75.1k vs 75.4k rec/s, extract leg), so the pushed shape stands and
+    // the single-field probes are confirmed cheap (DEPLOYMENT.md,
+    // "Fused-scanner A/B" note).
     val base = raw.select(t.as("t"))
-      .filter(!col("t.retweeted") && !col("t.text").startsWith("RT @")) // P2
+      .filter(!col("t.retweeted") && !col("t.text").startsWith("RT @"))
     val cols = Seq(
       col("t.id").cast("string").as("id"),
       cleanedText.as("text"), // P3: \r→"" then \n→" ", exactly
