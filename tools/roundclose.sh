@@ -25,7 +25,11 @@ python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
 
 echo "== 5/9 fault injection: batch (executor SIGKILL mid-shuffle, 10x corpus) + streaming (SIGKILL mid micro-batch)"
 sbt -batch package
-APP_JAR=$(ls target/scala-2.13/cybersecurityiocetlspark_*.jar | head -1)
+# exclude the -tests jar: `ls | head -1` sorts it FIRST ('-' < '.'), and
+# shipping it as spark.jars gives executors a jar with no app classes —
+# every task then dies deserializing the DSv2 partition Seq with
+# "cannot assign DefaultSerializationProxy" (r13 round-close incident)
+APP_JAR=$(ls target/scala-2.13/cybersecurityiocetlspark_*.jar | grep -v -- '-tests' | head -1)
 SPARK_GRAFT_JARS="$APP_JAR" SPARK_SCALA_VERSION=2.13 \
   sbt -batch "runMain graft.FaultInject target/sf1 q18_bigorders q21_waiting" 2>/dev/null \
   | grep -E '"metric"|\[fault\]' | tail -3
