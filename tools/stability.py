@@ -20,13 +20,17 @@ import sys
 
 # The q1_agg probe ↔ expected-total calibration, mirrored from
 # BASELINE.md's floors table (update BOTH on re-baseline). Calibrated on
-# the r13 container + r13 tree (214 queries): solo triple 133.4/151.4 at
-# probes 0.93/1.0 (quiet), 170.4 at 1.3 (mid); the r12-judge points
-# (187 at 1.2, 246 at 3.0, r12 tree ≈6 s slower) anchor the upper bands.
+# the r13 container + r13 tree (214 queries), SIX same-tree runs:
+# (probe, total) = (0.93,133.4) (1.0,151.4) (1.07,163.1) (1.12,140.2)
+# (1.21,171.2) (1.3,170.4) — below probe ~1.35 the correlation is loose
+# (±15% total at equal probe), so that whole region is ONE quiet band
+# and only a sustained move outside it is a regression signal. The
+# bursty band is anchored by the r12-judge points (187 at 1.2 and 246
+# at 3.0 on the ~6 s-slower r12 tree) and r8-r11 history (1.8-2.0 →
+# 195-226). Probes between 1.35 and 1.5 are uncalibrated on this tree.
 PROBE_BANDS = [
-    {"band": "quiet", "probe": [0.0, 1.1], "total": [125.0, 160.0]},
-    {"band": "mid", "probe": [1.1, 1.5], "total": [155.0, 195.0]},
-    {"band": "bursty", "probe": [1.5, 3.5], "total": [195.0, 250.0]},
+    {"band": "quiet", "probe": [0.0, 1.35], "total": [128.0, 178.0]},
+    {"band": "bursty", "probe": [1.5, 3.5], "total": [178.0, 255.0]},
 ]
 PROBE_QUERY = "q1_agg"
 
