@@ -1011,7 +1011,7 @@ object Similarity {
   private[graft] def pqCodes(s: SparkSession, d: String): DataFrame =
     graft.Memo("pq_codes", s, d)(computePqCodes(s, d).localCheckpoint())
 
-  private def computePqCodes(s: SparkSession, d: String): DataFrame = {
+  private[graft] def computePqCodes(s: SparkSession, d: String): DataFrame = {
     val cb = pqSeeds(s, d)
       .agg(sort_array(collect_list(struct(col("sid"), col("se")))).as("cb"))
     Tables.embeddings(s, d)
@@ -1058,7 +1058,7 @@ object Similarity {
   private[operators] def pqrCodes(s: SparkSession, d: String): DataFrame =
     graft.Memo("pqr_codes", s, d)(computePqrCodes(s, d).localCheckpoint())
 
-  private def computePqrCodes(s: SparkSession, d: String): DataFrame = {
+  private[graft] def computePqrCodes(s: SparkSession, d: String): DataFrame = {
     val cb = pqrSeeds(s, d)
       .agg(sort_array(collect_list(struct(col("sid"), col("se")))).as("cb"))
     pqResiduals(s, d).select(col("vec_id"), col("r"))

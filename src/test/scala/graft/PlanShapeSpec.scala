@@ -269,11 +269,34 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("quantization plans: codebook broadcasts, no cartesian product") {
-    for (q <- Seq("sim_pq_adc", "sim_sq_int8")) {
+    for (q <- Seq("sim_pq_adc", "sim_sq_int8", "sim_recall_pqr")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
       assert(p.contains("BroadcastExchange"),
         s"$q lost its broadcast (codebook / dim-stats):\n$p")
+    }
+  }
+
+  test("PQ encode stays in array land: no window sort, no n*M*K exchange") {
+    // The r12 verdict's top finding: the encode used to materialize the
+    // n·M·K cross-join through a row_number window (at 100× ~410M rows
+    // through a sort, rebuilt per query). The shipped encode folds the
+    // broadcast codebook per (vector, subspace) row — the BUILD plans
+    // (pre-memo; what a refactor would regress) must contain NO Window,
+    // NO Sort, and NO shuffle at all: one narrow pass over the
+    // embeddings scan with the codebook arriving by broadcast.
+    for ((name, df) <- Seq(
+      "pq_codes" -> graft.operators.Similarity.computePqCodes(spark, d),
+      "pqr_codes" -> graft.operators.Similarity.computePqrCodes(spark, d))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$name regressed to a window argmin:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name cartesian:\n$p")
+      assert(p.contains("BroadcastExchange"),
+        s"$name lost the codebook broadcast:\n$p")
+      // the single-row codebook agg is the plan's only legitimate shuffle;
+      // anything keyed on (vec_id, m) means the n·M·K shape is back
+      val bigSort = "Sort ["
+      assert(!p.contains(bigSort), s"$name grew a sort:\n$p")
     }
   }
 
