@@ -76,11 +76,16 @@ object IocScan {
     c == '\n' || c == '\r' || c == '\u0085' || c == '\u2028' || c == '\u2029'
 
   /** java.util.regex `$` without MULTILINE: end of input, or before a
-    * final line terminator (incl. the two-char "\r\n"). */
+    * final line terminator — where a final "\r\n" counts as ONE
+    * terminator, so `$` matches before the '\r' but never between the
+    * '\r' and the '\n' (JVM-verified; today unreachable through
+    * [[scanUrls]] since '\r' is not a CLS char, but the helper's
+    * contract is exact `$` semantics for any future caller). */
   private def dollarAt(s: String, pos: Int): Boolean = {
     val n = s.length
     pos == n ||
-      (pos == n - 1 && isTerm(s.charAt(n - 1))) ||
+      (pos == n - 1 && isTerm(s.charAt(n - 1)) &&
+        !(s.charAt(n - 1) == '\n' && n >= 2 && s.charAt(n - 2) == '\r')) ||
       (pos == n - 2 && s.charAt(n - 2) == '\r' && s.charAt(n - 1) == '\n')
   }
 

@@ -627,29 +627,8 @@ object Similarity {
     // loss. Together with `sim_recall` (IVF-only) this separates the two
     // recall costs a 100 TB vector store tunes independently: cell-probe
     // misses (nlist/nprobe) vs code coarseness (M/K).
-    "sim_recall_pq" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
-      val qq = e.filter(col("vec_id") < RecallQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nsq").as("qn"))
-      val byQ = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
-      val exact = e.crossJoin(broadcast(qq))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("dist",
-          col("nsq") - lit(2.0) * dot(col("qe"), col("embedding")) + col("qn"))
-        .withColumn("rank", row_number().over(byQ))
-        .filter(col("rank") <= TopK)
-        .select(col("qid"), col("vec_id").as("nid"))
-      val approx = pqAdcTopK(s, d, qcap = RecallQueries, k = TopK)
-        .select(col("qid"), col("nid"), lit(1).as("hit"))
-      exact.join(approx, Seq("qid", "nid"), "left")
-        .groupBy(col("qid"))
-        .agg(count(col("hit")).as("n_hits"))
-        .select(col("qid"), col("n_hits"),
-          (col("n_hits").cast("double") / lit(TopK)).as("recall"))
-        .orderBy(col("qid"))
-    }),
+    "sim_recall_pq" -> ((s, d) =>
+      recallVsExactL2(s, d, pqAdcTopK(s, d, qcap = RecallQueries, k = TopK))),
 
     // The production IVF-PQ-refine stack: ADC shortlist of [[refineR]]
     // (= √n, one cell's worth) candidates per query (cheap, code-domain),
@@ -683,22 +662,8 @@ object Similarity {
           col("nn") - lit(2.0) * dot(col("qe"), col("ne")) + col("qn"))
         .withColumn("rank", row_number().over(byQ))
         .filter(col("rank") <= TopK)
-        .select(col("qid"), col("nid"), lit(1).as("hit"))
-      val byQx = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
-      val exact = e.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("dist",
-          col("nsq") - lit(2.0) * dot(col("qe"), col("embedding")) + col("qn"))
-        .withColumn("rank", row_number().over(byQx))
-        .filter(col("rank") <= TopK)
-        .select(col("qid"), col("vec_id").as("nid"))
-      exact.join(reranked, Seq("qid", "nid"), "left")
-        .groupBy(col("qid"))
-        .agg(count(col("hit")).as("n_hits"))
-        .select(col("qid"), col("n_hits"),
-          (col("n_hits").cast("double") / lit(TopK)).as("recall"))
-        .orderBy(col("qid"))
+        .select(col("qid"), col("nid"))
+      recallVsExactL2(s, d, reranked)
     }),
 
     // Residual-PQ quantization gauge (IVF-PQ on x − centroid): same
@@ -708,29 +673,8 @@ object Similarity {
     // naive codebook) → residual-ADC (loss after the standard residual
     // trick) → refined (served quality). New query so the existing PQ
     // oracle rows stay bit-stable (r12 verdict task 4).
-    "sim_recall_pqr" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
-      val qq = e.filter(col("vec_id") < RecallQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nsq").as("qn"))
-      val byQ = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
-      val exact = e.crossJoin(broadcast(qq))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("dist",
-          col("nsq") - lit(2.0) * dot(col("qe"), col("embedding")) + col("qn"))
-        .withColumn("rank", row_number().over(byQ))
-        .filter(col("rank") <= TopK)
-        .select(col("qid"), col("vec_id").as("nid"))
-      val approx = pqrAdcTopK(s, d, qcap = RecallQueries, k = TopK)
-        .select(col("qid"), col("nid"), lit(1).as("hit"))
-      exact.join(approx, Seq("qid", "nid"), "left")
-        .groupBy(col("qid"))
-        .agg(count(col("hit")).as("n_hits"))
-        .select(col("qid"), col("n_hits"),
-          (col("n_hits").cast("double") / lit(TopK)).as("recall"))
-        .orderBy(col("qid"))
-    }),
+    "sim_recall_pqr" -> ((s, d) =>
+      recallVsExactL2(s, d, pqrAdcTopK(s, d, qcap = RecallQueries, k = TopK))),
 
     // IVF probe search, narrowed to a demo query set (vec_id < 20): the
     // same machinery as sim_cosine_topk but top-3 — kept as the
@@ -865,6 +809,36 @@ object Similarity {
     * DuckDB mirrors the rule via the ivfp stride CTE. */
   private[operators] def refineR(e: DataFrame): Int =
     ivfStride(e).toInt
+
+  /** The ONE recall discipline shared by every L2-quantization gauge
+    * (`sim_recall_pq` / `sim_recall_refined` / `sim_recall_pqr`): exact
+    * squared-L2 ground truth over the fixed [[RecallQueries]] sample
+    * (window tie-break (dist, vec_id)) left-joined against the gauge's
+    * approximate (qid, nid) list → per-query recall@[[TopK]]. Factored
+    * (r13 review) so a change to the ground-truth metric or tie-break can
+    * never apply to one gauge and silently not the others. */
+  private def recallVsExactL2(s: SparkSession, d: String, approxIn: DataFrame): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+    val qq = e.filter(col("vec_id") < RecallQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nsq").as("qn"))
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    val exact = e.crossJoin(broadcast(qq))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dist",
+        col("nsq") - lit(2.0) * dot(col("qe"), col("embedding")) + col("qn"))
+      .withColumn("rank", row_number().over(byQ))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("nid"))
+    val approx = approxIn.select(col("qid"), col("nid"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(TopK)).as("recall"))
+      .orderBy(col("qid"))
+  }
 
   /** Duplicate threshold for `sim_incremental` admission — aligned with
     * the batch embedding near-dup pass (`dedup_embedding_cosine`'s 0.3),
@@ -1436,6 +1410,29 @@ object Similarity {
        |  JOIN rlut l ON l.qid = c.qid AND l.cell = c.cell AND l.m = k.m AND l.sid = k.sid
        |  GROUP BY c.qid, c.vec_id)""".stripMargin
 
+  /** The shared recall-tail SQL (exact squared-L2 ground truth + the
+    * per-query recall aggregation), composed by concatenation after each
+    * gauge's own `approx` CTE — the DuckDB twin of [[recallVsExactL2]],
+    * factored for the same single-discipline reason. Callers must have
+    * the `e` CTE in scope and end their CTE list with a trailing comma. */
+  private def recallTailSql: String =
+    s"""ex_cands AS (
+       |  SELECT q.vec_id AS qid, x.vec_id AS nid,
+       |    x.nsq - CAST(2.0 AS DOUBLE) * ${dotSql("q", "x")} + q.nsq AS dist
+       |  FROM e q CROSS JOIN e x
+       |  WHERE q.vec_id < $RecallQueries AND x.vec_id <> q.vec_id),
+       |exact AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+       |    FROM ex_cands)
+       |  WHERE rank <= $TopK)
+       |SELECT g.qid, COUNT(a.nid) AS n_hits,
+       |  CAST(COUNT(a.nid) AS DOUBLE) / $TopK AS recall
+       |FROM exact g
+       |LEFT JOIN approx a ON a.qid = g.qid AND a.nid = g.nid
+       |GROUP BY g.qid
+       |ORDER BY g.qid""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "embed_kmeans" ->
       s"""WITH e AS (
@@ -1685,22 +1682,7 @@ object Similarity {
            |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
            |    FROM adc)
            |  WHERE rank <= $TopK),
-           |ex_cands AS (
-           |  SELECT q.vec_id AS qid, x.vec_id AS nid,
-           |    x.nsq - CAST(2.0 AS DOUBLE) * ${dotSql("q", "x")} + q.nsq AS dist
-           |  FROM e q CROSS JOIN e x
-           |  WHERE q.vec_id < $RecallQueries AND x.vec_id <> q.vec_id),
-           |exact AS (
-           |  SELECT qid, nid FROM (
-           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
-           |    FROM ex_cands)
-           |  WHERE rank <= $TopK)
-           |SELECT g.qid, COUNT(a.nid) AS n_hits,
-           |  CAST(COUNT(a.nid) AS DOUBLE) / $TopK AS recall
-           |FROM exact g
-           |LEFT JOIN approx a ON a.qid = g.qid AND a.nid = g.nid
-           |GROUP BY g.qid
-           |ORDER BY g.qid""".stripMargin),
+           |""".stripMargin + recallTailSql),
     "sim_recall_pqr" ->
       (s"WITH $ivfCtes,\n" + pqrCtes(RecallQueries) + ",\n" +
         s"""approx AS (
@@ -1708,22 +1690,7 @@ object Similarity {
            |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
            |    FROM adc_r)
            |  WHERE rank <= $TopK),
-           |ex_cands AS (
-           |  SELECT q.vec_id AS qid, x.vec_id AS nid,
-           |    x.nsq - CAST(2.0 AS DOUBLE) * ${dotSql("q", "x")} + q.nsq AS dist
-           |  FROM e q CROSS JOIN e x
-           |  WHERE q.vec_id < $RecallQueries AND x.vec_id <> q.vec_id),
-           |exact AS (
-           |  SELECT qid, nid FROM (
-           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
-           |    FROM ex_cands)
-           |  WHERE rank <= $TopK)
-           |SELECT g.qid, COUNT(a.nid) AS n_hits,
-           |  CAST(COUNT(a.nid) AS DOUBLE) / $TopK AS recall
-           |FROM exact g
-           |LEFT JOIN approx a ON a.qid = g.qid AND a.nid = g.nid
-           |GROUP BY g.qid
-           |ORDER BY g.qid""".stripMargin),
+           |""".stripMargin + recallTailSql),
     "sim_recall_refined" ->
       (s"WITH $ivfCtes,\n" + pqAdcCtes(RecallQueries) + ",\n" +
         s"""short AS (
@@ -1742,22 +1709,7 @@ object Similarity {
            |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
            |    FROM rr)
            |  WHERE rank <= $TopK),
-           |ex_cands AS (
-           |  SELECT q.vec_id AS qid, x.vec_id AS nid,
-           |    x.nsq - CAST(2.0 AS DOUBLE) * ${dotSql("q", "x")} + q.nsq AS dist
-           |  FROM e q CROSS JOIN e x
-           |  WHERE q.vec_id < $RecallQueries AND x.vec_id <> q.vec_id),
-           |exact AS (
-           |  SELECT qid, nid FROM (
-           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
-           |    FROM ex_cands)
-           |  WHERE rank <= $TopK)
-           |SELECT g.qid, COUNT(a.nid) AS n_hits,
-           |  CAST(COUNT(a.nid) AS DOUBLE) / $TopK AS recall
-           |FROM exact g
-           |LEFT JOIN approx a ON a.qid = g.qid AND a.nid = g.nid
-           |GROUP BY g.qid
-           |ORDER BY g.qid""".stripMargin),
+           |""".stripMargin + recallTailSql),
     "sim_recall" ->
       (s"WITH $ivfCtes,\n" +
         s"""probes AS (

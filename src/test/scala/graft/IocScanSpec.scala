@@ -95,8 +95,12 @@ class IocScanSpec extends AnyFunSuite {
 
   test("fused extract plan ≡ three-regex plan on corpus text (multiset)") {
     import spark.implicits._
+    // orderBy before limit: a bare LIMIT re-executes per action and is not
+    // guaranteed to pick the same 400 rows on a multi-partition scan —
+    // the two exceptAll sides must compare the SAME sample
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
       .select(col("doc_id").cast("string").as("id"), col("text"))
+      .orderBy(col("doc_id"))
       .limit(400)
       .withColumn("user", lit("u"))
       .withColumn("hashtags", lit("t"))

@@ -49,8 +49,10 @@ URL_OK = re.compile(
     r"|([\w-]+\.)*(apache\.org|github\.com|pastebin\.com|twitter\.com"
     r"|t\.co|splunk\.com|splunkcloud\.com|duckdb\.org|scala-lang\.org"
     r"|scalatest\.org|w3\.org|json\.org|maven\.org|google\.com|x\.y\.com)"
-    # code-constructed attacker fixtures (tests build hosts onto this stem)
-    r"|evil-[\w.-]*"
+    # code-constructed attacker fixtures (tests build hosts onto this
+    # stem; matched sans trailing [-.] — the caller rstrips those, so the
+    # bare "evil" stem must pass too)
+    r"|evil[\w.-]*"
     r")$")
 URL_RE = re.compile(r"https?://[\w.-]+")
 
@@ -96,7 +98,12 @@ def main(rnd):
                     if IMPORT_RE.match(line) and not IMPORT_OK.match(line):
                         hits["nonpublic-import"].append(where)
                     for m in URL_RE.finditer(line):
-                        if not URL_OK.match(m.group(0)):
+                        # URL_RE's host class swallows sentence punctuation
+                        # ("...see https://spark.apache.org." captures the
+                        # final dot); strip trailing [.-] so the END-anchored
+                        # allowlist doesn't flag prose (r13 review finding) —
+                        # the anti-prefix-trick anchoring is unaffected.
+                        if not URL_OK.match(m.group(0).rstrip(".-")):
                             hits["nonpublic-url"].append(where)
                     if BUCKET_RE.search(line):
                         hits["bucket-uri"].append(where)
