@@ -985,17 +985,37 @@ object Similarity {
   private[graft] def pqCodes(s: SparkSession, d: String): DataFrame =
     graft.Memo("pq_codes", s, d)(computePqCodes(s, d).localCheckpoint())
 
-  private[graft] def computePqCodes(s: SparkSession, d: String): DataFrame = {
-    val cb = pqSeeds(s, d)
+  private[graft] def computePqCodes(s: SparkSession, d: String): DataFrame =
+    encodeArrayLand(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")),
+      pqSeeds(s, d))
+
+  /** The shared array-land encode core (raw and residual builds): per
+    * (vector, subspace) row, fold the broadcast codebook and pick the
+    * argmin sid. Two allocation hoists measured at the 10× corpus
+    * (r13: build 20.4 s → see warm ledger): the vector's subvector is
+    * sliced ONCE per (row, m) instead of once per codebook entry, and
+    * the codebook is PRESLICED per subspace at build time (`cbm(m+1)` =
+    * the sid-sorted (sid, 8-dim subvector) entries for subspace m) —
+    * the fold lambda then runs pure [[ArrayL2]] with zero slicing, so
+    * per row-m the old 2·K slice allocations disappear. Bit-identical:
+    * same slice values, same fold operands/order, same first-match
+    * sid-ascending tie-break (equivalence vs the retired window argmin
+    * stays pinned in ReformulationSpec). */
+  private def encodeArrayLand(vectors: DataFrame, seeds: DataFrame): DataFrame = {
+    val cbm = seeds
       .agg(sort_array(collect_list(struct(col("sid"), col("se")))).as("cb"))
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
+      .select(transform(sequence(lit(0), lit(PqM - 1)), m =>
+        transform(col("cb"), c =>
+          struct(c("sid").as("sid"), pqSlice(c("se"), m).as("se")))).as("cbm"))
+    vectors
       .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
-      .crossJoin(broadcast(cb))
-      .withColumn("ds", transform(col("cb"),
-        c => pqL2(pqSlice(col("embedding"), col("m")), pqSlice(c("se"), col("m")))))
+      .select(col("vec_id"), col("m"), pqSlice(col("v"), col("m")).as("vs"))
+      .crossJoin(broadcast(cbm))
+      .withColumn("cbe", element_at(col("cbm"), col("m") + 1))
+      .withColumn("ds", transform(col("cbe"), c => pqL2(col("vs"), c("se"))))
       .select(col("vec_id"), col("m"),
-        element_at(col("cb"),
+        element_at(col("cbe"),
           array_position(col("ds"), array_min(col("ds"))).cast("int"))("sid").as("sid"))
   }
 
@@ -1032,18 +1052,10 @@ object Similarity {
   private[operators] def pqrCodes(s: SparkSession, d: String): DataFrame =
     graft.Memo("pqr_codes", s, d)(computePqrCodes(s, d).localCheckpoint())
 
-  private[graft] def computePqrCodes(s: SparkSession, d: String): DataFrame = {
-    val cb = pqrSeeds(s, d)
-      .agg(sort_array(collect_list(struct(col("sid"), col("se")))).as("cb"))
-    pqResiduals(s, d).select(col("vec_id"), col("r"))
-      .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
-      .crossJoin(broadcast(cb))
-      .withColumn("ds", transform(col("cb"),
-        c => pqL2(pqSlice(col("r"), col("m")), pqSlice(c("se"), col("m")))))
-      .select(col("vec_id"), col("m"),
-        element_at(col("cb"),
-          array_position(col("ds"), array_min(col("ds"))).cast("int"))("sid").as("sid"))
-  }
+  private[graft] def computePqrCodes(s: SparkSession, d: String): DataFrame =
+    encodeArrayLand(
+      pqResiduals(s, d).select(col("vec_id"), col("r").as("v")),
+      pqrSeeds(s, d))
 
   /** Residual-ADC top-k through the IVF probes. Differs from
     * [[pqAdcTopK]] in the LUT key only: a query's residual depends on
