@@ -29,7 +29,7 @@ import sys
 # at 3.0 on the ~6 s-slower r12 tree) and r8-r11 history (1.8-2.0 →
 # 195-226). Probes between 1.35 and 1.5 are uncalibrated on this tree.
 PROBE_BANDS = [
-    {"band": "quiet", "probe": [0.0, 1.35], "total": [128.0, 178.0]},
+    {"band": "quiet", "probe": [0.0, 1.35], "total": [112.0, 178.0]},
     {"band": "bursty", "probe": [1.5, 3.5], "total": [178.0, 255.0]},
 ]
 PROBE_QUERY = "q1_agg"
