@@ -21,6 +21,14 @@ object Iocs {
   // Email-feed variants tolerate analyst defanging ("[.]"); the tweet-feed IP
   // variant deliberately does not (firehose.py:56 vs h-isac.py:70) — both are
   // kept, per SURVEY.md §2.3 R2/R6.
+  //
+  // LOAD-BEARING GUARD (r13 verdict condition for keeping the fused
+  // scanner): graft.functions.IocScan hand-reproduces the java.util.regex
+  // semantics of IpPlain / Hash / UrlFast on the tweet hot path. Any edit
+  // to a pattern below MUST extend IocScanSpec's fuzz corpus in the SAME
+  // commit — the fuzz suite (vs the live regex plan) plus the DuckDB
+  // oracle (which runs these ORIGINAL patterns) are the only things
+  // keeping the two implementations equivalent.
 
   /** IP with optional defanged octets — /root/reference/h-isac.py:70 */
   val IpDefanged = """((?:^|\b)(?:\d{1,3}\[?\.\]?){3}\d{1,3}(?:\b|$))"""

