@@ -165,7 +165,11 @@ object StreamBench {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     spark.stop()
+    // batch_ms_all: the raw per-batch triggerExecution vector in batch
+    // order — percentiles hide WHICH batch paid (r14: a single 20 s
+    // outlier batch on a bursty container swamped rps_busy over a 5-batch
+    // run and made A/B deltas unreadable; the vector attributes it)
     println(
-      s"""{"metric":"stream_throughput","mode":"$mode","records":$rows,"max_per_batch":$maxPerBatch,"batches":$batches,"rps_busy":${fmt(rows / busySec)},"rps_wall":${fmt(rows / wallSec)},"batch_ms_p50":${pct(0.5)},"batch_ms_p99":${pct(0.99)},"busy_sec":${fmt(busySec)},"wall_sec":${fmt(wallSec)},"sink_posts":${CountingTransport.posts.get()},"sink_bytes":${CountingTransport.bytes.get()},"window_truncated":$truncated}""")
+      s"""{"metric":"stream_throughput","mode":"$mode","records":$rows,"max_per_batch":$maxPerBatch,"batches":$batches,"rps_busy":${fmt(rows / busySec)},"rps_wall":${fmt(rows / wallSec)},"batch_ms_p50":${pct(0.5)},"batch_ms_p99":${pct(0.99)},"batch_ms_all":${execMs.mkString("[", ",", "]")},"busy_sec":${fmt(busySec)},"wall_sec":${fmt(wallSec)},"sink_posts":${CountingTransport.posts.get()},"sink_bytes":${CountingTransport.bytes.get()},"window_truncated":$truncated}""")
   }
 }

@@ -70,21 +70,53 @@ private class ReplayMicroBatchStream(path: String, maxPerBatch: Int)
     * stopped after 50k rows). Implementing it tells Spark the source can
     * pace itself to "everything available at query start" across multiple
     * batches; our available-set is the static file, already captured by
-    * `totalLines`, so there is nothing to snapshot here. */
+    * `lineIndex`, so there is nothing to snapshot here. */
   override def prepareForTriggerAvailableNow(): Unit = ()
 
-  /** Total line count — ONE streaming pass on the driver; the lines
-    * themselves are never materialized driver-side. Partition readers open
-    * the file on their executor and stream their own [start, end) slice, so
-    * driver memory is O(1) in file size (the round-1 version sliced a
-    * driver-resident array — a driver-memory bottleneck on a real feed
-    * dump). A byte-indexed production source would also skip the per-reader
-    * line scan; line-granular offsets are kept because they ARE the
-    * checkpoint contract here. */
-  private lazy val totalLines: Long = {
-    val src = scala.io.Source.fromFile(path)
-    try src.getLines().size.toLong finally src.close()
+  /** Index granularity: byte offset of every `IndexStride`-th line start is
+    * recorded, so a reader seeks to within IndexStride lines of its slice
+    * instead of decoding every line from byte 0 (the r13 shape: skip cost
+    * was O(offset) PER READER, i.e. quadratic over a replay — measured as
+    * "per-batch overhead" in the r13 knee sweep because later batches pay
+    * more). 4096 lines ≈ 0.5 MB of residual skip per task; the index for a
+    * 2^31-line dump is 4 MB of driver memory. */
+  private val IndexStride = 4096
+
+  /** ONE buffered byte pass on the driver: total line count + the byte
+    * offset of every IndexStride-th line start. Replaces the r1–r13
+    * decode-everything `Source.getLines().size` pass (same single scan, now
+    * also yielding the seek index; raw '\n' counting skips UTF-8 decode —
+    * safe because UTF-8 multi-byte sequences never contain 0x0A). Lines
+    * themselves are never materialized driver-side; a file not ending in
+    * '\n' still counts its final partial line, matching getLines(). */
+  private lazy val lineIndex: (Long, Array[Long]) = {
+    val in = new java.io.FileInputStream(path)
+    try {
+      val buf = new Array[Byte](1 << 20)
+      val offs = scala.collection.mutable.ArrayBuffer[Long](0L)
+      var lines = 0L
+      var pos = 0L
+      var lastByte: Int = -1
+      var read = in.read(buf)
+      while (read > 0) {
+        var i = 0
+        while (i < read) {
+          if (buf(i) == '\n') {
+            lines += 1
+            if (lines % IndexStride == 0) offs += pos + i + 1
+          }
+          i += 1
+        }
+        lastByte = buf(read - 1) & 0xff
+        pos += read
+        read = in.read(buf)
+      }
+      if (pos > 0 && lastByte != '\n') lines += 1
+      (lines, offs.toArray)
+    } finally in.close()
   }
+
+  private def totalLines: Long = lineIndex._1
 
   override def initialOffset(): Offset = ReplayOffset(0)
   override def deserializeOffset(json: String): Offset = ReplayOffset(json.toLong)
@@ -106,16 +138,39 @@ private class ReplayMicroBatchStream(path: String, maxPerBatch: Int)
     throw new UnsupportedOperationException(
       "rate-limited source: Spark must call latestOffset(start, limit)")
 
+  /** Data-sized batch splitting (r14; closes the r13 knee): the r13 shape
+    * hardcoded TWO slices per batch, so the whole narrow pipeline above the
+    * source — JSON flatten, IOC extraction, sink serialization are all
+    * per-partition — ran as 2 tasks per micro-batch no matter how many
+    * cores the host had; the "extraction cap" in the r12 stage
+    * decomposition was really a 2-task cap. Slices are ≥ MinChunkLines so
+    * tiny spec batches stay single-task, and ≤ defaultParallelism so a big
+    * admission fills the host without flooding the scheduler. */
+  private val MinChunkLines = 8192L
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[ReplayOffset].n,
       end.asInstanceOf[ReplayOffset].n)
     if (e <= s) Array.empty
     else {
-      // split the batch across 2 tasks to exercise parallel read
-      val mid = s + (e - s) / 2
-      Seq((s, mid), (mid, e)).filter(p => p._2 > p._1)
-        .map(p => ReplayPartition(path, p._1, p._2): InputPartition)
-        .toArray
+      val rows = e - s
+      val maxParts = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sparkContext.defaultParallelism.toLong).getOrElse(2L)
+      val nParts = math.max(1L,
+        math.min(maxParts, (rows + MinChunkLines - 1) / MinChunkLines)).toInt
+      val offs = lineIndex._2
+      (0 until nParts).flatMap { i =>
+        val a = s + i.toLong * rows / nParts
+        val b = s + (i.toLong + 1) * rows / nParts
+        if (b <= a) None
+        else {
+          // seek hint: nearest indexed line start at-or-before `a`
+          val idx = math.min(a / IndexStride, (offs.length - 1).toLong).toInt
+          Some(ReplayPartition(path, a, b,
+            offs(idx), a - idx.toLong * IndexStride): InputPartition)
+        }
+      }.toArray
     }
   }
 
@@ -124,24 +179,34 @@ private class ReplayMicroBatchStream(path: String, maxPerBatch: Int)
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val p = partition.asInstanceOf[ReplayPartition]
         new PartitionReader[InternalRow] {
-          private val src = scala.io.Source.fromFile(p.path)
-          // Long-safe skip: Iterator.drop takes an Int, and drop(negative)
-          // after truncation would silently re-read lines [0, n) — wrong
-          // data, no error — on a dump past 2^31 lines.
-          private val it = {
-            val lines = src.getLines()
+          // Seek to the driver-indexed byte offset, then decode at most
+          // IndexStride residual lines to reach the slice — the r13 reader
+          // decoded EVERY line from byte 0 (O(offset) per task; quadratic
+          // over a replay). Seeking to a recorded line start keeps UTF-8
+          // decode aligned. Long-safe: skipLines is a Long counter, never
+          // an Iterator.drop(Int).
+          private val in = new java.io.FileInputStream(p.path)
+          private val reader = {
+            in.getChannel.position(p.byteStart)
+            val r = new java.io.BufferedReader(
+              new java.io.InputStreamReader(in,
+                java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
             var i = 0L
-            while (i < p.start && lines.hasNext) { lines.next(); i += 1 }
-            lines
+            while (i < p.skipLines && r.readLine() != null) i += 1
+            r
           }
           private var remaining = p.end - p.start
           private var cur: String = null
-          override def next(): Boolean =
-            if (remaining > 0 && it.hasNext) { cur = it.next(); remaining -= 1; true }
-            else false
+          override def next(): Boolean = {
+            if (remaining <= 0) false
+            else {
+              cur = reader.readLine()
+              if (cur == null) false else { remaining -= 1; true }
+            }
+          }
           override def get(): InternalRow =
             InternalRow(UTF8String.fromString(cur))
-          override def close(): Unit = src.close()
+          override def close(): Unit = reader.close()
         }
       }
     }
@@ -150,5 +215,11 @@ private class ReplayMicroBatchStream(path: String, maxPerBatch: Int)
   override def stop(): Unit = ()
 }
 
-private case class ReplayPartition(path: String, start: Long, end: Long)
+/** One line-range slice of a micro-batch. `byteStart` is the byte offset of
+  * an indexed line start at-or-before `start`; `skipLines` (< IndexStride)
+  * is how many lines the reader discards after seeking there. Both are
+  * computed driver-side from the one-pass index so the task ships two longs,
+  * not the index. */
+private case class ReplayPartition(path: String, start: Long, end: Long,
+                                   byteStart: Long, skipLines: Long)
     extends InputPartition
