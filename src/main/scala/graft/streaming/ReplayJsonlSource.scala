@@ -73,48 +73,7 @@ private class ReplayMicroBatchStream(path: String, maxPerBatch: Int)
     * `lineIndex`, so there is nothing to snapshot here. */
   override def prepareForTriggerAvailableNow(): Unit = ()
 
-  /** Index granularity: byte offset of every `IndexStride`-th line start is
-    * recorded, so a reader seeks to within IndexStride lines of its slice
-    * instead of decoding every line from byte 0 (the r13 shape: skip cost
-    * was O(offset) PER READER, i.e. quadratic over a replay — measured as
-    * "per-batch overhead" in the r13 knee sweep because later batches pay
-    * more). 4096 lines ≈ 0.5 MB of residual skip per task; the index for a
-    * 2^31-line dump is 4 MB of driver memory. */
-  private val IndexStride = 4096
-
-  /** ONE buffered byte pass on the driver: total line count + the byte
-    * offset of every IndexStride-th line start. Replaces the r1–r13
-    * decode-everything `Source.getLines().size` pass (same single scan, now
-    * also yielding the seek index; raw '\n' counting skips UTF-8 decode —
-    * safe because UTF-8 multi-byte sequences never contain 0x0A). Lines
-    * themselves are never materialized driver-side; a file not ending in
-    * '\n' still counts its final partial line, matching getLines(). */
-  private lazy val lineIndex: (Long, Array[Long]) = {
-    val in = new java.io.FileInputStream(path)
-    try {
-      val buf = new Array[Byte](1 << 20)
-      val offs = scala.collection.mutable.ArrayBuffer[Long](0L)
-      var lines = 0L
-      var pos = 0L
-      var lastByte: Int = -1
-      var read = in.read(buf)
-      while (read > 0) {
-        var i = 0
-        while (i < read) {
-          if (buf(i) == '\n') {
-            lines += 1
-            if (lines % IndexStride == 0) offs += pos + i + 1
-          }
-          i += 1
-        }
-        lastByte = buf(read - 1) & 0xff
-        pos += read
-        read = in.read(buf)
-      }
-      if (pos > 0 && lastByte != '\n') lines += 1
-      (lines, offs.toArray)
-    } finally in.close()
-  }
+  private lazy val lineIndex: (Long, Array[Long]) = ReplayIndex.build(path)
 
   private def totalLines: Long = lineIndex._1
 
@@ -143,35 +102,20 @@ private class ReplayMicroBatchStream(path: String, maxPerBatch: Int)
     * source — JSON flatten, IOC extraction, sink serialization are all
     * per-partition — ran as 2 tasks per micro-batch no matter how many
     * cores the host had; the "extraction cap" in the r12 stage
-    * decomposition was really a 2-task cap. Slices are ≥ MinChunkLines so
-    * tiny spec batches stay single-task, and ≤ defaultParallelism so a big
-    * admission fills the host without flooding the scheduler. */
-  private val MinChunkLines = 8192L
-
+    * decomposition was really a 2-task cap. Slices are ≥
+    * [[ReplayIndex.MinChunkLines]] so tiny spec batches stay single-task,
+    * and ≤ defaultParallelism so a big admission fills the host without
+    * flooding the scheduler. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[ReplayOffset].n,
       end.asInstanceOf[ReplayOffset].n)
-    if (e <= s) Array.empty
-    else {
-      val rows = e - s
-      val maxParts = org.apache.spark.sql.SparkSession.getActiveSession
-        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-        .map(_.sparkContext.defaultParallelism.toLong).getOrElse(2L)
-      val nParts = math.max(1L,
-        math.min(maxParts, (rows + MinChunkLines - 1) / MinChunkLines)).toInt
-      val offs = lineIndex._2
-      (0 until nParts).flatMap { i =>
-        val a = s + i.toLong * rows / nParts
-        val b = s + (i.toLong + 1) * rows / nParts
-        if (b <= a) None
-        else {
-          // seek hint: nearest indexed line start at-or-before `a`
-          val idx = math.min(a / IndexStride, (offs.length - 1).toLong).toInt
-          Some(ReplayPartition(path, a, b,
-            offs(idx), a - idx.toLong * IndexStride): InputPartition)
-        }
-      }.toArray
-    }
+    val maxParts = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.defaultParallelism.toLong).getOrElse(2L)
+    ReplayIndex.slices(s, e, maxParts, lineIndex._2)
+      .map(sl => ReplayPartition(path, sl.start, sl.end,
+        sl.byteStart, sl.skipLines): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -223,3 +167,84 @@ private class ReplayMicroBatchStream(path: String, maxPerBatch: Int)
 private case class ReplayPartition(path: String, start: Long, end: Long,
                                    byteStart: Long, skipLines: Long)
     extends InputPartition
+
+/** The replay source's seek machinery, factored out of the stream so
+  * ReplaySourceSpec can pin it directly (the end-to-end tests exercise
+  * 25-line files; index-stride and slice-boundary arithmetic only bites at
+  * sizes no spec should stream end-to-end). */
+private[graft] object ReplayIndex {
+
+  /** Index granularity: byte offset of every `IndexStride`-th line start is
+    * recorded, so a reader seeks to within IndexStride lines of its slice
+    * instead of decoding every line from byte 0 (the r13 shape: skip cost
+    * was O(offset) PER READER, i.e. quadratic over a replay — measured as
+    * "per-batch overhead" in the r13 knee sweep because later batches pay
+    * more). 4096 lines ≈ 0.5 MB of residual skip per task; the index for a
+    * 2^31-line dump is 4 MB of driver memory. */
+  val IndexStride = 4096
+
+  /** Slice floor: batches split into ceil(rows/MinChunkLines) tasks (capped
+    * at defaultParallelism), so a 200k admission fills a 32-core host while
+    * a 7-row spec batch stays single-task. */
+  val MinChunkLines = 8192L
+
+  /** ONE buffered byte pass on the driver: total line count + the byte
+    * offset of every `stride`-th line start. Replaces the r1–r13
+    * decode-everything `Source.getLines().size` pass (same single scan, now
+    * also yielding the seek index; raw '\n' counting skips UTF-8 decode —
+    * safe because UTF-8 multi-byte sequences never contain 0x0A). Lines
+    * themselves are never materialized driver-side; a file not ending in
+    * '\n' still counts its final partial line, matching getLines(). */
+  def build(path: String, stride: Int = IndexStride): (Long, Array[Long]) = {
+    val in = new java.io.FileInputStream(path)
+    try {
+      val buf = new Array[Byte](1 << 20)
+      val offs = scala.collection.mutable.ArrayBuffer[Long](0L)
+      var lines = 0L
+      var pos = 0L
+      var lastByte: Int = -1
+      var read = in.read(buf)
+      while (read > 0) {
+        var i = 0
+        while (i < read) {
+          if (buf(i) == '\n') {
+            lines += 1
+            if (lines % stride == 0) offs += pos + i + 1
+          }
+          i += 1
+        }
+        lastByte = buf(read - 1) & 0xff
+        pos += read
+        read = in.read(buf)
+      }
+      if (pos > 0 && lastByte != '\n') lines += 1
+      (lines, offs.toArray)
+    } finally in.close()
+  }
+
+  final case class Slice(start: Long, end: Long, byteStart: Long, skipLines: Long)
+
+  /** Split the line range [s, e) into at most `maxParts` contiguous slices
+    * of at least `minChunk` lines, each carrying its seek hint (nearest
+    * indexed line start at-or-before the slice start + residual lines to
+    * discard after seeking). Covers [s, e) exactly, in order, no overlap. */
+  def slices(s: Long, e: Long, maxParts: Long, offs: Array[Long],
+             stride: Int = IndexStride,
+             minChunk: Long = MinChunkLines): Seq[Slice] = {
+    if (e <= s) Seq.empty
+    else {
+      val rows = e - s
+      val nParts = math.max(1L,
+        math.min(math.max(1L, maxParts), (rows + minChunk - 1) / minChunk)).toInt
+      (0 until nParts).flatMap { i =>
+        val a = s + i.toLong * rows / nParts
+        val b = s + (i.toLong + 1) * rows / nParts
+        if (b <= a) None
+        else {
+          val idx = math.min(a / stride, (offs.length - 1).toLong).toInt
+          Some(Slice(a, b, offs(idx), a - idx.toLong * stride))
+        }
+      }
+    }
+  }
+}

@@ -98,4 +98,60 @@ class ReplaySourceSpec extends AnyFunSuite {
     assert(q.recentProgress.count(_.numInputRows > 0) >= 4, "still rate-bounded")
     assert(q.recentProgress.forall(_.numInputRows <= 7))
   }
+
+  // --- r14 seek machinery (byte index + data-sized slicing), pinned
+  // directly: the end-to-end tests above stream 25-line files, where
+  // stride/boundary arithmetic never bites.
+
+  test("ReplayIndex.build: line counts and every recorded offset is a true line start") {
+    import graft.streaming.ReplayIndex
+    val f = Files.createTempFile("replay_idx", ".jsonl")
+    // variable-width lines across several stride boundaries; multi-byte
+    // UTF-8 to prove raw-newline counting can't split a codepoint
+    val lines = (0 until 1000).map(i => s"line-$i-${"x" * (i % 37)}-é")
+    Files.writeString(f, lines.mkString("\n")) // NO trailing newline
+    val stride = 64
+    val (n, offs) = ReplayIndex.build(f.toString, stride)
+    assert(n == 1000, "final partial line must count, matching getLines()")
+    assert(offs.head == 0L)
+    assert(offs.length == 1 + (1000 - 1) / stride || offs.length == 1 + 1000 / stride)
+    val bytes = Files.readAllBytes(f)
+    offs.zipWithIndex.foreach { case (off, k) =>
+      assert(off == 0 || bytes(off.toInt - 1) == '\n',
+        s"offset $k ($off) must sit just after a newline")
+      // the offset must be the start of line k*stride exactly
+      val prefix = new String(bytes, 0, off.toInt, java.nio.charset.StandardCharsets.UTF_8)
+      assert(prefix.count(_ == '\n') == k * stride, s"offset $k points at the wrong line")
+    }
+    // trailing-newline variant counts the same lines, one more index slot
+    val g = Files.createTempFile("replay_idx_nl", ".jsonl")
+    Files.writeString(g, lines.mkString("\n") + "\n")
+    assert(ReplayIndex.build(g.toString, stride)._1 == 1000)
+  }
+
+  test("ReplayIndex.slices: exact cover, chunk floor, parallelism cap, valid seek hints") {
+    import graft.streaming.ReplayIndex
+    val stride = 64
+    // synthetic index covering 1M lines at stride 64 (as if every line were
+    // 10 bytes): offs(k) = byte start of line k*stride
+    val offs = Array.tabulate(1000000 / stride + 1)(k => k.toLong * stride * 10L)
+    // tiny batch -> one slice
+    assert(ReplayIndex.slices(0, 7, 32, offs, stride, 8192).map(s => (s.start, s.end))
+      == Seq((0L, 7L)))
+    // big batch: capped at maxParts, covers [s, e) exactly, in order
+    val big = ReplayIndex.slices(200000, 400000, 32, offs, stride, 8192)
+    assert(big.size == 25, "ceil(200k/8192) = 25 slices under a 32-part cap")
+    assert(big.head.start == 200000 && big.last.end == 400000)
+    big.sliding(2).foreach { case Seq(x, y) => assert(x.end == y.start); case _ => }
+    big.foreach { s =>
+      assert(s.skipLines >= 0 && s.skipLines < stride)
+      assert(s.byteStart == offs((s.start / stride).toInt),
+        "seek hint must be the indexed start at-or-before the slice")
+      assert((s.start - s.skipLines) % stride == 0)
+    }
+    // cap binds: 1M rows over 8 parts
+    assert(ReplayIndex.slices(0, 1000000, 8, offs, stride, 8192).size == 8)
+    // empty range
+    assert(ReplayIndex.slices(5, 5, 32, offs, stride, 8192).isEmpty)
+  }
 }
