@@ -60,6 +60,11 @@ python3 tools/copycheck.py
 
 echo "== 8/9 bench triple (sf0.1) + stability band"
 for i in 1 2 3; do
+  # SPARK_GRAFT_CPUS is EXPLICIT: graft.Bench defaults to local[4] when the
+  # env is unset, and BASELINE.md's floors are calibrated at local[32] — a
+  # fresh shell without the export benches ~1.5-1.7x slow and reads as a
+  # phantom regression (r14 incident: 197-263 s at quiet probes).
+  SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>/dev/null \
     | grep '"metric"' | tail -1 > /tmp/roundclose_run$i.json
   cp bench_last.json /tmp/roundclose_full$i.json
