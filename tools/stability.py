@@ -19,18 +19,23 @@ import statistics
 import sys
 
 # The q1_agg probe ↔ expected-total calibration, mirrored from
-# BASELINE.md's floors table (update BOTH on re-baseline). Calibrated on
-# the r13 container + r13 tree (214 queries), SIX same-tree runs:
-# (probe, total) = (0.93,133.4) (1.0,151.4) (1.07,163.1) (1.12,140.2)
-# (1.21,171.2) (1.3,170.4) — below probe ~1.35 the correlation is loose
-# (±15% total at equal probe), so that whole region is ONE quiet band
-# and only a sustained move outside it is a regression signal. The
-# bursty band is anchored by the r12-judge points (187 at 1.2 and 246
-# at 3.0 on the ~6 s-slower r12 tree) and r8-r11 history (1.8-2.0 →
-# 195-226). Probes between 1.35 and 1.5 are uncalibrated on this tree.
+# BASELINE.md's floors table (update BOTH on re-baseline). RECALIBRATED
+# for the r14 container (recycled 2026-08-16 ~22:30 UTC): six local[32]
+# runs on the r14 tree (216 queries) measured quiet-window totals
+# 156.4/170.0 at probes 1.06-1.09, but 205.5-264.0 at probes 1.07-1.29
+# during sustained co-tenant STEAL (measured 0-19.5% of all-CPU in 5 s
+# windows; warm phase doubles when it bites) — the probe CANNOT detect
+# steal that arrives after it ran, so on this box a total alone is
+# uninformative between ~185 and ~270. The quiet band below therefore
+# spans the full healthy-engine-under-steal range; adjudicate a
+# suspected regression via the per-query mover floors / sum-of-minima
+# (BASELINE.md; this fold emits sum_of_minima), never the total. The
+# r13-container history (quiet [112,178] over six runs, 214 queries;
+# per-query minima 1.23x faster than this box) is in BASELINE_HISTORY.md.
+# The bursty row is carried from the r13 container, unverified here.
 PROBE_BANDS = [
-    {"band": "quiet", "probe": [0.0, 1.35], "total": [112.0, 178.0]},
-    {"band": "bursty", "probe": [1.5, 3.5], "total": [178.0, 255.0]},
+    {"band": "quiet", "probe": [0.0, 1.35], "total": [140.0, 270.0]},
+    {"band": "bursty", "probe": [1.5, 3.5], "total": [178.0, 290.0]},
 ]
 PROBE_QUERY = "q1_agg"
 
@@ -73,6 +78,11 @@ out = {
     "n_queries": len(names),
     "sf": runs[0]["sf"],
     "spread_pct": round(100.0 * (max(totals) - min(totals)) / min(totals), 1),
+    # noise-robust floor statistic: each query's best time across the
+    # fold approximates its quiet-window cost even when every individual
+    # run caught a steal burst somewhere — the regression comparator on
+    # steal-prone containers (see PROBE_BANDS comment).
+    "sum_of_minima": round(sum(v["min"] for v in per.values()), 1),
     "probe_verdict": [verdict(r) for r in runs],
     "per_query": per,
 }
