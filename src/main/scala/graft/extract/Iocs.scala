@@ -113,8 +113,14 @@ object Iocs {
     val bare = regexp_replace(host, "/.*$", "")         // path strip
     // digit-run test, not a cast: Spark 4 runs ANSI mode where a failed
     // string→int cast throws; a pure regex check is also engine-portable.
-    val octetsAllInt =
-      forall(split(bare, """\."""), s => s.rlike("^[0-9]+$"))
+    // ONE anchored rlike instead of forall(split(...)): Spark's split
+    // keeps trailing empty strings (limit −1), so "every dot-separated
+    // element matches ^[0-9]+$" holds exactly when the whole string is
+    // nonempty digit runs joined by single dots — no leading/trailing/
+    // doubled dot. The HOF formulation was CodegenFallback (interpreted
+    // lambda + array allocation per token); rlike compiles once and
+    // stays in WholeStageCodegen (r14, guide §4/codegen).
+    val octetsAllInt = bare.rlike("^[0-9]+(\\.[0-9]+)*$")
     when(tok.contains(".") && octetsAllInt, lit("ip"))
       .when(tok.contains("."), lit("url"))
       .when(tok.rlike("^[a-zA-Z0-9]{32,64}"), lit("hash"))

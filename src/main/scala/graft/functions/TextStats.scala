@@ -284,25 +284,32 @@ object TextStats {
     // winnowing fingerprints (MOSS-style): hash every word-3-gram, slide a
     // 4-window over consecutive hashes, keep each window's minimum — the
     // classic robust-fingerprint selection; near-identical documents share
-    // most fingerprints. Codegen'd end to end: posexplode + window leads
-    // (shingles with position) + a ROWS-frame min + distinct.
-    "text_winnowing" -> ((s, d) => {
-      val byPos = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      val shingled = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-        .withColumn("t1", lead(col("tok"), 1).over(byPos))
-        .withColumn("t2", lead(col("tok"), 2).over(byPos))
-        .filter(col("t2").isNotNull)
-        .select(col("doc_id"), col("pos"),
-          md5(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("h"))
-      val winMin = shingled
-        .withColumn("fp", min(col("h")).over(byPos.rowsBetween(0, 3)))
-        .withColumn("full", lead(col("h"), 3).over(byPos)) // only full 4-windows
-        .filter(col("full").isNotNull)
-      winMin.select(col("doc_id"), col("fp")).distinct()
-        .orderBy(col("doc_id"), col("fp"))
-    }),
+    // most fingerprints. r14 reformulation (guide §2.4): the whole
+    // selection runs in ARRAY LAND per document — gram hashes via one
+    // transform, window minima via slice+array_min, per-doc dedup via
+    // array_distinct (DISTINCT(doc_id, fp) ≡ per-doc set, since fp is
+    // computed within the doc) — so the old shape's doc_id window
+    // exchange, its two window sorts, AND the distinct's aggregation all
+    // disappear: ONE corpus scan, one final sort, nothing else. At 100 TB
+    // the fingerprint pass becomes embarrassingly parallel. The md5-per-
+    // gram count is unchanged (one per gram); equivalence is pinned by
+    // the unchanged DuckDB oracle (window formulation) at the hash gate.
+    "text_winnowing" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 6) // 4 full 3-gram windows need ≥6 tokens
+        // hash array HOISTED into its own projection (referenced twice
+        // below — CollapseProject keeps multi-referenced non-cheap
+        // aliases, so the md5 pass runs once per gram, not once per
+        // (gram × window): the PQ-encode lambda-hoist lesson from r13)
+        .select(col("doc_id"), expr(
+          "transform(sequence(1, size(t) - 2), i -> " +
+            "md5(concat_ws(' ', element_at(t, i), element_at(t, i + 1)," +
+            " element_at(t, i + 2))))").as("hs"))
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, size(hs) - 3), j -> " +
+            "array_min(slice(hs, j, 4))))")).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))),
 
     // document fingerprints: exact (md5 of normalized text) + SimHash-60.
     // SimHash computed by explode → 60 codegen'd aggregates over the RAW
@@ -387,15 +394,20 @@ object TextStats {
     // then the per-doc roll-up. Low avg_bits = predictable/templated
     // text, high = unusual token transitions; both tails get filtered.
     "text_bigram_lm" -> ((s, d) => {
-      val byPos = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
       val wCtx = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
       val wBig = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"), col("w2"))
+      // bigram assembly via explode-of-start-positions + element_at (the
+      // r14 shingleOccurrencesN shape): fully codegen, and the doc_id
+      // window exchange + per-partition token sort the posexplode+lead
+      // formulation paid are gone — the first exchange the query pays is
+      // now the w1 hash partitioning that the count windows need anyway.
       val grams = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-        .withColumn("w2", lead(col("tok"), 1).over(byPos))
-        .filter(col("w2").isNotNull)
-        .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - 1)).as("p"))
+        .select(col("doc_id"), element_at(col("t"), col("p")).as("w1"),
+          element_at(col("t"), col("p") + 1).as("w2"))
       grams
         .withColumn("c_ctx", count(lit(1)).over(wCtx))
         .withColumn("c_big", count(lit(1)).over(wBig))

@@ -38,21 +38,28 @@ object Corpus {
     * set it from the DF histogram tail, like [[graft.operators.Dedup.MaxShingleDf]]. */
   val BoilerplateDf = 3
 
-  /** Word n-gram occurrence rows (doc_id, shingle) via the codegen
-    * posexplode + window-leads path (see [[Dedup.shingleOccurrences]];
-    * this is its n-ary generalization). */
-  def shingleOccurrencesN(docs: DataFrame, n: Int): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val base = docs
+  /** Word n-gram occurrence rows (doc_id, shingle), fully scan-fused:
+    * explode the gram START POSITIONS (`sequence`) and assemble each gram
+    * with n codegen `element_at` lookups into the per-row token array —
+    * no window, so the doc_id exchange AND the per-partition token sort
+    * the old posexplode+window-leads path paid are gone (r14, guide §2.4:
+    * "remove shuffles outright"). Unlike the array-HOF `transform`
+    * formulation (CodegenFallback — the r12 lesson on the 3-gram path),
+    * Generate-over-sequence and element_at both stay inside
+    * WholeStageCodegen, so this keeps the per-row cost of the window path
+    * while deleting its shuffle: at 100 TB the n-gram index build becomes
+    * one narrow pass over the corpus. Multiset-identical to the window
+    * path (OperatorsSpec pins it against the HOF slice formulation;
+    * EdgeCasesSpec pins the <n-token guard). */
+  def shingleOccurrencesN(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= n) // also guards sequence(1, x<1) descending
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("p"))
       .select(col("doc_id"),
-        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
-    val withLeads = (1 until n).foldLeft(base)((df, i) =>
-      df.withColumn(s"t$i", lead(col("tok"), i).over(w)))
-    withLeads
-      .filter(col(s"t${n - 1}").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"t$i")): _*).as("shingle"))
-  }
+        concat_ws(" ", (0 until n).map(k =>
+          element_at(col("t"), col("p") + k)): _*).as("shingle"))
 
   /** MEMOIZED full-corpus 5-gram occurrence relation — the
     * contamination/boilerplate/leakage index, persisted once per corpus
@@ -63,7 +70,13 @@ object Corpus {
     * pipeline per query side. */
   private[graft] def shingleOcc5(s: SparkSession, d: String): DataFrame =
     graft.Memo("corpus_occ5", s, d)(
-      shingleOccurrencesN(Tables.documents(s, d), 5).localCheckpoint())
+      // explicit doc_id partitioning at build — same rationale as
+      // [[Dedup.shingleOcc]]: the scan-fused assembly no longer leaves a
+      // doc_id clustering behind, and the index's consumers filter/
+      // aggregate per doc_id (one exchange at build, no sort; readers
+      // skip theirs).
+      shingleOccurrencesN(Tables.documents(s, d), 5)
+        .repartition(col("doc_id")).localCheckpoint())
 
   /** Shared scrub patterns — plain (not defanged) PII shapes; the defanged
     * variants are the IOC-extraction surface in [[graft.extract.Iocs]]. */

@@ -36,27 +36,20 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
 
   /** Word-3-gram occurrence rows (doc_id, shingle), duplicates preserved —
-    * the codegen formulation: posexplode tokens → two window leads → concat.
-    * Stays in WholeStageCodegen; the array-HOF version is interpreted and was
-    * the dominant cost of both dedup joins (each self-join branch
-    * re-evaluates its subtree, multiplying the per-row cost). The only
-    * shuffle is the doc_id window — high-cardinality, balanced. Consumers
-    * that need SET semantics call [[shingleRows]]; duplicate-insensitive
-    * aggregations (min-hash minima) consume this directly and skip the
-    * distinct's (doc_id, shingle) exchange entirely.
+    * the scan-fused codegen formulation ([[Corpus.shingleOccurrencesN]]:
+    * explode of gram start positions + element_at assembly, zero shuffle).
+    * Two prior formulations are retired for cause: the array-HOF version
+    * is interpreted (CodegenFallback) and was the dominant cost of both
+    * dedup joins (each self-join branch re-evaluates its subtree); the
+    * posexplode + window-leads version stayed in codegen but paid a
+    * doc_id exchange AND a per-partition token sort per index build
+    * (removed r14 — guide §2.4). Consumers that need SET semantics call
+    * [[shingleRows]]; duplicate-insensitive aggregations (min-hash
+    * minima) consume this directly and skip the distinct's
+    * (doc_id, shingle) exchange entirely.
     */
-  def shingleOccurrences(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    docs
-      .select(col("doc_id"),
-        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .filter(col("t1").isNotNull && col("t2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-  }
+  def shingleOccurrences(docs: DataFrame): DataFrame =
+    Corpus.shingleOccurrencesN(docs, 3)
 
   /** Distinct (doc_id, shingle) rows — equivalent to
     * `explode(shingles(tokens(text)))` (asserted in OperatorsSpec). Adds one
@@ -73,7 +66,16 @@ object Dedup {
     * repeated cost of the dedup family. */
   private[graft] def shingleOcc(s: SparkSession, d: String): DataFrame =
     memoized("shingle_occ", s, d)(
-      shingleOccurrences(Tables.documents(s, d)).localCheckpoint())
+      // repartition by doc_id at BUILD time: the retired window
+      // formulation left the checkpoint hash(doc_id)-partitioned as a
+      // side effect, and every consumer (signature minima, the distinct/
+      // sz-window of shingleRowsIdx) reuses that clustering to skip its
+      // own exchange. The r14 scan-fused assembly has no shuffle of its
+      // own, so the partitioning is now explicit — same one exchange as
+      // before, minus the window's per-partition token SORT (a persisted
+      // index is written partitioned for its readers; DEPLOYMENT.md).
+      shingleOccurrences(Tables.documents(s, d))
+        .repartition(col("doc_id")).localCheckpoint())
 
   /** MEMOIZED distinct (doc_id, shingle, sz) set — [[shingleOcc]]
     * deduplicated, the SET-semantics face of the same persisted index.
