@@ -29,6 +29,11 @@ object QueryProfile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // A/B knobs for the scan-split posture (guide §6.1)
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", (4L << 20).toString))
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_NUM", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -57,9 +62,24 @@ object QueryProfile {
       if (sys.env.get("SPARK_GRAFT_PROFILE_METRICS").contains("1")) {
         // final (post-AQE) plan of the LAST rep with its SQLMetrics — the
         // per-operator time/row attribution the UI would show (guide §7.1,
-        // headless). Only time-like metrics above 50 ms are printed.
+        // headless). The noop write runs its OWN QueryExecution, so the
+        // executed plan is captured via a QueryExecutionListener (the
+        // listener bus is async — drained below). Only time-like metrics
+        // above 50 ms are printed.
+        @volatile var lastQe: org.apache.spark.sql.execution.QueryExecution = null
+        val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+            lastQe = qe
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+        }
+        spark.listenerManager.register(listener)
         val df = fn(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
+        var waited = 0
+        while (lastQe == null && waited < 5000) { Thread.sleep(100); waited += 100 }
+        spark.listenerManager.unregister(listener)
         def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
           val interesting = p.metrics.toSeq
             .filter { case (_, m) =>
@@ -79,7 +99,7 @@ object QueryProfile {
             case other => other.children.foreach(walk(_, depth + 1))
           }
         }
-        walk(df.queryExecution.executedPlan, 0)
+        if (lastQe != null) walk(lastQe.executedPlan, 0)
       }
     }
     spark.stop()

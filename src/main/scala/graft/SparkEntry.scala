@@ -313,7 +313,7 @@ object SparkEntry {
     "ioc_pastebin_enrich" -> ((s, d) => {
       val id = col("event_id")
       val other = concat(lit("https://other.example/x"), id.cast("string"))
-      val tweets2 = Tables.events(s, d).select(
+      val tweets2 = Tables.fanout(Tables.events(s, d)).select(
         id.cast("string").as("id"),
         concat(lit("ping 10.1."), (id % 256).cast("string"), lit("."), (id % 7).cast("string")).as("text"),
         concat(lit("user-"), col("user_id").cast("string")).as("user"),
@@ -354,7 +354,7 @@ object SparkEntry {
         md5(col("props")),
         concat(lit("host-"), id.cast("string"), lit(".example.com/path")),
         concat(lit("tok"), id.cast("string")))
-      sortedOnce(Tables.events(s, d)
+      sortedOnce(Tables.fanout(Tables.events(s, d))
         .select(id, explode(toks).as("token"))
         .select(id.as("event_id"), col("token"), Iocs.classify(col("token")).as("type")),
         col("event_id"), col("token"))

@@ -63,7 +63,7 @@ object TextStats {
     * ARE document frequencies. */
   private[graft] def tokenTf(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     graft.Memo("text_tf", s, d)(
-      Tables.documents(s, d)
+      Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), size(tokens(col("text"))).as("doc_len"),
           explode(tokens(col("text"))).as("token"))
         .groupBy(col("doc_id"), col("doc_len"), col("token"))
@@ -119,7 +119,7 @@ object TextStats {
       val toks = tokens(col("text"))
       // counts cast to long: DuckDB len()/length() are BIGINT — keep the
       // output schema type-identical on both sides.
-      Tables.documents(s, d).select(
+      Tables.fanout(Tables.documents(s, d)).select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
@@ -194,7 +194,7 @@ object TextStats {
     "text_langid_confusion" -> ((s, d) => {
       val toks = tokens(col("text"))
       val (en, es, de) = (countIn(toks, stopEn), countIn(toks, stopEs), countIn(toks, stopDe))
-      val pred = Tables.documents(s, d).select(
+      val pred = Tables.fanout(Tables.documents(s, d)).select(
         col("lang").as("actual"),
         when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de")
           .as("predicted"))
@@ -295,7 +295,7 @@ object TextStats {
     // gram count is unchanged (one per gram); equivalence is pinned by
     // the unchanged DuckDB oracle (window formulation) at the hash gate.
     "text_winnowing" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 6) // 4 full 3-gram windows need ≥6 tokens
         // hash array HOISTED into its own projection (referenced twice
@@ -401,7 +401,7 @@ object TextStats {
       // window exchange + per-partition token sort the posexplode+lead
       // formulation paid are gone — the first exchange the query pays is
       // now the w1 hash partitioning that the count windows need anyway.
-      val grams = Tables.documents(s, d)
+      val grams = Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
         .select(col("doc_id"), col("t"),
@@ -452,7 +452,7 @@ object TextStats {
       // window, so no doc_id exchange-and-sort of every token row
       // before the gram counts; the first shuffle already carries
       // map-side-combined (doc_id, gram, cnt) partials
-      val occ = Tables.documents(s, d)
+      val occ = Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), tokens(col("text")).as("t"))
         .select(col("doc_id"), explode(expr(
           "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +

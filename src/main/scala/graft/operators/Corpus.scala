@@ -75,7 +75,7 @@ object Corpus {
       // doc_id clustering behind, and the index's consumers filter/
       // aggregate per doc_id (one exchange at build, no sort; readers
       // skip theirs).
-      shingleOccurrencesN(Tables.documents(s, d), 5)
+      shingleOccurrencesN(Tables.fanout(Tables.documents(s, d)), 5)
         .repartition(col("doc_id")).localCheckpoint())
 
   /** Shared scrub patterns — plain (not defanged) PII shapes; the defanged
@@ -459,7 +459,7 @@ object Corpus {
     // more pass over JUST that bucket (agg_exact_quantile's narrowing).
     "docs_token_budget" -> ((s, d) => {
       val q = graft.functions.TextStats.qualityScore(col("text"))
-      val b = Tables.documents(s, d)
+      val b = Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"),
           size(split(lower(col("text")), " ")).cast("long").as("n_toks"),
           floor(q * 100).cast("long").as("bucket"))

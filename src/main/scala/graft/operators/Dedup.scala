@@ -74,7 +74,7 @@ object Dedup {
       // own, so the partitioning is now explicit — same one exchange as
       // before, minus the window's per-partition token SORT (a persisted
       // index is written partitioned for its readers; DEPLOYMENT.md).
-      shingleOccurrences(Tables.documents(s, d))
+      shingleOccurrences(Tables.fanout(Tables.documents(s, d)))
         .repartition(col("doc_id")).localCheckpoint())
 
   /** MEMOIZED distinct (doc_id, shingle, sz) set — [[shingleOcc]]
@@ -458,7 +458,7 @@ object Dedup {
     // discipline), which also drops exactly the grams a dedup pass
     // would treat as boilerplate rather than evidence.
     "dedup_substring" -> ((s, d) => {
-      val grams = Corpus.shingleOccurrencesN(Tables.documents(s, d), 10)
+      val grams = Corpus.shingleOccurrencesN(Tables.fanout(Tables.documents(s, d)), 10)
         .select(col("doc_id"),
           conv(substring(md5(col("shingle")), 1, 15), 16, 10)
             .cast("long").as("h"))
@@ -820,7 +820,7 @@ object Dedup {
   private[graft] def simhashFp(s: SparkSession, d: String): DataFrame =
     memoized("simhash_fp", s, d) {
       val hash60 = (t: Column) => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
-      val bits = Tables.documents(s, d)
+      val bits = Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"),
           explode(transform(graft.functions.TextStats.tokens(col("text")), hash60)).as("b"))
       val sums = bits.groupBy(col("doc_id")).agg(

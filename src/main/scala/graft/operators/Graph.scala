@@ -127,9 +127,18 @@ object Graph {
       val e = edges(s, d)
       val adj = e.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      // materialize (src, dst, outdeg) ONCE: the lazy formulation nested
+      // the adjacency+degree subtree inside every unrolled iteration, so
+      // the 3-iteration plan re-planned (and re-broadcast) it three times
+      // — guide §3.3 "materialising an intermediate truncates the plan".
+      // In production this IS the persisted adjacency table every
+      // iteration reads; per-query localCheckpoint here, like the
+      // convergence loops ([[graft.operators.Dedup.componentLabels]]) —
+      // built fresh on every invocation, never cached across runs.
       val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      val adjdeg = adj.join(deg, Seq("src"))
-      var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+      val adjdeg = adj.join(deg, Seq("src")).localCheckpoint()
+      var r = adjdeg.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(1000000L).as("r"))
       for (_ <- 1 to 3) {
         r = adjdeg.join(r, col("src") === col("node"))
           .groupBy(col("dst"))

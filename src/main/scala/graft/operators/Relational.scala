@@ -131,10 +131,20 @@ object Relational {
       val keys = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
         .select(col("o_orderkey"))
-      val kstr = col("o_orderkey").cast("string")
+      // Probe family: 31-bit halves of xxhash64 (one codegen-native integer
+      // hash per side; the 2-seed pair spreads h1 + j·h2 like the MinHash
+      // family). r14: the previous md5-hex probes (2 digests + hex conv per
+      // fact row) were the query's dominant task time — the bitmap is
+      // engine-internal and the oracle is the EXACT semi join, so the hash
+      // family is free. 31-bit masks keep h1 + j·h2 < 2^33: no overflow
+      // under ANSI, and the mod is non-negative by construction.
+      val m31 = lit(0x7FFFFFFFL)
+      val bh1 = (c: Column) => xxhash64(c).bitwiseAND(m31)
+      val bh2 = (c: Column) => xxhash64(c, lit(1)).bitwiseAND(m31)
       val bloomRow = keys
         .select(explode(array((0 until Corpus.BloomK).map(j =>
-          Corpus.bloomPos(kstr, j)): _*)).as("pos"))
+          (bh1(col("o_orderkey")) + lit(j.toLong) * bh2(col("o_orderkey")))
+            % Corpus.BloomBits): _*)).as("pos"))
         .groupBy((col("pos") / 64).cast("long").as("word_idx"))
         .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))").as("bits"))
         .agg(map_from_arrays(collect_list(col("word_idx")), collect_list(col("bits"))).as("bloom"))
@@ -144,13 +154,27 @@ object Relational {
         val mask = call_function("shiftleft", lit(1L), (p % 64).cast("int"))
         coalesce(element_at(col("bloom"), word), lit(0L)).bitwiseAND(mask) =!= 0
       }
-      val lk = col("l_orderkey").cast("string")
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
-          conv(substring(md5(lk), 1, 8), 16, 10).cast("long").as("h1"),
-          conv(substring(md5(lk), 9, 8), 16, 10).cast("long").as("h2"))
+          bh1(col("l_orderkey")).as("h1"), bh2(col("l_orderkey")).as("h2"))
         .crossJoin(broadcast(bloomRow))
         .filter((0 until Corpus.BloomK).map(hit).reduce(_ && _))
+        // exact re-check: bloom FPs never reach the result, so the answer
+        // ≡ the plain semi join (the oracle). NOTE on evaluation ORDER
+        // (r14 plan audit): PushDownLeftSemiAntiJoin hoists this semi join
+        // BELOW the bloom filter, so at tested scale the plan is exact-
+        // semi-first + bitmap-probe-second — OPTIMAL here, where the key
+        // set broadcasts and a codegen BHJ probe beats 3 interpreted
+        // bitmap probes per row. Three fence formulations that forced
+        // bloom-first were built and measured (+0.6-0.9 s: the probes fold
+        // into a BroadcastNestedLoopJoin condition, which is evaluated
+        // INTERPRETED over the whole fact side; a constant-key equi
+        // variant constant-folds back to the nested loop). At 100 TB,
+        // where the key side cannot broadcast and the pushed-down semi
+        // would shuffle the fact table before the bloom can cut it, the
+        // production posture is to disable the pushdown for this pipeline
+        // (spark.sql.optimizer.excludedRules=…PushDownLeftSemiAntiJoin)
+        // rather than fence each query — OPTIMIZATION_r14.md.
         .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))

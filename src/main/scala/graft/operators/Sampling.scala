@@ -100,7 +100,7 @@ object Sampling {
     // shuffle-free, the predicate fuses into the scan at any corpus size.
     "sample_quality" -> ((s, d) => {
       val q = graft.functions.TextStats.qualityScore(col("text"))
-      Tables.documents(s, d)
+      Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"),
           floor(q * 1000000).cast("long").as("keep_ppm"),
           hashBucket(col("doc_id"), 1000000).as("bucket"))
@@ -126,7 +126,7 @@ object Sampling {
         .orderBy(col("score").desc, col("doc_id"))
       val wn = Window.partitionBy(col("lang"))
       Relational.sortedOnce(
-        Tables.documents(s, d)
+        Tables.fanout(Tables.documents(s, d))
           .select(col("doc_id"), col("lang"), q.as("score"))
           .withColumn("rk", row_number().over(w).cast("long"))
           .withColumn("n_lang", count(lit(1)).over(wn))

@@ -17,6 +17,26 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Fan a scan-starved source out to the session's cores before a
+    * CPU-heavy per-row pipeline (regex extraction, per-token HOF/codegen
+    * work). The driver testdata is SINGLE-ROW-GROUP parquet, so byte-range
+    * splitting cannot raise scan parallelism (a parquet row group goes to
+    * the one split holding its midpoint) and the whole scan-stage pipeline
+    * runs in ONE task of the 32-core session — measured r14: text_winnowing
+    * 1.21→0.57 s, ioc_classify 1.09→0.68 s steady-state once fanned out.
+    * Guard: when the planned scan already feeds the cores (any real
+    * multi-row-group corpus — at 100 TB every table scans in thousands of
+    * splits), this is the IDENTITY: no corpus-sized round-robin is ever
+    * paid at scale (guide §2.5 "input skew: one huge unsplittable file —
+    * repartition immediately after the read"). Applied ONLY where the
+    * per-row pipeline is the stage's dominant cost — a keyed aggregation
+    * or join reshuffles anyway and would pay a pointless extra exchange
+    * (measured: events_sessionize +66% under a blanket fan-out). */
+  def fanout(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
@@ -88,7 +108,10 @@ object Tables {
     * Mirrored exactly in SQL by [[graft.OracleViews.emails]].
     */
   def emails(s: SparkSession, d: String): DataFrame = {
-    val doc = documents(s, d)
+    // fanned out BEFORE the synthesis projection: the md5/concat body
+    // construction and the downstream regex ETL are the scan stage's
+    // dominant per-row cost ([[fanout]] — identity on any real layout)
+    val doc = fanout(documents(s, d))
     val id = col("doc_id")
     val body = concat(
       lit("Dear team,\nNew indicators follow.\n"),
@@ -116,7 +139,9 @@ object Tables {
     * IPs and hashes in text. Mirrored in SQL by [[graft.OracleViews.tweets]].
     */
   def tweets(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d)
+    // fanned out like [[emails]]: text synthesis (md5 per row) + the
+    // tweet regex scan dominate the stage
+    val ev = fanout(events(s, d))
     val id = col("event_id")
     val text = concat(
       when(id % 9 === 0, lit("RT @bot: ")).otherwise(lit("")),
