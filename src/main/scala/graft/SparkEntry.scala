@@ -194,14 +194,19 @@ object SparkEntry {
     // New-vs-recurring sighting split — the "is this campaign growing or
     // echoing" view on the velocity dashboard: per (type, day), sightings
     // whose indicator was first seen THAT day vs re-sightings of known
-    // infrastructure. The first-seen map rides the same (type, ioc) hash
-    // key as ioc_first_seen; the join back is co-keyed (one exchange
-    // each side), and the final (type, day) agg is dashboard-sized.
+    // infrastructure. r14 reformulation: first_day as a MIN WINDOW on the
+    // (type, ioc) partitioning instead of a groupBy + join-back — the
+    // join formulation read the feed twice and, once the first-seen map
+    // outgrows the broadcast threshold (it is indicator-cardinality, so
+    // it does at 100 TB), degrades to a 3-exchange/2-sort sort-merge
+    // plan; the window form is ONE feed scan, one (type, ioc) exchange,
+    // and the dashboard-sized (type, day) agg at every scale.
     "ioc_daily_new" -> ((s, d) => {
-      val u = unifiedFeed(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("type"), col("ioc"))
+      unifiedFeed(s, d)
         .select(col("type"), col("ioc"), col("date_received").as("day"))
-      val first = u.groupBy(col("type"), col("ioc")).agg(min(col("day")).as("first_day"))
-      u.join(first, Seq("type", "ioc"))
+        .withColumn("first_day", min(col("day")).over(w))
         .groupBy(col("type"), col("day"))
         .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
           sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L)).as("n_recurring"))
