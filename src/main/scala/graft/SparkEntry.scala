@@ -63,11 +63,18 @@ object SparkEntry {
     * ioc_daily_new) need individual sighting dates and stay on the feed. */
   private[graft] def iocSightings(s: SparkSession, d: String): DataFrame =
     Memo("ioc_sightings", s, d)(
+      // mn/mx are DATE-typed (r15): a min/max over the yyyy-MM-dd STRINGS
+      // has a string aggregation buffer, which HashAggregate cannot hold —
+      // the build and every downstream min/max were planned as
+      // SortAggregate (sort per exchange side). The fixed-width format
+      // makes string order ≡ date order, so aggregating the DateType (an
+      // int) is bit-equivalent; consumers that publish dates format back
+      // with date_format, which round-trips exactly for valid yyyy-MM-dd.
       unifiedFeed(s, d)
         .groupBy(col("type"), col("ioc"), col("source"), col("platform"))
         .agg(count(lit(1)).as("n"),
-          min(col("date_received")).as("mn"),
-          max(col("date_received")).as("mx"))
+          min(to_date(col("date_received"))).as("mn"),
+          max(to_date(col("date_received"))).as("mx"))
         .localCheckpoint())
 
   /** Parity queries over the reference's own surface (SURVEY.md §2.1-§2.4). */
@@ -98,8 +105,9 @@ object SparkEntry {
     "ioc_sightings" -> ((s, d) =>
       sortedOnce(iocSightings(s, d)
         .select(col("type"), col("ioc"), col("source"), col("platform"),
-          col("n").as("n_sightings"), col("mn").as("first_seen"),
-          col("mx").as("last_seen")),
+          col("n").as("n_sightings"),
+          date_format(col("mn"), "yyyy-MM-dd").as("first_seen"),
+          date_format(col("mx"), "yyyy-MM-dd").as("last_seen")),
         col("type"), col("ioc"), col("source"), col("platform"))),
 
     // The unified store's primary lookup: per-indicator sighting history
@@ -117,8 +125,8 @@ object SparkEntry {
     "ioc_first_seen" -> ((s, d) =>
       iocSightings(s, d)
         .groupBy(col("ioc"), col("type"))
-        .agg(min(col("mn")).as("first_seen"),
-          max(col("mx")).as("last_seen"),
+        .agg(date_format(min(col("mn")), "yyyy-MM-dd").as("first_seen"),
+          date_format(max(col("mx")), "yyyy-MM-dd").as("last_seen"),
           sum(col("n")).as("n_sightings"),
           size(collect_set(col("source"))).cast("long").as("n_sources"),
           size(collect_set(col("platform"))).cast("long").as("n_platforms"))
@@ -137,7 +145,14 @@ object SparkEntry {
     "ioc_confirmation_lag" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("type"), col("ioc")).orderBy(col("fd"), col("source"))
+      // ONE explicit (type, ioc) exchange feeds the whole chain (r15):
+      // hash(type, ioc) clusters the (type, ioc, source) groupBy, the
+      // rank window, AND the top-2 pivot below (guide §2.4 — operations
+      // keyed the same way share an exchange); the per-witness first-seen
+      // fold is a date min (HashAggregate — see [[iocSightings]]), where
+      // the string min was a SortAggregate pair around its own exchange.
       val ranked = iocSightings(s, d)
+        .repartition(col("type"), col("ioc"))
         .groupBy(col("type"), col("ioc"), col("source"))
         .agg(min(col("mn")).as("fd"))
         .withColumn("rk", row_number().over(w))
@@ -150,8 +165,7 @@ object SparkEntry {
         .agg(max(when(col("rk") === 1, col("fd"))).as("d1"),
           max(when(col("rk") === 2, col("fd"))).as("d2"))
         .filter(col("d2").isNotNull)
-        .withColumn("lag_days",
-          datediff(to_date(col("d2")), to_date(col("d1"))).cast("long"))
+        .withColumn("lag_days", datediff(col("d2"), col("d1")).cast("long"))
         .groupBy(col("type"))
         .agg(count(lit(1)).as("n_confirmed"),
           sum(when(col("lag_days") === 0, 1L).otherwise(0L)).as("same_day"),
@@ -178,7 +192,12 @@ object SparkEntry {
       // subtree twice and paid a broadcast
       val nw = org.apache.spark.sql.expressions.Window
         .partitionBy(col("type"), col("ioc"))
+      // ONE explicit (type, ioc) exchange shared by the witness collapse
+      // AND the count window (r15, guide §2.4): hash(type, ioc) clusters
+      // the (type, ioc, source) groupBy, so the window no longer plans
+      // its own second corpus-keyed exchange on top of the groupBy's.
       iocSightings(s, d)
+        .repartition(col("type"), col("ioc"))
         .groupBy(col("type"), col("ioc"), col("source"))
         .agg(sum(col("n")).as("n"))
         .withColumn("n_sources", count(lit(1)).over(nw))
@@ -315,10 +334,18 @@ object SparkEntry {
     // S6/P6/X5: pastebin enrichment — pick each tweet's first pastebin link,
     // left-join the pages lookup, classify fetched lines, union with the
     // tweet-text extraction (test mode of the per-partition HTTP fetch).
+    // The r14 fan-out here was A/B'd interleaved (graft.ABPaste, r15) and
+    // REVERTED per the r14 verdict: with two consumers of the fanned-out
+    // exchange (the extract branch and the pastebin-join branch), the
+    // extra round-robin exchange cost more than the parallelism it bought
+    // — medians fan+rebalance 1295 ms / fan+plain-sort 1171 /
+    // NOFAN+rebalance 1033 / nofan+plain-sort 1305. sortedOnce stays: the
+    // plain sort re-runs the single-task synthesis+regex subtree in the
+    // range sampler (the 1305 column), which is exactly what it shields.
     "ioc_pastebin_enrich" -> ((s, d) => {
       val id = col("event_id")
       val other = concat(lit("https://other.example/x"), id.cast("string"))
-      val tweets2 = Tables.fanout(Tables.events(s, d)).select(
+      val tweets2 = Tables.events(s, d).select(
         id.cast("string").as("id"),
         concat(lit("ping 10.1."), (id % 256).cast("string"), lit("."), (id % 7).cast("string")).as("text"),
         concat(lit("user-"), col("user_id").cast("string")).as("user"),

@@ -306,9 +306,20 @@ object TextStats {
           "transform(sequence(1, size(t) - 2), i -> " +
             "md5(concat_ws(' ', element_at(t, i), element_at(t, i + 1)," +
             " element_at(t, i + 2))))").as("hs"))
+        // window minima as least() over 4 element_at picks inside the
+        // lambda (r15): array_min(slice(hs,j,4)) ≡ least(hs[j..j+3]) —
+        // same 4 non-null operands, same string min — without the
+        // 4-element array allocation + scan per window. The fully-codegen
+        // alternative (explode the window starts + codegen least + a
+        // distinct aggregation for the per-doc dedup — VERDICT item 4's
+        // sketch) was A/B'd interleaved in graft.ABWinnow and REJECTED:
+        // its extra distinct exchange costs more than the interpreted
+        // lambda it saves (med 887 ms vs 752 here vs 853 for the r14
+        // slice+array_min shape; the md5 transform dominates all three).
         .select(col("doc_id"), explode(expr(
           "array_distinct(transform(sequence(1, size(hs) - 3), j -> " +
-            "array_min(slice(hs, j, 4))))")).as("fp"))
+            "least(element_at(hs, j), element_at(hs, j + 1)," +
+            " element_at(hs, j + 2), element_at(hs, j + 3))))")).as("fp"))
         .orderBy(col("doc_id"), col("fp"))),
 
     // document fingerprints: exact (md5 of normalized text) + SimHash-60.
@@ -444,6 +455,11 @@ object TextStats {
     // join back, and the rank window all reuse that partitioning (doc_id
     // is a subset of every later key) — a second corpus-wide shuffle
     // never happens.
+    // fanout was A/B-tested here (r15) and REVERTED: the scan stage
+    // (tokenize + posexplode, 157 ms task-summed) is too light to buy
+    // back the round-robin write of the full document texts from the
+    // single scan task (steady 806-1021 → 976-1062 ms measured) — the
+    // island-key exchange right after already parallelizes everything else
     "text_rake" -> ((s, d) => rakeOn(Tables.documents(s, d))),
 
     "text_repetition" -> ((s, d) => {

@@ -248,7 +248,15 @@ object Corpus {
     // on doc_id — the corpus is never shuffled on the shingle.
     "text_contamination" -> ((s, d) => {
       val occ = shingleOcc5(s, d)
-      val bench = occ.filter(col("doc_id") < 10)
+      // benchmark side assembled from the SOURCE table with the doc_id
+      // predicate pushed to the parquet scan (r15): shingles are per-doc,
+      // so grams(docs WHERE id<10) ≡ occ5 WHERE id<10 — but the memoized
+      // occ5 is a checkpoint with no pushdown, so filtering IT scanned the
+      // full occurrence index (1 M rows at sf0.1) to keep 10 docs' grams;
+      // at 100 TB the difference is a full index scan vs a pruned read of
+      // the tiny eval set (guide §6: make predicate pushdown reach the scan)
+      val bench = shingleOccurrencesN(
+          Tables.documents(s, d).filter(col("doc_id") < 10), 5)
         .select(col("shingle")).distinct()
       occ.filter(col("doc_id") >= 10)
         .join(broadcast(bench), Seq("shingle"))
@@ -274,7 +282,10 @@ object Corpus {
     "text_contamination_bloom" -> ((s, d) => {
       val occ = shingleOcc5(s, d)
       val probes = (0 until BloomK).map(j => bloomPos(col("shingle"), j))
-      val benchPos = occ.filter(col("doc_id") < 10)
+      // benchmark side from the source table, same rationale (and same
+      // equivalence) as text_contamination above
+      val benchPos = shingleOccurrencesN(
+          Tables.documents(s, d).filter(col("doc_id") < 10), 5)
         .select(col("shingle")).distinct()
         .select(explode(array(probes: _*)).as("pos"))
       val bloomRow = benchPos

@@ -202,14 +202,29 @@ object Dedup {
       val postings = sh.groupBy(col("shingle"))     // shingle partitioning reused
         .agg(array_sort(collect_list(struct(col("doc_id"), col("sz")))).as("ms"))
         .filter(size(col("ms")) > 1)
-      postings.select(explode(flatten(transform(col("ms"), (x, i) =>
-          transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-            y => struct(x("doc_id").as("id1"), x("sz").as("sz1"),
-              y("doc_id").as("id2"), y("sz").as("sz2")))))).as("p"))
-        .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
-          col("p.sz1").as("sz1"), col("p.sz2").as("sz2"))
-        .groupBy(col("id1"), col("id2"), col("sz1"), col("sz2"))
-        .agg(count(lit(1)).as("inter"))
+      // pair generation as TWO codegen explodes of index ranges +
+      // element_at picks (r15): the previous nested transform-over-slice
+      // built the full m²/2 pair-struct array per shingle in INTERPRETED
+      // array land (HOFs are CodegenFallback — SQLMetrics attributed
+      // 1.56 s task-summed to that stage) before exploding it; the
+      // index-explode shape emits the same pairs without ever
+      // materializing the pair array and stays inside WholeStageCodegen.
+      // The agg keys narrow from 4 columns to the 2 real keys — sz1/sz2
+      // are functionally dependent on the ids and ride along as max()
+      // aggregates, so the near-unique-key hash aggregation compares and
+      // shuffles half the key bytes.
+      postings
+        .select(col("ms"), explode(sequence(lit(1), size(col("ms")) - 1)).as("i"))
+        .select(col("ms"), col("i"),
+          explode(sequence(col("i") + 1, size(col("ms")))).as("j"))
+        .select(
+          element_at(col("ms"), col("i")).getField("doc_id").as("id1"),
+          element_at(col("ms"), col("i")).getField("sz").as("sz1"),
+          element_at(col("ms"), col("j")).getField("doc_id").as("id2"),
+          element_at(col("ms"), col("j")).getField("sz").as("sz2"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("inter"), max(col("sz1")).as("sz1"),
+          max(col("sz2")).as("sz2"))
         .withColumn("jaccard",
           col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
         .filter(col("jaccard") >= JaccardThreshold)
@@ -462,17 +477,19 @@ object Dedup {
         .select(col("doc_id"),
           conv(substring(md5(col("shingle")), 1, 15), 16, 10)
             .cast("long").as("h"))
-        .distinct()
       // document frequency WITHOUT a join-back (which would evaluate the
       // gram subtree twice) and WITHOUT a gram-keyed window (which sorts
-      // every row by h): one hash agg per gram carrying its doc list —
-      // posting lists are docfreq-sized (the boilerplate cap bounds them
-      // at scale, same discipline as the LSH buckets) — then explode back
-      // and roll up per doc. Hash aggs only; the sole sort in the whole
-      // query is the gram-assembly window.
+      // every row by h): the per-pair DISTINCT is FOLDED INTO the posting
+      // aggregation (r15) — collect_set dedups (doc, gram) pairs map-side
+      // AND gathers each gram's posting list in the same pass, so the
+      // standalone distinct's (doc_id, h) exchange and its two agg passes
+      // are gone: gram rows shuffle ONCE (by h), not twice (guide §2.4).
+      // Posting sets stay docfreq-sized (the boilerplate cap bounds them
+      // at scale, same discipline as the LSH buckets); n_docs is the set
+      // size. Hash aggs only; no sort before the final output order.
       val perGram = grams.groupBy(col("h"))
-        .agg(count(lit(1)).as("n_docs"), collect_list(col("doc_id")).as("docs"))
-      perGram.select(col("n_docs"), explode(col("docs")).as("doc_id"))
+        .agg(collect_set(col("doc_id")).as("docs"))
+      perGram.select(size(col("docs")).as("n_docs"), explode(col("docs")).as("doc_id"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))

@@ -494,6 +494,13 @@ object Relational {
           (col("lo") + (col("bucket").cast("double") +
             (col("med") - (col("cum") - col("cnt")).cast("double")) / col("cnt"))
             * ((col("hi") - col("lo")) / HistogramBuckets)).as("p50_hist"))
+      // the exact side stays the priced exact-percentile baseline; a
+      // fanout was A/B-tested here (r15) and REVERTED: the round-robin
+      // write of 600k (flag, price) rows from the single scan task cost
+      // more than the 467 ms single-task percentile partial it
+      // parallelized (steady-state 1.33 s → 1.75-1.86 s) — unlike the
+      // md5-heavy sketch scans, the per-row work here is too light to
+      // buy back the exchange
       val exact = li.groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
       est.join(exact, Seq("l_returnflag"))
@@ -521,7 +528,14 @@ object Relational {
       val h = conv(substring(md5(col("l_orderkey").cast("string")), 1, 12), 16, 10)
         .cast("long")
       val bottomK = slice(array_sort(collect_set(col("h"))), 1, k)
-      val perSalt = Tables.lineitem(s, d)
+      // fanned out BEFORE the md5 hashing + partial bottom-k: on the
+      // single-row-group driver testdata the whole scan-stage pipeline —
+      // one md5/conv per row plus the partial collect_set — ran in ONE
+      // task (SQLMetrics r15: partial aggTime 912 ms task-summed ≈ all of
+      // it serialized). [[Tables.fanout]] is the identity at any real
+      // multi-row-group layout, so no corpus-sized exchange at 100 TB.
+      val perSalt = Tables.fanout(
+          Tables.lineitem(s, d).select(col("l_returnflag"), col("l_orderkey")))
         .select(col("l_returnflag"), h.as("h"))
         .withColumn("salt", col("h") % 64)
         .groupBy(col("l_returnflag"), col("salt"))
@@ -553,7 +567,9 @@ object Relational {
       val h = conv(substring(md5(col("l_orderkey").cast("string")), 1, 12), 16, 10)
         .cast("long")
       val bottomK = slice(array_sort(collect_set(col("h"))), 1, k)
-      val partials = Tables.lineitem(s, d)
+      // fanout for the same scan-starvation reason as agg_approx_sketch
+      val partials = Tables.fanout(
+          Tables.lineitem(s, d).select(col("l_returnflag"), col("l_orderkey")))
         .select(col("l_returnflag"), (col("l_orderkey") % 4).as("segment"), h.as("h"))
         .groupBy(col("l_returnflag"), col("segment"))
         .agg(bottomK.as("hs"))
@@ -1083,22 +1099,36 @@ object Relational {
     // TPC-H Q21 shape (adapted): suppliers who were the SOLE late shipper
     // in a multi-supplier order (late = shipped >30 days after the order
     // date; the testdata has no commit/receipt dates). The classic EXISTS/
-    // NOT-EXISTS double self-join collapses into ONE per-order aggregation:
-    // count distinct suppliers, count distinct late suppliers, keep orders
-    // with n_supp>1 ∧ n_late=1, then count per culprit supplier — two
-    // shuffles total (orderkey, suppkey), no self-join of the fact against
-    // itself, which at 100 TB would double-scan lineitem twice over.
+    // NOT-EXISTS double self-join collapses into per-order aggregation —
+    // and the two countDistincts collapse further into a TWO-LEVEL exact
+    // aggregation (r15): collapse to distinct (order, supplier) pairs with
+    // an any-late flag first, then count pairs per order. The multi-
+    // distinct formulation planned an Expand ×3 of the joined fact rows
+    // (3× shuffle bytes, wide CASE keys) plus a second exchange; both
+    // levels here share ONE explicit o_orderkey exchange (hash(o_orderkey)
+    // clusters (o_orderkey, l_suppkey) too — guide §2.4 "two operations
+    // keyed the same way share one exchange"), so the plan is two shuffles
+    // total (orderkey, suppkey), no Expand, no self-join of the fact.
     "q21_waiting" -> ((s, d) => {
       val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS")
-      val perOrder = Tables.lineitem(s, d)
+      val perPair = Tables.lineitem(s, d)
         .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderkey"))
+        .select(col("o_orderkey"), col("l_suppkey"),
+          when(late, 1L).otherwise(0L).as("is_late"))
+        .repartition(col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("l_suppkey"))
+        .agg(max(col("is_late")).as("lt"))
+      // per-pair collapse ≡ the countDistinct pair: n_supp counts distinct
+      // suppliers (null suppkey pairs excluded by count(col)), n_late
+      // counts distinct suppliers with ANY late line, late_supp is the
+      // min late supplier — identical null semantics to the distinct aggs
+      val perOrder = perPair.groupBy(col("o_orderkey"))
         .agg(
-          countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(late, col("l_suppkey"))).as("n_late"),
-          min(when(late, col("l_suppkey"))).as("late_supp"))
+          count(col("l_suppkey")).as("n_supp"),
+          count(when(col("lt") === 1L, col("l_suppkey"))).as("n_late"),
+          min(when(col("lt") === 1L, col("l_suppkey"))).as("late_supp"))
         .filter(col("n_supp") > 1 && col("n_late") === 1)
       perOrder.groupBy(col("late_supp"))
         .agg(count(lit(1)).as("numwait"))

@@ -159,8 +159,10 @@ object Threat {
         .agg(max(col("mx")).as("now"))
       sight.crossJoin(broadcast(now))
         .withColumn("ttl_days", expr(ttlSql))
+        // mn/mx are DATE-typed since r15 ([[graft.SparkEntry.iocSightings]])
+        // — max(mx) is a HashAggregate and datediff takes the dates directly
         .withColumn("age_days",
-          datediff(to_date(col("now")), to_date(col("last_seen"))).cast("long"))
+          datediff(col("now"), col("last_seen")).cast("long"))
         .withColumn("status",
           when(col("age_days") <= col("ttl_days"), lit("active"))
             .otherwise(lit("expired")))
