@@ -90,7 +90,14 @@ object Bench {
     // not the query ([[graft.operators.Warm]]). The returned per-build
     // ledger goes out as the "warm" map — index-build cost is real
     // pipeline cost and must be as visible as query cost.
+    // warm_total is the WALL time of the whole warm phase (since r15 the
+    // independent chains run on a 3-thread pool — guide §2.6 — so the sum
+    // of the per-build rows exceeds the wall; that contended sum still
+    // ships as "warm_sum" so both old- and new-semantics numbers are in
+    // every artifact — measurement change documented in OPTIMIZATION_r15.md)
+    val warmT0 = System.nanoTime()
     val warm = graft.operators.Warm.all(spark, sfDir)
+    val warmWall = (System.nanoTime() - warmT0) / 1e9
 
     // dev convenience: `runMain graft.Bench q1 q2` times only those queries;
     // the driver's no-arg invocation is unchanged. Unknown names fail fast —
@@ -150,7 +157,7 @@ object Bench {
     // the SLOWEST queries that fit (total stays exact; "omitted" records the
     // fast ones dropped from the map, never from the measurement).
     val budget = 1800
-    val warmTotal = warm.map(_._2).sum
+    val warmSum = warm.map(_._2).sum
     def mapJson(prec: Int, es: Seq[(String, Double)]): String =
       es.map { case (k, v) => "\"" + k + "\":" + fmt(prec, v) }
         .mkString("{", ",", "}")
@@ -166,7 +173,7 @@ object Bench {
         else failed.sorted.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
       val wm = if (withWarm) s""","warm":${mapJson(prec, warm)}""" else ""
       val rt = if (retry.isEmpty) "" else s""","retry":${mapJson(prec, retry)}"""
-      s"""{"metric":"total","value":${fmt(2, results.map(_._2).sum)},"unit":"sec","queries":$qs$om$fl,"warm_total":${fmt(2, warmTotal)}$wm$rt,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(2, results.map(_._2).sum)},"unit":"sec","queries":$qs$om$fl,"warm_total":${fmt(2, warmWall)},"warm_sum":${fmt(2, warmSum)}$wm$rt,"sf":"$sfDir"}"""
     }
     val full2 = fmtLine(2, results, 0, withWarm = true)
     val full1 = fmtLine(1, results, 0, withWarm = true)
