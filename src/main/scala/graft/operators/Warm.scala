@@ -111,7 +111,14 @@ object Warm {
         "lsh_assign" -> (() => Similarity.lshAssign(s, d)),
         "pq_codes" -> (() => Similarity.pqCodes(s, d)),
         "pq_lut" -> (() => Similarity.pqLut(s, d)),
-        "pqr_codes" -> (() => Similarity.pqrCodes(s, d))),
+        "pqr_codes" -> (() => Similarity.pqrCodes(s, d)),
+        // recall-gate artifacts (r15): the exact L2 + cosine ground
+        // truths for the fixed query sample and the twin-class map —
+        // persisted once per snapshot like a FAISS GT file; the eight
+        // recall gauges score against them
+        "recall_gt" -> (() => Similarity.recallGt(s, d)),
+        "recall_gt_cos" -> (() => Similarity.recallGtCos(s, d)),
+        "recall_cls" -> (() => Similarity.recallCls(s, d))),
       // independent per-document indexes
       Seq(
         "simhash_fp" -> (() => Dedup.simhashFp(s, d)),

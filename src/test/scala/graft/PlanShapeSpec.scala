@@ -323,10 +323,18 @@ class PlanShapeSpec extends AnyFunSuite {
     for (q <- Seq("sim_recall", "sim_recall_pq")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
-      // the exact-ground-truth pass must be corpus-scan × BROADCAST sample;
-      // a shuffled nested-loop here is the n² formulation coming back
+    }
+    // the exact ground truth is a memoized artifact since r15, so the
+    // gauge plans only see its checkpoint scan — the shape invariant
+    // (corpus-scan × BROADCAST sample; a shuffled nested-loop here is the
+    // n² formulation coming back) is pinned on the GT BUILD plans instead
+    for ((tag, df) <- Seq(
+        "recall_gt" -> operators.Similarity.computeRecallGt(spark, d),
+        "recall_gt_cos" -> operators.Similarity.computeRecallGtCos(spark, d))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$tag build has a cartesian:\n$p")
       assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BroadcastExchange"),
-        s"$q: exact ground truth no longer broadcasts the query sample:\n$p")
+        s"$tag build no longer broadcasts the query sample:\n$p")
     }
   }
 
@@ -347,10 +355,9 @@ class PlanShapeSpec extends AnyFunSuite {
       s"sim_lsh_topk: bucket skew filter no longer broadcasts:\n$topk")
     val recall = plan("sim_lsh_recall")
     assert(!recall.contains("CartesianProduct"), s"sim_lsh_recall cartesian:\n$recall")
-    // exact ground truth = corpus scan × BROADCAST query sample (the
-    // sim_recall discipline); losing the broadcast is the n² coming back
-    assert(recall.contains("BroadcastNestedLoopJoin") && recall.contains("BroadcastExchange"),
-      s"sim_lsh_recall: ground truth no longer broadcasts the sample:\n$recall")
+    // the exact ground truth it scores against is the memoized recall_gt_cos
+    // artifact since r15 — its broadcast shape is pinned in the
+    // "recall gates" test on the BUILD plan
   }
 
   test("text_surprisal: frequency as window, no vocab join, two real exchanges") {
