@@ -68,9 +68,13 @@ object QueryProfile {
         // above 50 ms are printed.
         @volatile var lastQe: org.apache.spark.sql.execution.QueryExecution = null
         val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+          // only the noop write's own QE (funcName "save") — intermediate
+          // actions inside query construction (Memo builds, checkpoint
+          // jobs) also fire onSuccess and would be walked instead (r14
+          // ADVICE)
           override def onSuccess(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-            lastQe = qe
+            if (funcName == "save") lastQe = qe
           override def onFailure(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
         }

@@ -139,8 +139,14 @@ object Relational {
       // family is free. 31-bit masks keep h1 + j·h2 < 2^33: no overflow
       // under ANSI, and the mod is non-negative by construction.
       val m31 = lit(0x7FFFFFFFL)
-      val bh1 = (c: Column) => xxhash64(c).bitwiseAND(m31)
-      val bh2 = (c: Column) => xxhash64(c, lit(1)).bitwiseAND(m31)
+      // explicit cast("long") on the probe input (r14 ADVICE): xxhash64 is
+      // TYPE-sensitive, so build and probe sides must hash the identical
+      // Catalyst type — today both keys are int64 and the cast folds away,
+      // but a future int32 regen of one table would otherwise create bloom
+      // false negatives the exact semi join can't recover (the bloom
+      // predicate is conjoined with it)
+      val bh1 = (c: Column) => xxhash64(c.cast("long")).bitwiseAND(m31)
+      val bh2 = (c: Column) => xxhash64(c.cast("long"), lit(1)).bitwiseAND(m31)
       val bloomRow = keys
         .select(explode(array((0 until Corpus.BloomK).map(j =>
           (bh1(col("o_orderkey")) + lit(j.toLong) * bh2(col("o_orderkey")))

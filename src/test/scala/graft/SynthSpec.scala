@@ -40,6 +40,13 @@ class SynthSpec extends AnyFunSuite {
   test("keys stay unique and referential integrity survives the offset") {
     assert(t("customer").select("c_custkey").distinct().count() == t("customer").count())
     assert(t("orders").select("o_orderkey").distinct().count() == t("orders").count())
+    // doc_id uniqueness is an INVARIANT reformulations depend on (r14
+    // ADVICE): text_winnowing's per-doc array_distinct ≡ global
+    // DISTINCT(doc_id, fp) and dedup_substring's collect_set posting
+    // fold both assume one row per doc_id — pin it on base AND synth
+    assert(base("documents").select("doc_id").distinct().count() ==
+      base("documents").count())
+    assert(t("documents").select("doc_id").distinct().count() == t("documents").count())
     // no orphans in either direction of the fact chain
     assert(t("lineitem").join(t("orders"),
       col("l_orderkey") === col("o_orderkey"), "left_anti").count() == 0)
